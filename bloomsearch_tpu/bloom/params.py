@@ -1,0 +1,68 @@
+"""Bloom filter sizing math.
+
+Must match the reference's library semantics (SURVEY.md §1: bits-and-blooms
+``NewWithEstimates``): for ``n`` expected items at false-positive rate ``p``,
+
+    m = ceil(-n * ln(p) / ln(2)^2)        # total bits
+    k = ceil(ln(2) * m / n)               # number of hash probes
+
+Matching (m, k) at equal bits-per-row yields matched FPR vs the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+WORD_BITS = 32
+
+
+def estimate_parameters(n: int, p: float) -> tuple[int, int]:
+    """(m_bits, k) for n expected items at false positive rate p."""
+    if n <= 0:
+        n = 1
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"false positive rate must be in (0, 1), got {p}")
+    m = math.ceil(-float(n) * math.log(p) / (math.log(2.0) ** 2))
+    k = math.ceil(math.log(2.0) * m / n)
+    return max(1, int(m)), max(1, int(k))
+
+
+def words_for_bits(m_bits: int) -> int:
+    """Number of uint32 words backing an m-bit filter."""
+    return (m_bits + WORD_BITS - 1) // WORD_BITS
+
+
+@dataclass(frozen=True)
+class BloomParams:
+    """The (n, p) sizing pair plus derived (m, k).
+
+    Files record (expected_items, fpr) per block and per file exactly like the
+    reference (file_format.go:176-177); merge compatibility is gated on them
+    (bloom_tree_engine.go:1374-1399).
+    """
+
+    expected_items: int
+    false_positive_rate: float
+
+    @property
+    def m_bits(self) -> int:
+        return estimate_parameters(self.expected_items, self.false_positive_rate)[0]
+
+    @property
+    def k(self) -> int:
+        return estimate_parameters(self.expected_items, self.false_positive_rate)[1]
+
+    @property
+    def num_words(self) -> int:
+        return words_for_bits(self.m_bits)
+
+    def to_json(self) -> dict:
+        return {
+            "ExpectedItems": self.expected_items,
+            "FalsePositiveRate": self.false_positive_rate,
+        }
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "BloomParams":
+        return cls(int(obj["ExpectedItems"]), float(obj["FalsePositiveRate"]))

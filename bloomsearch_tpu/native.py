@@ -1,0 +1,163 @@
+"""ctypes loader for the native host-runtime library.
+
+Compiles ``_native/bloomsearch_native.cpp`` with g++ on first use (cached as
+a .so next to the source) and exposes batch APIs operating on numpy arrays.
+Everything here has a pure-Python fallback elsewhere — callers must check
+:func:`available` — so the engine still works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "_native")
+_SRC = os.path.join(_NATIVE_DIR, "bloomsearch_native.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libbloomsearch_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _compile() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-fvisibility=hidden", "-o", _SO, _SRC,
+    ]
+    try:
+        result = subprocess.run(cmd, capture_output=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if result.returncode != 0:
+        # -march=native can fail on exotic hosts; retry generic.
+        cmd.remove("-march=native")
+        try:
+            result = subprocess.run(cmd, capture_output=True, timeout=120)
+        except (OSError, subprocess.TimeoutExpired):
+            return False
+    return result.returncode == 0
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if os.environ.get("BLOOMSEARCH_TPU_NO_NATIVE"):
+            _load_failed = True
+            return None
+        if not os.path.exists(_SO) or (
+            os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        ):
+            if not _compile():
+                _load_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _load_failed = True
+            return None
+
+        lib.bs_hash_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.bs_hash_batch.restype = None
+        lib.bs_scatter_or.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.bs_scatter_or.restype = None
+        lib.bs_build_from_hashes.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.bs_build_from_hashes.restype = None
+        lib.bs_probe_from_hashes.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.bs_probe_from_hashes.restype = None
+        lib.bs_crc32c.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32]
+        lib.bs_crc32c.restype = ctypes.c_uint32
+        lib.bs_split_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.bs_split_rows.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def hash_batch(keys: Sequence[bytes]) -> np.ndarray:
+    """Batch murmur3 x64_128 -> [N, 2] uint64."""
+    lib = _load()
+    assert lib is not None
+    n = len(keys)
+    out = np.empty((n, 2), dtype=np.uint64)
+    if n == 0:
+        return out
+    lengths = np.fromiter((len(k) for k in keys), dtype=np.int64, count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    data = b"".join(keys)
+    buf = np.frombuffer(data, dtype=np.uint8) if data else np.empty(0, dtype=np.uint8)
+    lib.bs_hash_batch(_ptr(buf), _ptr(offsets), n, _ptr(out))
+    return out
+
+
+def scatter_or(words: np.ndarray, positions: np.ndarray) -> None:
+    """OR absolute bit positions (uint64) into a uint32 word array, in place."""
+    lib = _load()
+    assert lib is not None
+    positions = np.ascontiguousarray(positions, dtype=np.uint64)
+    lib.bs_scatter_or(_ptr(words), _ptr(positions), positions.size)
+
+
+def build_from_hashes(words: np.ndarray, m_bits: int, k: int, hashes: np.ndarray) -> None:
+    """Fused KM-position + scatter-OR build, in place."""
+    lib = _load()
+    assert lib is not None
+    hashes = np.ascontiguousarray(hashes, dtype=np.uint64)
+    lib.bs_build_from_hashes(_ptr(words), m_bits, k, _ptr(hashes), hashes.shape[0])
+
+
+def probe_from_hashes(words: np.ndarray, m_bits: int, k: int, hashes: np.ndarray) -> np.ndarray:
+    """AND-reduce probe -> [N] bool."""
+    lib = _load()
+    assert lib is not None
+    hashes = np.ascontiguousarray(hashes, dtype=np.uint64)
+    n = hashes.shape[0]
+    out = np.empty(n, dtype=np.uint8)
+    lib.bs_probe_from_hashes(_ptr(words), m_bits, k, _ptr(hashes), n, _ptr(out))
+    return out.astype(bool)
+
+
+def crc32c(data, crc_in: int = 0) -> int:
+    """CRC32C (Castagnoli) of a bytes-like object."""
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(data, dtype=np.uint8) if len(data) else np.empty(0, dtype=np.uint8)
+    return int(lib.bs_crc32c(_ptr(buf), buf.size, ctypes.c_uint32(crc_in)))
+
+
+def split_rows(data: np.ndarray, max_rows: int) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """Split a length-prefixed row stream -> (offsets, lengths), or None if malformed."""
+    lib = _load()
+    assert lib is not None
+    offsets = np.empty(max_rows, dtype=np.int64)
+    lengths = np.empty(max_rows, dtype=np.int64)
+    count = lib.bs_split_rows(_ptr(data), data.size, max_rows, _ptr(offsets), _ptr(lengths))
+    if count < 0:
+        return None
+    return offsets[:count], lengths[:count]
