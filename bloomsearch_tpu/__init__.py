@@ -78,5 +78,32 @@ from .query import (
     token,
 )
 from .bloom import BloomFilter, BloomParams, estimate_parameters
+from .compression import (
+    COMPRESSION_NONE,
+    COMPRESSION_SNAPPY,
+    COMPRESSION_ZSTD,
+    compression_available,
+)
+from .file_format import BloomFilters, DataBlockMetadata, FileMetadata
+from .stores import (
+    DataStore,
+    DeleteOperation,
+    FileSystemDataStore,
+    MaybeFile,
+    MemoryMetaStore,
+    MetaStore,
+    NullDataStore,
+    NullMetaStore,
+    WriteOperation,
+    new_simple_meta_store,
+)
+from .engine import (
+    BlockStats,
+    BloomSearchEngine,
+    BloomSearchEngineConfig,
+    InvalidConfigError,
+    MergeStats,
+    default_config,
+)
 
 __version__ = "0.1.0"

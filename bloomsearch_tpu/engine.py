@@ -1,0 +1,910 @@
+"""BloomSearchEngine: ingest → flush → query runtime.
+
+The runtime equivalent of the reference's bloom_tree_engine.go, restructured
+for the bank-oriented file format and batched (device-friendly) probing:
+
+- **Ingest** (single-writer actor thread — reference :348-414): rows are
+  partitioned, expanded into the three keyspaces, batch-hashed once per
+  request (the native C++ batch hasher replaces the per-key Go murmur3
+  calls), and appended to per-partition compressed row buffers. Flush
+  triggers mirror the reference exactly (:616-650): partition row/byte caps,
+  buffer row/byte/time caps, force-flush, and a periodic time check.
+- **Flush** (dedicated thread, queue of 1, inline when full — :677-724):
+  writes an immutable file (blocks + filter banks + footer) and atomically
+  publishes it via ``MetaStore.update``.
+- **Query** (:934-1204): prefilter via MetaStore → *batched* file-level bloom
+  probe (all candidate files at once, grouped by bloom params) → *batched*
+  block-level bank probe (every block of a file in one pass) → bounded worker
+  pool decodes only surviving blocks, re-verifies every row exactly, and
+  streams results. Memory scales with concurrency, not result size.
+
+Streaming contract: results are posted to a caller-supplied ``queue.Queue``;
+``None`` is the completion sentinel (the reference closes the channel).
+Per-worker errors go to ``error_queue`` and that worker stops; others
+continue. Stats are posted lossily (dropped when full), mirroring
+``TryWriteChannel`` (chan_helpers.go:7-20).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from .bloom.filter import BloomFilter
+from .bloom.hashing import hash_keys
+from .bloom.params import BloomParams
+from .bloom.probe import (
+    CompiledBloomTerms,
+    compile_bloom_terms,
+    evaluate_match_expression,
+    probe_bank_host,
+    stack_filter_bank,
+)
+from .compression import (
+    COMPRESSION_ZSTD,
+    ALL_COMPRESSIONS,
+    StreamEncoder,
+    compression_available,
+    decompress_block,
+)
+from .file_format import (
+    BloomFilters,
+    DataBlockMetadata,
+    DataFileWriter,
+    FileMetadata,
+    encode_row,
+    read_bank_group,
+    read_block_rows_compressed,
+    split_rows,
+)
+from .minmax import MinMaxIndex, convert_to_min_max_int64, update_min_max_index
+from .query import BloomQuery, Query, and_bloom_queries, new_query, regex_field_guard_bloom_query
+from .stores import DataStore, MetaStore, WriteOperation
+from .tokenizer import (
+    ValueTokenizer,
+    basic_whitespace_lower_tokenizer,
+    compile_regex_query,
+    make_field_token_key,
+    row_matches_query,
+    unique_fields,
+)
+
+logger = logging.getLogger("bloomsearch_tpu.engine")
+
+PartitionFunc = Callable[[dict], str]
+
+MAX_ROW_BYTES = 0xFFFFFFFF
+
+
+class InvalidConfigError(ValueError):
+    pass
+
+
+@dataclass
+class BloomSearchEngineConfig:
+    """Engine configuration (reference BloomSearchEngineConfig, :158-229).
+
+    Defaults match the reference's ``DefaultBloomSearchEngineConfig`` except
+    ``row_data_compression`` defaults to zstd when the native snappy codec is
+    unavailable.
+    """
+
+    tokenizer: ValueTokenizer = basic_whitespace_lower_tokenizer
+    partition_func: Optional[PartitionFunc] = None
+
+    min_max_indexes: list[str] = dc_field(default_factory=list)
+
+    max_row_group_bytes: int = 10 * 1024 * 1024
+    max_row_group_rows: int = 10_000
+    max_file_size: int = 10 * 1024 * 1024 * 1024
+
+    max_buffered_rows: int = 1_000
+    max_buffered_bytes: int = 1 * 1024 * 1024
+    max_buffered_time: float = 10.0  # seconds; designed for async writing
+
+    ingest_buffer_size: int = 1_000
+
+    # Max data blocks processed concurrently across ALL queries (global bound).
+    max_query_concurrency: int = 1_000
+
+    file_bloom_expected_items: int = 100_000
+    bloom_false_positive_rate: float = 0.001
+
+    row_data_compression: str = COMPRESSION_ZSTD
+    zstd_compression_level: int = 3
+
+    max_files_to_merge_per_operation: int = 10
+
+    # TTL for ingested rows; expired blocks are dropped during merge
+    # (README.md:283-287 — designed but unimplemented in the reference).
+    ttl_seconds: Optional[float] = None
+
+    # TPU probe backend: "auto" uses the device when JAX has one, "device"
+    # forces it, "host" forces numpy probing.
+    probe_backend: str = "auto"
+    bank_cache_bytes: int = 2 * 1024 * 1024 * 1024
+
+    delimiter: str = "."
+
+    @property
+    def file_bloom_params(self) -> BloomParams:
+        return BloomParams(self.file_bloom_expected_items, self.bloom_false_positive_rate)
+
+    @property
+    def block_bloom_params(self) -> BloomParams:
+        # Block filters are sized by the row-group cap (reference :518-520).
+        return BloomParams(self.max_row_group_rows, self.bloom_false_positive_rate)
+
+
+def default_config() -> BloomSearchEngineConfig:
+    return BloomSearchEngineConfig()
+
+
+@dataclass
+class BlockStats:
+    """Per-block query stats, streamed lossily (reference :137-146)."""
+
+    file_pointer: bytes
+    block_offset: int
+    rows_processed: int = 0
+    bytes_processed: int = 0
+    total_rows: int = 0
+    total_bytes: int = 0
+    duration: float = 0.0
+    bloom_filter_skipped: bool = False
+
+
+@dataclass
+class MergeStats:
+    """Merge operation stats (reference :148-156)."""
+
+    files_processed: int = 0
+    row_groups_processed: int = 0
+    rows_processed: int = 0
+    bytes_processed: int = 0
+    duration: float = 0.0
+    rows_per_second: float = 0.0
+    bytes_per_second: float = 0.0
+
+
+def try_put(q: Optional[queue.Queue], item) -> bool:
+    """Non-blocking, lossy put (reference TryWriteChannel, chan_helpers.go:7-20)."""
+    if q is None:
+        return False
+    try:
+        q.put_nowait(item)
+        return True
+    except queue.Full:
+        return False
+
+
+class _PartitionBuffer:
+    """Per-partition in-flight block state (reference partitionBuffer :192-202)."""
+
+    __slots__ = (
+        "partition_id",
+        "row_count",
+        "min_max_indexes",
+        "filters",
+        "encoder",
+        "created_at_ms",
+    )
+
+    def __init__(self, partition_id: str, params: BloomParams, compression: str, zstd_level: int):
+        self.partition_id = partition_id
+        self.row_count = 0
+        self.min_max_indexes: dict[str, MinMaxIndex] = {}
+        self.filters = BloomFilters.from_params(params)
+        self.encoder = StreamEncoder(compression, zstd_level)
+        self.created_at_ms = int(time.time() * 1000)
+
+    @property
+    def uncompressed_size(self) -> int:
+        return self.encoder.uncompressed_len
+
+
+class _IngestRequest:
+    __slots__ = ("rows", "done", "force_flush")
+
+    def __init__(self, rows, done: Optional[Future], force_flush: bool = False):
+        self.rows = rows
+        self.done = done
+        self.force_flush = force_flush
+
+
+class _FlushRequest:
+    __slots__ = ("partition_buffers", "done_futures", "file_filters")
+
+    def __init__(self, partition_buffers, done_futures, file_filters):
+        self.partition_buffers = partition_buffers
+        self.done_futures = done_futures
+        self.file_filters = file_filters
+
+
+_STOP = object()
+
+
+def _resolve(futures, error: Optional[BaseException]) -> None:
+    """Signal all pending done-futures (reference SendToChannelsWithContext)."""
+    for f in futures:
+        if f is None or f.done():
+            continue
+        if error is None:
+            f.set_result(None)
+        else:
+            f.set_exception(error)
+
+
+@dataclass
+class _DataBlockJob:
+    """A (file, block) unit of query work (reference dataBlockJob :28-31)."""
+
+    file_pointer: bytes
+    block: DataBlockMetadata
+
+
+class BloomSearchEngine:
+    """The engine (reference BloomSearchEngine, bloom_tree_engine.go:121-135)."""
+
+    def __init__(
+        self,
+        config: BloomSearchEngineConfig,
+        meta_store: MetaStore,
+        data_store: DataStore,
+    ):
+        if config.tokenizer is None:
+            raise InvalidConfigError("tokenizer is required")
+        if config.file_bloom_expected_items <= 0:
+            raise InvalidConfigError("file_bloom_expected_items must be greater than 0")
+        if not (0.0 < config.bloom_false_positive_rate < 1.0):
+            raise InvalidConfigError("bloom_false_positive_rate must be between 0 and 1")
+        if config.max_query_concurrency <= 0:
+            raise InvalidConfigError("max_query_concurrency must be greater than 0")
+        if config.row_data_compression not in ALL_COMPRESSIONS:
+            raise InvalidConfigError(
+                f"unknown compression type: {config.row_data_compression!r}"
+            )
+        if not compression_available(config.row_data_compression):
+            raise InvalidConfigError(
+                f"compression {config.row_data_compression!r} is not available"
+            )
+        if config.probe_backend not in ("auto", "device", "host"):
+            raise InvalidConfigError("probe_backend must be auto|device|host")
+
+        self.config = config
+        self.meta_store = meta_store
+        self.data_store = data_store
+
+        self._ingest_queue: queue.Queue = queue.Queue(maxsize=config.ingest_buffer_size)
+        self._flush_queue: queue.Queue = queue.Queue(maxsize=1)
+        self._stop_event = threading.Event()
+        self._ingest_done = threading.Event()
+        self._ingest_thread: Optional[threading.Thread] = None
+        self._flush_thread: Optional[threading.Thread] = None
+        self._started = False
+
+        # Global cross-query bound on concurrently processed blocks
+        # (reference querySemaphore :134, :269).
+        self._query_semaphore = threading.BoundedSemaphore(config.max_query_concurrency)
+
+        self._device_backend = None
+        if config.probe_backend in ("auto", "device"):
+            try:
+                from .bloom.bank import DeviceProbeBackend
+
+                self._device_backend = DeviceProbeBackend(
+                    cache_bytes=config.bank_cache_bytes,
+                    require_device=(config.probe_backend == "device"),
+                )
+            except Exception as exc:  # no usable device — fall back to host
+                if config.probe_backend == "device":
+                    raise
+                logger.debug("device probe backend unavailable: %s", exc)
+
+    # ------------------------------------------------------------------
+    # Lifecycle (reference Start/Stop :281-307)
+    # ------------------------------------------------------------------
+
+    def start(self) -> None:
+        if self._started:
+            raise RuntimeError("engine already started")
+        self._started = True
+        self._ingest_thread = threading.Thread(
+            target=self._ingest_worker, name="bloomsearch-ingest", daemon=True
+        )
+        self._flush_thread = threading.Thread(
+            target=self._flush_worker, name="bloomsearch-flush", daemon=True
+        )
+        self._ingest_thread.start()
+        self._flush_thread.start()
+
+    def stop(self, timeout: Optional[float] = None) -> None:
+        """Graceful shutdown: buffered rows are flushed to a complete file
+
+        before return (reference guarantee, bloom_tree_engine_test.go:
+        2313-2395). Raises TimeoutError if workers don't finish in time.
+        """
+        if not self._started:
+            return
+        deadline = None if timeout is None else time.monotonic() + timeout
+        self._stop_event.set()
+        # Unblock the ingest worker promptly.
+        try:
+            self._ingest_queue.put_nowait(_STOP)
+        except queue.Full:
+            pass
+        for thread in (self._ingest_thread, self._flush_thread):
+            remaining = None if deadline is None else max(0.0, deadline - time.monotonic())
+            thread.join(remaining)
+            if thread.is_alive():
+                raise TimeoutError("shutdown timeout exceeded")
+        self._started = False
+
+    # ------------------------------------------------------------------
+    # Ingest API (reference IngestRows/Flush :310-346)
+    # ------------------------------------------------------------------
+
+    def ingest_rows(
+        self, rows: list[dict], done: Optional[Future] = None, timeout: Optional[float] = None
+    ) -> None:
+        """Queue rows for the ingest actor. ``done`` (a Future) resolves once
+
+        the rows are durably flushed (the reference's per-ingest doneChan).
+        """
+        if self._stop_event.is_set() or not self._started:
+            raise RuntimeError("engine is not running")
+        self._ingest_queue.put(_IngestRequest(rows, done), timeout=timeout)
+
+    def flush(self, timeout: Optional[float] = None) -> None:
+        """Force-flush buffered data and wait for durability (:326-346)."""
+        if self._stop_event.is_set() or not self._started:
+            raise RuntimeError("engine is not running")
+        done: Future = Future()
+        self._ingest_queue.put(_IngestRequest(None, done, force_flush=True), timeout=timeout)
+        done.result(timeout=timeout)
+
+    # ------------------------------------------------------------------
+    # Ingest actor (reference ingestWorker :348-414)
+    # ------------------------------------------------------------------
+
+    def _ingest_worker(self) -> None:
+        state = _IngestState(self)
+        try:
+            while True:
+                try:
+                    # The 100ms poll doubles as the time-based flush ticker
+                    # (reference :363, :398-412).
+                    req = self._ingest_queue.get(timeout=0.1)
+                except queue.Empty:
+                    req = None
+                if req is _STOP or (req is None and self._stop_event.is_set()):
+                    # Drain anything still queued, then final-flush.
+                    while True:
+                        try:
+                            pending = self._ingest_queue.get_nowait()
+                        except queue.Empty:
+                            break
+                        if pending is not _STOP:
+                            state.process(pending)
+                    if state.buffered_row_count > 0 or state.done_futures:
+                        state.flush_buffered()
+                    return
+                if req is not None:
+                    state.process(req)
+                state.maybe_time_flush()
+        finally:
+            self._ingest_done.set()
+
+    # ------------------------------------------------------------------
+    # Flush worker (reference flushWorker :694-724, handleFlush :726-821)
+    # ------------------------------------------------------------------
+
+    def _flush_worker(self) -> None:
+        while True:
+            try:
+                flush_req = self._flush_queue.get(timeout=0.05)
+            except queue.Empty:
+                if self._ingest_done.is_set():
+                    # Ingest finished; drain any remaining flushes and exit.
+                    while True:
+                        try:
+                            flush_req = self._flush_queue.get_nowait()
+                        except queue.Empty:
+                            return
+                        self._handle_flush(flush_req)
+                continue
+            self._handle_flush(flush_req)
+
+    def _trigger_flush(self, flush_req: _FlushRequest) -> None:
+        """Queue for the flush worker; handle inline if it's busy (:677-692)."""
+        try:
+            self._flush_queue.put_nowait(flush_req)
+        except queue.Full:
+            self._handle_flush(flush_req)
+
+    def _handle_flush(self, flush_req: _FlushRequest) -> None:
+        if not flush_req.partition_buffers:
+            # Durability barrier (empty force-flush): earlier queued flushes
+            # have already been handled because the queue is FIFO.
+            _resolve(flush_req.done_futures, None)
+            return
+        try:
+            writer_fh, file_pointer = self.data_store.create_file()
+        except Exception as exc:
+            _resolve(flush_req.done_futures, exc)
+            return
+        try:
+            writer = DataFileWriter(writer_fh, self.config.file_bloom_params)
+            for buf in flush_req.partition_buffers.values():
+                compressed = buf.encoder.finish()
+                writer.add_block(
+                    compressed,
+                    buf.filters,
+                    rows=buf.row_count,
+                    partition_id=buf.partition_id,
+                    min_max_indexes=buf.min_max_indexes,
+                    compression=self.config.row_data_compression,
+                    uncompressed_size=buf.uncompressed_size,
+                    created_at_ms=buf.created_at_ms,
+                    # Block filter params are stamped from current config
+                    # (reference :792-793).
+                    params=self.config.block_bloom_params,
+                )
+            metadata = writer.finish(flush_req.file_filters)
+            writer_fh.close()
+        except Exception as exc:
+            try:
+                writer_fh.close()
+            except Exception:
+                pass
+            _resolve(flush_req.done_futures, exc)
+            return
+
+        try:
+            self.meta_store.update([WriteOperation(metadata, file_pointer)], [])
+        except Exception as exc:
+            _resolve(flush_req.done_futures, exc)
+            return
+
+        self._on_file_written(file_pointer, metadata)
+        _resolve(flush_req.done_futures, None)
+
+    def _on_file_written(self, file_pointer: bytes, metadata: FileMetadata) -> None:
+        """Hook for the device bank cache: new immutable file published."""
+        if self._device_backend is not None:
+            self._device_backend.invalidate(file_pointer)
+
+    # ------------------------------------------------------------------
+    # Query execution (reference Query :934-1204)
+    # ------------------------------------------------------------------
+
+    def query(
+        self,
+        q: Optional[Query],
+        result_queue: queue.Queue,
+        error_queue: Optional[queue.Queue] = None,
+        stats_queue: Optional[queue.Queue] = None,
+        cancel_event: Optional[threading.Event] = None,
+    ) -> None:
+        """Execute asynchronously; rows stream to ``result_queue`` (unordered),
+
+        then a ``None`` sentinel signals completion. Per-worker errors go to
+        ``error_queue`` (that worker stops; others continue). Invalid regex
+        raises here, synchronously (fail-fast, reference :944).
+        """
+        if q is None:
+            q = new_query().build()
+        compiled_regex = compile_regex_query(q.regex)
+        thread = threading.Thread(
+            target=self._run_query,
+            args=(q, compiled_regex, result_queue, error_queue, stats_queue, cancel_event),
+            name="bloomsearch-query",
+            daemon=True,
+        )
+        thread.start()
+
+    def query_sync(
+        self, q: Optional[Query], timeout: Optional[float] = None
+    ) -> list[dict]:
+        """Convenience: run a query and collect all results; raises on error."""
+        result_queue: queue.Queue = queue.Queue()
+        error_queue: queue.Queue = queue.Queue()
+        self.query(q, result_queue, error_queue)
+        rows = []
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            remaining = None if deadline is None else max(0.0, deadline - time.monotonic())
+            row = result_queue.get(timeout=remaining)
+            if row is None:
+                break
+            rows.append(row)
+        try:
+            raise error_queue.get_nowait()
+        except queue.Empty:
+            pass
+        return rows
+
+    def _run_query(
+        self,
+        q: Query,
+        compiled_regex,
+        result_queue: queue.Queue,
+        error_queue: Optional[queue.Queue],
+        stats_queue: Optional[queue.Queue],
+        cancel_event: Optional[threading.Event],
+    ) -> None:
+        try:
+            jobs = self._plan_query_jobs(q, stats_queue)
+        except Exception as exc:
+            try_put(error_queue, exc)
+            result_queue.put(None)
+            return
+
+        if not jobs:
+            result_queue.put(None)
+            return
+
+        job_queue: queue.Queue = queue.Queue()
+        for job in jobs:
+            job_queue.put(job)
+        num_workers = min(self.config.max_query_concurrency, len(jobs))
+        workers = []
+        for _ in range(num_workers):
+            w = threading.Thread(
+                target=self._query_worker,
+                args=(q, compiled_regex, job_queue, result_queue, error_queue, stats_queue, cancel_event),
+                daemon=True,
+            )
+            w.start()
+            workers.append(w)
+        for w in workers:
+            w.join()
+        result_queue.put(None)
+
+    def _plan_query_jobs(
+        self, q: Query, stats_queue: Optional[queue.Queue]
+    ) -> list[_DataBlockJob]:
+        """Hierarchical prune: prefilter → file bloom → block bloom.
+
+        Returns only the (file, block) jobs whose blocks survived all filter
+        stages; bloom-skipped blocks emit stats immediately (skipped=True).
+        """
+        # Row bloom AND the regex field guard prune together (reference :949).
+        prune_query = and_bloom_queries(q.bloom, regex_field_guard_bloom_query(q.regex))
+        terms = compile_bloom_terms(prune_query)
+
+        maybe_files = self.meta_store.get_maybe_files_for_query(q.prefilter)
+        if not maybe_files:
+            return []
+
+        # --- FILE-LEVEL: batched probe over all candidate files, grouped by
+        # file bloom params (one bank per group instead of per-file tests).
+        if terms is not None:
+            surviving = []
+            groups: dict[tuple[int, int], list] = {}
+            for mf in maybe_files:
+                triple = mf.metadata.bloom_filters
+                groups.setdefault((triple.field.m_bits, triple.field.k), []).append(mf)
+            for (m_bits, k), group_files in groups.items():
+                bank = stack_filter_bank([mf.metadata.bloom_filters for mf in group_files])
+                match = probe_bank_host(bank, terms, m_bits, k)
+                ok = evaluate_match_expression(
+                    prune_query.expression, terms, match, len(group_files)
+                )
+                surviving.extend(mf for mf, good in zip(group_files, ok) if good)
+            maybe_files = surviving
+
+        # --- BLOCK-LEVEL: one bank probe per (file, param group) covers all
+        # of that file's blocks at once.
+        jobs: list[_DataBlockJob] = []
+        for mf in maybe_files:
+            blocks = mf.metadata.data_blocks
+            if not blocks:
+                continue
+            if terms is None:
+                jobs.extend(_DataBlockJob(mf.pointer, blk) for blk in blocks)
+                continue
+            block_ok = self._probe_file_blocks(mf, terms, prune_query)
+            for blk in blocks:
+                if block_ok.get(id(blk), False):
+                    jobs.append(_DataBlockJob(mf.pointer, blk))
+                else:
+                    try_put(
+                        stats_queue,
+                        BlockStats(
+                            file_pointer=mf.pointer,
+                            block_offset=blk.offset,
+                            total_rows=blk.rows,
+                            total_bytes=blk.size,
+                            bloom_filter_skipped=True,
+                        ),
+                    )
+        return jobs
+
+    def _probe_file_blocks(
+        self, mf, terms: CompiledBloomTerms, prune_query: BloomQuery
+    ) -> dict[int, bool]:
+        """Probe every (possibly prefiltered) block of one file.
+
+        Returns {id(block_metadata): survived}. Uses the device backend's
+        HBM-resident banks when available, else reads bank groups from the
+        file and probes on host.
+        """
+        blocks = mf.metadata.data_blocks
+        needed_groups = sorted({blk.bank_group for blk in blocks})
+        group_match: dict[int, np.ndarray] = {}
+
+        if self._device_backend is not None:
+            for gi in needed_groups:
+                group = mf.metadata.bank_groups[gi]
+                match = self._device_backend.probe_file_group(
+                    self.data_store, mf.pointer, mf.metadata, gi, terms, prune_query
+                )
+                group_match[gi] = match
+        else:
+            with self.data_store.open_file(mf.pointer) as fh:
+                for gi in needed_groups:
+                    group = mf.metadata.bank_groups[gi]
+                    bank = read_bank_group(fh, group)
+                    match = probe_bank_host(bank, terms, group.m_bits, group.k)
+                    group_match[gi] = evaluate_match_expression(
+                        prune_query.expression, terms, match, group.num_blocks
+                    )
+
+        return {
+            id(blk): bool(group_match[blk.bank_group][blk.bank_col]) for blk in blocks
+        }
+
+    def _query_worker(
+        self,
+        q: Query,
+        compiled_regex,
+        job_queue: queue.Queue,
+        result_queue: queue.Queue,
+        error_queue: Optional[queue.Queue],
+        stats_queue: Optional[queue.Queue],
+        cancel_event: Optional[threading.Event],
+    ) -> None:
+        while True:
+            if cancel_event is not None and cancel_event.is_set():
+                return
+            try:
+                job = job_queue.get_nowait()
+            except queue.Empty:
+                return
+            with self._query_semaphore:
+                try:
+                    self._process_data_block(
+                        q, compiled_regex, job, result_queue, stats_queue, cancel_event
+                    )
+                except Exception as exc:
+                    try_put(error_queue, exc)
+                    return  # this worker stops; others continue (reference doc :914)
+
+    def _process_data_block(
+        self,
+        q: Query,
+        compiled_regex,
+        job: _DataBlockJob,
+        result_queue: queue.Queue,
+        stats_queue: Optional[queue.Queue],
+        cancel_event: Optional[threading.Event],
+    ) -> None:
+        """Decode a surviving block and exactly verify every row (:1066-1204)."""
+        start = time.monotonic()
+        stats = BlockStats(
+            file_pointer=job.file_pointer,
+            block_offset=job.block.offset,
+            total_rows=job.block.rows,
+            total_bytes=job.block.size,
+        )
+        try:
+            with self.data_store.open_file(job.file_pointer) as fh:
+                compressed = read_block_rows_compressed(fh, job.block)
+            data = decompress_block(
+                compressed, job.block.compression, job.block.uncompressed_size
+            )
+            row_payloads = split_rows(data, max_rows=max(job.block.rows, 1) * 2 + 16)
+            tokenizer = self.config.tokenizer
+            delimiter = self.config.delimiter
+            for payload in row_payloads:
+                if cancel_event is not None and cancel_event.is_set():
+                    return
+                parsed = json.loads(payload)
+                stats.rows_processed += 1
+                stats.bytes_processed += len(payload)
+                if row_matches_query(parsed, q.bloom, compiled_regex, delimiter, tokenizer):
+                    result_queue.put(parsed)
+        finally:
+            stats.duration = time.monotonic() - start
+            try_put(stats_queue, stats)
+
+
+class _IngestState:
+    """All mutable buffer state, owned by the single ingest actor thread
+
+    (the reference's lock-free single-writer design, :354-360; README.md:
+    336-339). Never touched from any other thread.
+    """
+
+    def __init__(self, engine: BloomSearchEngine):
+        self.engine = engine
+        self.config = engine.config
+        self.partition_buffers: dict[str, _PartitionBuffer] = {}
+        self.done_futures: list[Optional[Future]] = []
+        self.buffered_row_count = 0
+        self.buffered_bytes = 0
+        self.buffer_start_time: Optional[float] = None
+        self.file_filters = BloomFilters.from_params(self.config.file_bloom_params)
+
+    def process(self, req: _IngestRequest) -> None:
+        """(reference processIngestRequest :460-675)"""
+        if req.force_flush:
+            if self.buffered_row_count > 0:
+                self.done_futures.append(req.done)
+                self.flush_buffered()
+            else:
+                # Nothing buffered here — but an auto-triggered flush may
+                # still be queued for the flush worker. Push an empty request
+                # through the same FIFO as a durability barrier so Flush()
+                # never acks before earlier flushes are durable (improves on
+                # the reference, which acks immediately: :493-496).
+                self.engine._flush_queue.put(_FlushRequest({}, [req.done], None))
+            return
+        try:
+            self._ingest_rows(req.rows)
+        except Exception as exc:
+            _resolve([req.done], exc)
+            return
+        self.done_futures.append(req.done)
+        self._check_flush_triggers()
+
+    def _ingest_rows(self, rows: list[dict]) -> None:
+        config = self.config
+        # Group rows by partition (reference :500-509).
+        partitioned: dict[str, list[dict]] = {}
+        if config.partition_func is not None:
+            for row in rows:
+                partitioned.setdefault(config.partition_func(row), []).append(row)
+        else:
+            partitioned[""] = list(rows)
+
+        if self.buffer_start_time is None:
+            self.buffer_start_time = time.monotonic()
+
+        for partition_id, partition_rows in partitioned.items():
+            buf = self.partition_buffers.get(partition_id)
+            if buf is None:
+                buf = _PartitionBuffer(
+                    partition_id,
+                    config.block_bloom_params,
+                    config.row_data_compression,
+                    config.zstd_compression_level,
+                )
+                self.partition_buffers[partition_id] = buf
+
+            # Batch the three keyspaces across the whole request for this
+            # partition: dedupe, hash once, feed both block + file filters
+            # (replaces the reference's per-key AddString hot loop :547-565).
+            pending_keys: dict[str, None] = {}
+            for row in partition_rows:
+                fields = unique_fields(row, config.delimiter)
+                for path, values in fields.items():
+                    pending_keys[path] = None
+                    for value in values:
+                        for tok in config.tokenizer(value):
+                            pending_keys[tok] = None
+                            pending_keys[make_field_token_key(path, tok)] = None
+
+                # MinMax update (reference :567-584): top-level keys only.
+                for index_field in config.min_max_indexes:
+                    if index_field in row:
+                        bounds = convert_to_min_max_int64(row[index_field])
+                        if bounds is None:
+                            continue
+                        existing = buf.min_max_indexes.get(index_field)
+                        if existing is None:
+                            buf.min_max_indexes[index_field] = MinMaxIndex(*bounds)
+                        else:
+                            buf.min_max_indexes[index_field] = update_min_max_index(
+                                existing, *bounds
+                            )
+
+                # Serialize + length-prefix into the compressor (:586-613).
+                row_bytes = json.dumps(row, separators=(",", ":")).encode("utf-8")
+                if len(row_bytes) > MAX_ROW_BYTES:
+                    raise ValueError(
+                        f"row too large: {len(row_bytes)} bytes exceeds maximum"
+                    )
+                buf.encoder.write(encode_row(row_bytes))
+                buf.row_count += 1
+                self.buffered_row_count += 1
+                self.buffered_bytes += len(row_bytes) + 4
+
+            if pending_keys:
+                hashes = hash_keys(list(pending_keys))
+                for filt in (buf.filters, self.file_filters):
+                    filt.field.add_hashes(hashes)
+                    filt.token.add_hashes(hashes)
+                    filt.field_token.add_hashes(hashes)
+
+    def _check_flush_triggers(self) -> None:
+        """(reference :616-650) — partition caps, then buffer caps."""
+        config = self.config
+        should_flush = False
+        for buf in self.partition_buffers.values():
+            if buf.row_count >= config.max_row_group_rows:
+                logger.info(
+                    "FLUSH TRIGGER: partition %r hit max rows (%d >= %d)",
+                    buf.partition_id, buf.row_count, config.max_row_group_rows,
+                )
+                should_flush = True
+                break
+            if buf.uncompressed_size >= config.max_row_group_bytes:
+                logger.info(
+                    "FLUSH TRIGGER: partition %r hit max bytes (%d >= %d)",
+                    buf.partition_id, buf.uncompressed_size, config.max_row_group_bytes,
+                )
+                should_flush = True
+                break
+        if not should_flush:
+            if self.buffered_row_count >= config.max_buffered_rows:
+                logger.info(
+                    "FLUSH TRIGGER: buffer hit max rows (%d >= %d)",
+                    self.buffered_row_count, config.max_buffered_rows,
+                )
+                should_flush = True
+            elif self.buffered_bytes >= config.max_buffered_bytes:
+                logger.info(
+                    "FLUSH TRIGGER: buffer hit max bytes (%d >= %d)",
+                    self.buffered_bytes, config.max_buffered_bytes,
+                )
+                should_flush = True
+            elif (
+                self.buffer_start_time is not None
+                and time.monotonic() - self.buffer_start_time >= config.max_buffered_time
+            ):
+                logger.info("FLUSH TRIGGER: buffer hit max time")
+                should_flush = True
+        if should_flush:
+            self.flush_buffered()
+
+    def maybe_time_flush(self) -> None:
+        """(reference ticker branch :398-412)"""
+        if (
+            self.buffered_row_count > 0
+            and self.buffer_start_time is not None
+            and time.monotonic() - self.buffer_start_time >= self.config.max_buffered_time
+        ):
+            self.flush_buffered()
+
+    def flush_buffered(self) -> None:
+        """Hand the buffers to the flush worker and reset (reference :416-458).
+
+        File-level filters accumulate across the whole buffer epoch and reset
+        after each flush — the flush-race invariant regression-tested by the
+        reference (bloom_tree_engine_test.go:2183-2311) holds by construction
+        here because this thread owns all the state.
+        """
+        if not self.partition_buffers:
+            _resolve(self.done_futures, None)
+            self.done_futures = []
+            return
+        flush_req = _FlushRequest(
+            self.partition_buffers, self.done_futures, self.file_filters
+        )
+        self.partition_buffers = {}
+        self.done_futures = []
+        self.buffered_row_count = 0
+        self.buffered_bytes = 0
+        self.buffer_start_time = None
+        self.file_filters = BloomFilters.from_params(self.config.file_bloom_params)
+        self.engine._trigger_flush(flush_req)

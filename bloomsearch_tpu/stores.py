@@ -1,0 +1,238 @@
+"""Pluggable storage: DataStore / MetaStore protocols and implementations.
+
+Contracts mirror the reference (data_store.go:12-22, meta_store.go:8-41):
+
+- ``DataStore``: create-for-single-pass-write, open-for-seek-read, tombstone.
+- ``MetaStore``: prefiltered file listing (strict prefilter semantics) and an
+  atomic write/delete batch.
+- ``FileSystemDataStore`` implements *both* (testing_file_system_store.go):
+  metadata is read back from file footers, so MetaStore writes are no-ops and
+  deletes unlink.
+- ``MemoryMetaStore``: map-backed store for tests (simple_meta_store.go:9-63);
+  applies the prefilter to its stored metadata.
+- Null stores: no-ops (data_store.go:25-45, meta_store.go:45-53).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import threading
+from dataclasses import dataclass
+from typing import BinaryIO, Optional, Protocol, runtime_checkable
+
+from .file_format import FileMetadata, read_file_metadata
+from .query import QueryPrefilter, filter_data_blocks
+
+
+@dataclass
+class WriteOperation:
+    file_metadata: FileMetadata
+    file_pointer: bytes
+
+
+@dataclass
+class DeleteOperation:
+    file_pointer: bytes
+
+
+@dataclass
+class MaybeFile:
+    """A file that may contain matching rows; prefiltered, blooms untested.
+
+    ``metadata.data_blocks`` may be a prefiltered subset (meta_store.go:33-41).
+    """
+
+    pointer: bytes
+    metadata: FileMetadata
+    size: int
+
+
+@runtime_checkable
+class DataStore(Protocol):
+    def create_file(self) -> tuple[BinaryIO, bytes]:
+        """New file for single-pass writing -> (writable handle, pointer bytes)."""
+        ...
+
+    def open_file(self, file_pointer: bytes) -> BinaryIO:
+        """Open for seekable reading."""
+        ...
+
+    def tombstone_file(self, file_pointer: bytes) -> None:
+        """Mark no longer referenced; implementation decides physical GC."""
+        ...
+
+
+@runtime_checkable
+class MetaStore(Protocol):
+    def get_maybe_files_for_query(self, prefilter: Optional[QueryPrefilter]) -> list[MaybeFile]:
+        """Prefiltered candidate files (strict semantics on missing metadata)."""
+        ...
+
+    def update(self, writes: list[WriteOperation], deletes: list[DeleteOperation]) -> None:
+        """Atomically apply a batch of metadata writes and deletes."""
+        ...
+
+
+class NullDataStore:
+    def create_file(self):
+        return None, b""
+
+    def open_file(self, file_pointer: bytes):
+        return None
+
+    def tombstone_file(self, file_pointer: bytes) -> None:
+        return None
+
+
+class NullMetaStore:
+    def get_maybe_files_for_query(self, prefilter):
+        return []
+
+    def update(self, writes, deletes) -> None:
+        return None
+
+
+class _RenamingFile:
+    """Write handle that atomically renames into place on close."""
+
+    def __init__(self, fh: BinaryIO, tmp_path: str, final_path: str):
+        self._fh = fh
+        self._tmp_path = tmp_path
+        self._final_path = final_path
+        self._closed = False
+
+    def write(self, data) -> int:
+        return self._fh.write(data)
+
+    def flush(self) -> None:
+        self._fh.flush()
+
+    def tell(self) -> int:
+        return self._fh.tell()
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        self._fh.close()
+        os.replace(self._tmp_path, self._final_path)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class FileSystemDataStore:
+    """Local-filesystem DataStore + MetaStore in one, for tests and embedding.
+
+    Files are ``bloom-*.dat`` in ``root_dir``; pointers are utf-8 paths;
+    ``get_maybe_files_for_query`` scans the dir, parses footers, and applies
+    the prefilter (testing_file_system_store.go:13-192).
+    """
+
+    def __init__(self, root_dir: str):
+        os.makedirs(root_dir, exist_ok=True)
+        self.root_dir = root_dir
+
+    # DataStore
+
+    def create_file(self) -> tuple[BinaryIO, bytes]:
+        # Write under a .tmp name and rename on close: files become visible to
+        # the directory scan only once complete, so a crash mid-flush leaves
+        # an orphaned temp file but no corrupt state (the reference gets the
+        # same property from its atomic MetaStore.Update; meta_store.go:20-21).
+        fd, tmp_path = tempfile.mkstemp(prefix="bloom-", suffix=".dat.tmp", dir=self.root_dir)
+        final_path = tmp_path[: -len(".tmp")]
+        fh = _RenamingFile(os.fdopen(fd, "wb"), tmp_path, final_path)
+        return fh, final_path.encode("utf-8")
+
+    def open_file(self, file_pointer: bytes) -> BinaryIO:
+        return open(file_pointer.decode("utf-8"), "rb")
+
+    def tombstone_file(self, file_pointer: bytes) -> None:
+        try:
+            os.remove(file_pointer.decode("utf-8"))
+        except FileNotFoundError:
+            pass
+
+    # MetaStore
+
+    def _read_file_metadata(self, path: str) -> FileMetadata:
+        with open(path, "rb") as fh:
+            return read_file_metadata(fh)
+
+    def get_maybe_files_for_query(self, prefilter: Optional[QueryPrefilter]) -> list[MaybeFile]:
+        maybe_files: list[MaybeFile] = []
+        for name in sorted(os.listdir(self.root_dir)):
+            if not name.endswith(".dat"):
+                continue
+            path = os.path.join(self.root_dir, name)
+            if not os.path.isfile(path):
+                continue
+            metadata = self._read_file_metadata(path)
+            metadata.data_blocks = filter_data_blocks(metadata.data_blocks, prefilter)
+            size = os.path.getsize(path)
+            # Include all files when unfiltered; otherwise only files with
+            # surviving blocks (testing_file_system_store.go:168-175).
+            if prefilter is None or metadata.data_blocks:
+                maybe_files.append(
+                    MaybeFile(pointer=path.encode("utf-8"), metadata=metadata, size=size)
+                )
+        return maybe_files
+
+    def update(self, writes, deletes) -> None:
+        # Writes are no-ops: metadata lives in the file footers.
+        for op in deletes:
+            try:
+                os.remove(op.file_pointer.decode("utf-8"))
+            except FileNotFoundError:
+                pass
+
+
+class MemoryMetaStore:
+    """Map-backed MetaStore (reference simple_meta_store.go:9-63), but unlike
+    the reference's (which returns everything), it applies the prefilter so it
+    exercises the strict-prefilter path in tests."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._files: dict[bytes, tuple[FileMetadata, int]] = {}
+
+    def get_maybe_files_for_query(self, prefilter: Optional[QueryPrefilter]) -> list[MaybeFile]:
+        out = []
+        with self._lock:
+            items = list(self._files.items())
+        for pointer, (metadata, size) in items:
+            blocks = filter_data_blocks(metadata.data_blocks, prefilter)
+            if prefilter is not None and not blocks:
+                continue
+            filtered = FileMetadata(
+                bloom_filters=metadata.bloom_filters,
+                bloom_expected_items=metadata.bloom_expected_items,
+                bloom_false_positive_rate=metadata.bloom_false_positive_rate,
+                data_blocks=blocks,
+                bank_groups=metadata.bank_groups,
+                hash_name=metadata.hash_name,
+            )
+            out.append(MaybeFile(pointer=pointer, metadata=filtered, size=size))
+        return out
+
+    def update(self, writes, deletes) -> None:
+        with self._lock:
+            for w in writes:
+                self._files[w.file_pointer] = (w.file_metadata, 0)
+            for d in deletes:
+                self._files.pop(d.file_pointer, None)
+
+    def print_files(self) -> None:
+        with self._lock:
+            for pointer, (metadata, _) in self._files.items():
+                print(pointer.decode("utf-8", "replace"), f"{len(metadata.data_blocks)} blocks")
+
+
+def new_simple_meta_store() -> MemoryMetaStore:
+    """Reference-parity constructor name (simple_meta_store.go:9)."""
+    return MemoryMetaStore()

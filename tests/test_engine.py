@@ -1,0 +1,436 @@
+"""Engine integration tests: real engine + real filesystem store.
+
+Mirrors the reference's bloom_tree_engine_test.go structure: flush triggers
+(:123-292), E2E ingest→flush→query per compression (:469-984), graceful-stop
+flushing (:2313-2395), bounded concurrency (:2030-2108), and the
+evaluate-bloom unit semantics (:382-467).
+"""
+
+import queue
+import threading
+import time
+
+import pytest
+
+import bloomsearch_tpu as bs
+from bloomsearch_tpu import (
+    BloomSearchEngine,
+    BloomSearchEngineConfig,
+    FileSystemDataStore,
+)
+
+TIMEOUT = 10.0
+
+
+def make_engine(tmp_path, **overrides) -> tuple[BloomSearchEngine, FileSystemDataStore]:
+    store = FileSystemDataStore(str(tmp_path / "data"))
+    config = BloomSearchEngineConfig(row_data_compression="none", **overrides)
+    engine = BloomSearchEngine(config, store, store)
+    engine.start()
+    return engine, store
+
+
+def ingest_and_flush(engine: BloomSearchEngine, rows):
+    engine.ingest_rows(rows, timeout=TIMEOUT)
+    engine.flush(timeout=TIMEOUT)
+
+
+SAMPLE_ROWS = [
+    {"service": "payment", "level": "error", "message": "connection timeout", "retry_count": 3},
+    {"service": "auth", "level": "info", "message": "user login ok", "user": {"name": "John Doe"}},
+    {"service": "payment", "level": "info", "message": "charge ok", "amount": 42.5},
+]
+
+
+class TestLifecycle:
+    def test_start_stop(self, tmp_path):
+        engine, _ = make_engine(tmp_path)
+        engine.stop(timeout=TIMEOUT)
+
+    def test_stop_flushes_buffered_rows(self, tmp_path):
+        # Reference guarantee: rows buffered at Stop time land in a complete
+        # file before return (bloom_tree_engine_test.go:2313-2395).
+        engine, store = make_engine(tmp_path)
+        engine.ingest_rows(SAMPLE_ROWS, timeout=TIMEOUT)
+        engine.stop(timeout=TIMEOUT)
+        files = store.get_maybe_files_for_query(None)
+        assert len(files) == 1
+        assert sum(b.rows for b in files[0].metadata.data_blocks) == len(SAMPLE_ROWS)
+
+    def test_double_start_rejected(self, tmp_path):
+        engine, _ = make_engine(tmp_path)
+        with pytest.raises(RuntimeError):
+            engine.start()
+        engine.stop(timeout=TIMEOUT)
+
+    def test_ingest_after_stop_rejected(self, tmp_path):
+        engine, _ = make_engine(tmp_path)
+        engine.stop(timeout=TIMEOUT)
+        with pytest.raises(RuntimeError):
+            engine.ingest_rows(SAMPLE_ROWS)
+
+
+class TestConfigValidation:
+    def test_bad_fpr(self):
+        with pytest.raises(bs.InvalidConfigError):
+            BloomSearchEngine(
+                BloomSearchEngineConfig(bloom_false_positive_rate=1.5),
+                bs.NullMetaStore(),
+                bs.NullDataStore(),
+            )
+
+    def test_bad_concurrency(self):
+        with pytest.raises(bs.InvalidConfigError):
+            BloomSearchEngine(
+                BloomSearchEngineConfig(max_query_concurrency=0),
+                bs.NullMetaStore(),
+                bs.NullDataStore(),
+            )
+
+    def test_unknown_compression(self):
+        with pytest.raises(bs.InvalidConfigError):
+            BloomSearchEngine(
+                BloomSearchEngineConfig(row_data_compression="lz77"),
+                bs.NullMetaStore(),
+                bs.NullDataStore(),
+            )
+
+    def test_missing_tokenizer(self):
+        with pytest.raises(bs.InvalidConfigError):
+            BloomSearchEngine(
+                BloomSearchEngineConfig(tokenizer=None),
+                bs.NullMetaStore(),
+                bs.NullDataStore(),
+            )
+
+
+class TestFlushTriggers:
+    def test_flush_on_max_buffered_rows(self, tmp_path):
+        engine, store = make_engine(tmp_path, max_buffered_rows=10)
+        done_fut = None
+        from concurrent.futures import Future
+
+        done_fut = Future()
+        engine.ingest_rows([{"n": i} for i in range(10)], done=done_fut, timeout=TIMEOUT)
+        done_fut.result(timeout=TIMEOUT)  # resolves only after durable flush
+        files = store.get_maybe_files_for_query(None)
+        assert len(files) == 1
+        engine.stop(timeout=TIMEOUT)
+
+    def test_flush_on_max_buffered_bytes(self, tmp_path):
+        engine, store = make_engine(tmp_path, max_buffered_bytes=200)
+        from concurrent.futures import Future
+
+        done_fut = Future()
+        engine.ingest_rows(
+            [{"payload": "x" * 100} for _ in range(5)], done=done_fut, timeout=TIMEOUT
+        )
+        done_fut.result(timeout=TIMEOUT)
+        assert len(store.get_maybe_files_for_query(None)) == 1
+        engine.stop(timeout=TIMEOUT)
+
+    def test_flush_on_max_buffered_time(self, tmp_path):
+        engine, store = make_engine(tmp_path, max_buffered_time=0.3)
+        engine.ingest_rows([{"n": 1}], timeout=TIMEOUT)
+        deadline = time.monotonic() + TIMEOUT
+        while time.monotonic() < deadline:
+            if store.get_maybe_files_for_query(None):
+                break
+            time.sleep(0.05)
+        assert len(store.get_maybe_files_for_query(None)) == 1
+        engine.stop(timeout=TIMEOUT)
+
+    def test_flush_on_row_group_rows(self, tmp_path):
+        # Partition cap triggers a flush even below the buffer caps.
+        engine, store = make_engine(
+            tmp_path, max_row_group_rows=5, max_buffered_rows=1_000_000
+        )
+        from concurrent.futures import Future
+
+        done_fut = Future()
+        engine.ingest_rows([{"n": i} for i in range(5)], done=done_fut, timeout=TIMEOUT)
+        done_fut.result(timeout=TIMEOUT)
+        assert len(store.get_maybe_files_for_query(None)) == 1
+        engine.stop(timeout=TIMEOUT)
+
+    def test_forced_flush_with_empty_buffer_completes(self, tmp_path):
+        engine, _ = make_engine(tmp_path)
+        engine.flush(timeout=TIMEOUT)  # no data: resolves immediately
+        engine.stop(timeout=TIMEOUT)
+
+    def test_flush_is_a_durability_barrier_after_auto_flush(self, tmp_path):
+        # Regression: an ingest that trips max_buffered_rows queues an async
+        # flush; a subsequent Flush() with an empty buffer must not ack until
+        # that earlier flush is durable.
+        engine, store = make_engine(tmp_path, max_buffered_rows=10)
+        engine.ingest_rows([{"n": i} for i in range(10)], timeout=TIMEOUT)
+        engine.flush(timeout=TIMEOUT)
+        files = store.get_maybe_files_for_query(None)
+        assert len(files) == 1
+        assert sum(b.rows for b in files[0].metadata.data_blocks) == 10
+        engine.stop(timeout=TIMEOUT)
+
+
+class TestEndToEndQueries:
+    @pytest.mark.parametrize("compression", ["none", "zstd"])
+    def test_ingest_flush_query_round_trip(self, tmp_path, compression):
+        store = FileSystemDataStore(str(tmp_path / "data"))
+        config = BloomSearchEngineConfig(row_data_compression=compression)
+        engine = BloomSearchEngine(config, store, store)
+        engine.start()
+        try:
+            ingest_and_flush(engine, SAMPLE_ROWS)
+
+            # token search
+            rows = engine.query_sync(bs.new_query().token("timeout").build(), timeout=TIMEOUT)
+            assert len(rows) == 1
+            assert rows[0]["service"] == "payment"
+
+            # field search
+            rows = engine.query_sync(bs.new_query().field("user.name").build(), timeout=TIMEOUT)
+            assert len(rows) == 1
+            assert rows[0]["service"] == "auth"
+
+            # field:token search
+            rows = engine.query_sync(
+                bs.new_query().field_token("service", "payment").build(), timeout=TIMEOUT
+            )
+            assert len(rows) == 2
+
+            # no match
+            rows = engine.query_sync(bs.new_query().token("nonexistent").build(), timeout=TIMEOUT)
+            assert rows == []
+
+            # match-all (no conditions)
+            rows = engine.query_sync(None, timeout=TIMEOUT)
+            assert len(rows) == 3
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_and_or_expression_trees(self, tmp_path):
+        engine, _ = make_engine(tmp_path)
+        try:
+            ingest_and_flush(engine, SAMPLE_ROWS)
+            q = (
+                bs.new_query()
+                .match(
+                    bs.or_(
+                        bs.field_token("level", "error"),
+                        bs.and_(
+                            bs.field_token("service", "auth"),
+                            bs.token("login"),
+                        ),
+                    )
+                )
+                .build()
+            )
+            rows = engine.query_sync(q, timeout=TIMEOUT)
+            assert len(rows) == 2
+            services = sorted(r["service"] for r in rows)
+            assert services == ["auth", "payment"]
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_results_across_multiple_files(self, tmp_path):
+        engine, store = make_engine(tmp_path)
+        try:
+            for i in range(3):
+                ingest_and_flush(engine, [{"batch": i, "tag": "common"}])
+            assert len(store.get_maybe_files_for_query(None)) == 3
+            rows = engine.query_sync(bs.new_query().token("common").build(), timeout=TIMEOUT)
+            assert len(rows) == 3
+            assert sorted(r["batch"] for r in rows) == [0, 1, 2]
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_exact_results_zero_false_positives(self, tmp_path):
+        # Needle-in-haystack: bloom FPR may pass blocks, but row verification
+        # must make final results exact.
+        engine, _ = make_engine(tmp_path)
+        try:
+            rows = [{"id": i, "word": f"word{i}"} for i in range(500)]
+            rows.append({"id": 9999, "word": "needle"})
+            ingest_and_flush(engine, rows)
+            result = engine.query_sync(bs.new_query().token("needle").build(), timeout=TIMEOUT)
+            assert len(result) == 1
+            assert result[0]["id"] == 9999
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_query_streaming_api(self, tmp_path):
+        engine, _ = make_engine(tmp_path)
+        try:
+            ingest_and_flush(engine, SAMPLE_ROWS)
+            result_q: queue.Queue = queue.Queue()
+            error_q: queue.Queue = queue.Queue()
+            stats_q: queue.Queue = queue.Queue()
+            engine.query(bs.new_query().token("timeout").build(), result_q, error_q, stats_q)
+            rows = []
+            while True:
+                item = result_q.get(timeout=TIMEOUT)
+                if item is None:
+                    break
+                rows.append(item)
+            assert len(rows) == 1
+            assert error_q.empty()
+            stats = []
+            while not stats_q.empty():
+                stats.append(stats_q.get_nowait())
+            assert stats, "expected block stats"
+            assert any(s.rows_processed > 0 for s in stats)
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_invalid_regex_raises_synchronously(self, tmp_path):
+        import re
+
+        engine, _ = make_engine(tmp_path)
+        try:
+            ingest_and_flush(engine, SAMPLE_ROWS)
+            q = bs.new_query().field_regex("message", "[bad(").build()
+            with pytest.raises(re.error):
+                engine.query_sync(q, timeout=TIMEOUT)
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+
+class TestPartitionsAndMinMax:
+    def test_partitioned_ingest_separate_blocks(self, tmp_path):
+        engine, store = make_engine(
+            tmp_path, partition_func=lambda row: row["tenant"]
+        )
+        try:
+            ingest_and_flush(
+                engine,
+                [
+                    {"tenant": "a", "v": 1},
+                    {"tenant": "b", "v": 2},
+                    {"tenant": "a", "v": 3},
+                ],
+            )
+            files = store.get_maybe_files_for_query(None)
+            assert len(files) == 1
+            blocks = files[0].metadata.data_blocks
+            assert sorted(b.partition_id for b in blocks) == ["a", "b"]
+            by_partition = {b.partition_id: b.rows for b in blocks}
+            assert by_partition == {"a": 2, "b": 1}
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_partition_prefilter_prunes(self, tmp_path):
+        engine, _ = make_engine(tmp_path, partition_func=lambda row: row["tenant"])
+        try:
+            ingest_and_flush(
+                engine, [{"tenant": "a", "v": 1}, {"tenant": "b", "v": 2}]
+            )
+            q = (
+                bs.new_query()
+                .match_prefilter(bs.partition(bs.partition_equals("a")))
+                .build()
+            )
+            rows = engine.query_sync(q, timeout=TIMEOUT)
+            assert len(rows) == 1 and rows[0]["tenant"] == "a"
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_minmax_prefilter_prunes(self, tmp_path):
+        engine, store = make_engine(tmp_path, min_max_indexes=["ts"])
+        try:
+            ingest_and_flush(engine, [{"ts": 100, "v": "low"}])
+            ingest_and_flush(engine, [{"ts": 5000, "v": "high"}])
+
+            q = (
+                bs.new_query()
+                .match_prefilter(bs.min_max("ts", bs.numeric_between(4000, 6000)))
+                .build()
+            )
+            rows = engine.query_sync(q, timeout=TIMEOUT)
+            assert len(rows) == 1 and rows[0]["v"] == "high"
+
+            # Strict semantics: condition on unindexed field matches nothing.
+            q = (
+                bs.new_query()
+                .match_prefilter(bs.min_max("missing", bs.numeric_equals(1)))
+                .build()
+            )
+            assert engine.query_sync(q, timeout=TIMEOUT) == []
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_minmax_metadata_recorded(self, tmp_path):
+        engine, store = make_engine(tmp_path, min_max_indexes=["ts"])
+        try:
+            ingest_and_flush(engine, [{"ts": 10}, {"ts": 99}, {"ts": 42.5}])
+            files = store.get_maybe_files_for_query(None)
+            index = files[0].metadata.data_blocks[0].min_max_indexes["ts"]
+            assert index.min == 10
+            assert index.max == 99
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+
+class TestConcurrencyBound:
+    def test_semaphore_bounds_concurrent_blocks(self, tmp_path):
+        # Reference test at concurrency 2 over many blocks (:2030-2108).
+        engine, store = make_engine(
+            tmp_path, max_query_concurrency=2, partition_func=lambda row: str(row["p"])
+        )
+        try:
+            # 8 partitions -> 8 blocks in one file.
+            ingest_and_flush(engine, [{"p": i, "tag": "x"} for i in range(8)])
+            blocks = sum(
+                len(f.metadata.data_blocks) for f in store.get_maybe_files_for_query(None)
+            )
+            assert blocks == 8
+
+            active = 0
+            max_active = 0
+            lock = threading.Lock()
+            original_process = engine._process_data_block
+
+            def tracking_process(*args, **kwargs):
+                nonlocal active, max_active
+                with lock:
+                    active += 1
+                    max_active = max(max_active, active)
+                time.sleep(0.02)
+                try:
+                    return original_process(*args, **kwargs)
+                finally:
+                    with lock:
+                        active -= 1
+
+            engine._process_data_block = tracking_process
+            rows = engine.query_sync(bs.new_query().token("x").build(), timeout=TIMEOUT)
+            assert len(rows) == 8
+            assert max_active <= 2, f"semaphore violated: {max_active} concurrent blocks"
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+
+class TestBlockStatsSkip:
+    def test_bloom_skipped_blocks_reported(self, tmp_path):
+        engine, _ = make_engine(tmp_path, partition_func=lambda row: str(row["p"]))
+        try:
+            ingest_and_flush(
+                engine, [{"p": 0, "word": "alpha"}, {"p": 1, "word": "beta"}]
+            )
+            result_q: queue.Queue = queue.Queue()
+            stats_q: queue.Queue = queue.Queue()
+            engine.query(bs.new_query().token("alpha").build(), result_q, None, stats_q)
+            rows = []
+            while True:
+                item = result_q.get(timeout=TIMEOUT)
+                if item is None:
+                    break
+                rows.append(item)
+            assert len(rows) == 1
+            stats = []
+            while not stats_q.empty():
+                stats.append(stats_q.get_nowait())
+            skipped = [s for s in stats if s.bloom_filter_skipped]
+            processed = [s for s in stats if not s.bloom_filter_skipped]
+            assert len(skipped) == 1  # "beta" block pruned by its bank probe
+            assert len(processed) == 1
+        finally:
+            engine.stop(timeout=TIMEOUT)
