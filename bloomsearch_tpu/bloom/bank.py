@@ -1,0 +1,288 @@
+"""HBM-resident filter superbanks and the device probe backend.
+
+The TPU-native replacement for the reference's per-block filter reads
+(file_format.go:121-142 + bloom_tree_engine.go:1104-1118): every resident
+file's block filters live packed in a per-(m, k) device **superbank**
+``uint32[3, num_words, capacity]``. A query probes *all* resident blocks of a
+param group in one kernel launch and slices per-file results out of the
+match matrix host-side. Files are immutable, so a bank column never changes —
+inserts append, tombstones mark columns dead, and compaction rebuilds when
+the dead fraction grows.
+
+Capacity is padded to a multiple of 128 (TPU lane width) and grows by
+doubling; zero-filled columns can never produce a bloom match, so padding and
+dead columns are inherently masked.
+
+Device→host traffic is kept minimal: the [T, C] match matrix produced by the
+probe kernel never leaves the device raw — it is packed to bitmap words
+on-device (32x smaller) before the single small transfer per query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+
+logger = logging.getLogger("bloomsearch_tpu.bank")
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_terms(n: int) -> int:
+    """Bucket the term count to limit jit recompiles."""
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class Superbank:
+    """One device-resident bank for a (m_bits, k) bloom param group.
+
+    Layout is the kernel's 2D probe layout: ``bank2d uint32[rows, capacity]``
+    with row = keyspace*num_words + word, rows padded to a multiple of 8
+    (TPU sublane tiling) and capacity padded to a multiple of 128 (lanes).
+    """
+
+    def __init__(self, m_bits: int, k: int, jnp, jax):
+        from .pallas_kernels import round_up_rows
+
+        self.m_bits = m_bits
+        self.k = k
+        self.num_words = (m_bits + 31) // 32
+        self.num_rows = round_up_rows(3 * self.num_words)
+        self._jnp = jnp
+        self._jax = jax
+        self.capacity = 0
+        self.used = 0
+        self.dead = 0
+        self.bank2d = None  # jax uint32[num_rows, capacity]
+        # key -> (start, num_cols); insertion order preserved for compaction.
+        self.segments: dict[bytes, tuple[int, int]] = {}
+
+    @property
+    def nbytes(self) -> int:
+        return self.num_rows * self.capacity * 4
+
+    def _grow(self, min_capacity: int) -> None:
+        jnp = self._jnp
+        new_cap = max(_round_up(min_capacity, LANE), max(LANE, self.capacity * 2))
+        new_bank = jnp.zeros((self.num_rows, new_cap), dtype=jnp.uint32)
+        if self.bank2d is not None and self.used > 0:
+            new_bank = self._jax.lax.dynamic_update_slice(
+                new_bank, self.bank2d[:, : self.used], (0, 0)
+            )
+        self.bank2d = new_bank
+        self.capacity = new_cap
+
+    def insert(self, key: bytes, host_bank: np.ndarray) -> tuple[int, int]:
+        """Append a file-group's bank uint32[3, num_words, B] -> (start, B)."""
+        assert key not in self.segments
+        _, w, num_cols = host_bank.shape
+        assert w == self.num_words, (w, self.num_words)
+        if self.used + num_cols > self.capacity:
+            self._grow(self.used + num_cols)
+        jnp = self._jnp
+        flat = host_bank.reshape(3 * self.num_words, num_cols)
+        self.bank2d = self._jax.lax.dynamic_update_slice(
+            self.bank2d, jnp.asarray(flat, dtype=jnp.uint32), (0, self.used)
+        )
+        segment = (self.used, num_cols)
+        self.segments[key] = segment
+        self.used += num_cols
+        return segment
+
+    def remove(self, key: bytes) -> None:
+        segment = self.segments.pop(key, None)
+        if segment is not None:
+            self.dead += segment[1]
+
+    def maybe_compact(self) -> None:
+        """Rebuild without dead columns once they dominate."""
+        if self.dead == 0 or self.dead * 2 < self.used:
+            return
+        jnp = self._jnp
+        live_keys = list(self.segments)
+        cols = []
+        new_segments: dict[bytes, tuple[int, int]] = {}
+        cursor = 0
+        for key in live_keys:
+            start, n = self.segments[key]
+            cols.extend(range(start, start + n))
+            new_segments[key] = (cursor, n)
+            cursor += n
+        if cols:
+            idx = jnp.asarray(np.asarray(cols, dtype=np.int32))
+            live = jnp.take(self.bank2d, idx, axis=1)
+        else:
+            live = None
+        new_cap = max(LANE, _round_up(max(cursor, 1), LANE))
+        new_bank = jnp.zeros((self.num_rows, new_cap), dtype=jnp.uint32)
+        if live is not None:
+            new_bank = self._jax.lax.dynamic_update_slice(new_bank, live, (0, 0))
+        self.bank2d = new_bank
+        self.capacity = new_cap
+        self.segments = new_segments
+        self.used = cursor
+        self.dead = 0
+
+
+class DeviceProbeBackend:
+    """Caches filter banks on device and serves batched probes.
+
+    ``probe_groups`` is the query-path entry point: given every candidate
+    (file, bank-group) of a query, it ensures residency, runs ONE probe per
+    superbank (Pallas on TPU, XLA elsewhere), and returns each file-group's
+    term-match slice.
+    """
+
+    def __init__(self, cache_bytes: int = 2 << 30, require_device: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax = jax
+        self._jnp = jnp
+        self.platform = jax.default_backend()
+        if require_device and self.platform not in ("tpu", "gpu", "cpu"):
+            raise RuntimeError(f"no usable JAX backend (got {self.platform})")
+        self.use_pallas = self.platform == "tpu"
+        self.cache_bytes = cache_bytes
+        self._lock = threading.RLock()
+        self._superbanks: dict[tuple[int, int], Superbank] = {}
+        # LRU order of inserted (superbank key, segment key) for eviction.
+        self._lru: dict[tuple[tuple[int, int], bytes], None] = {}
+        # file pointer -> [(superbank key, segment key)] for invalidation.
+        self._by_file: dict[bytes, list[tuple[tuple[int, int], bytes]]] = {}
+
+    # -- residency ------------------------------------------------------
+
+    @staticmethod
+    def segment_key(file_pointer: bytes, group_idx: int) -> bytes:
+        return hashlib.blake2b(
+            file_pointer + b"#" + str(group_idx).encode(), digest_size=16
+        ).digest()
+
+    def total_bytes(self) -> int:
+        with self._lock:
+            return sum(sb.nbytes for sb in self._superbanks.values())
+
+    def invalidate(self, file_pointer: bytes) -> None:
+        """Drop any cached banks of a tombstoned/replaced file."""
+        with self._lock:
+            for mk, seg_key in self._by_file.pop(file_pointer, []):
+                sb = self._superbanks.get(mk)
+                if sb is not None:
+                    sb.remove(seg_key)
+                    sb.maybe_compact()
+                self._lru.pop((mk, seg_key), None)
+
+    def _ensure_resident(
+        self,
+        file_pointer: bytes,
+        mk: tuple[int, int],
+        seg_key: bytes,
+        loader: Callable[[], np.ndarray],
+    ) -> Superbank:
+        with self._lock:
+            sb = self._superbanks.get(mk)
+            if sb is None:
+                sb = Superbank(mk[0], mk[1], self._jnp, self._jax)
+                self._superbanks[mk] = sb
+            if seg_key not in sb.segments:
+                host_bank = loader()
+                sb.insert(seg_key, host_bank)
+                self._by_file.setdefault(file_pointer, []).append((mk, seg_key))
+            self._lru.pop((mk, seg_key), None)
+            self._lru[(mk, seg_key)] = None
+            self._evict_if_needed()
+            return sb
+
+    def _evict_if_needed(self) -> None:
+        while self.total_bytes() > self.cache_bytes and len(self._lru) > 1:
+            (mk, seg_key), _ = next(iter(self._lru.items()))
+            self._lru.pop((mk, seg_key))
+            sb = self._superbanks.get(mk)
+            if sb is not None:
+                sb.remove(seg_key)
+                sb.maybe_compact()
+            for pointer, segs in list(self._by_file.items()):
+                remaining = [s for s in segs if s != (mk, seg_key)]
+                if len(remaining) != len(segs):
+                    if remaining:
+                        self._by_file[pointer] = remaining
+                    else:
+                        self._by_file.pop(pointer)
+                    break
+
+    # -- probing --------------------------------------------------------
+
+    def _probe_superbank(self, sb: Superbank, terms) -> np.ndarray:
+        """Probe ALL resident columns of one superbank -> bool[T, capacity]."""
+        jnp = self._jnp
+        T = len(terms)
+        word_idx, bit_idx = terms.positions_for(sb.m_bits, sb.k)  # [T, k] int32
+        Tp = _pad_terms(T)
+        if Tp != T:
+            word_idx = np.pad(word_idx, ((0, Tp - T), (0, 0)))
+            bit_idx = np.pad(bit_idx, ((0, Tp - T), (0, 0)))
+            ks_idx = np.pad(terms.ks_idx, (0, Tp - T))
+        else:
+            ks_idx = terms.ks_idx
+
+        from .pallas_kernels import MAX_UNROLLED_PROBES, probe_and_pack
+
+        flat_rows = (
+            ks_idx[:, None].astype(np.int32) * sb.num_words + word_idx
+        ).reshape(-1)
+        shifts = bit_idx.reshape(-1)
+        use_pallas = self.use_pallas and Tp * sb.k <= MAX_UNROLLED_PROBES
+        packed = probe_and_pack(
+            sb.bank2d,
+            jnp.asarray(flat_rows),
+            jnp.asarray(shifts),
+            Tp,
+            sb.k,
+            use_pallas=use_pallas,
+        )
+        # Single small d2h transfer: [Tp, C/32] packed words -> unpack on host.
+        packed_host = np.asarray(packed)[:T]
+        bits = np.unpackbits(
+            packed_host.view(np.uint8), axis=1, bitorder="little"
+        )
+        return bits[:, : sb.capacity].astype(bool)
+
+    def probe_groups(
+        self,
+        requests: list[tuple[bytes, int, tuple[int, int], Callable[[], np.ndarray]]],
+        terms,
+    ) -> dict[tuple[bytes, int], np.ndarray]:
+        """Batched probe across files.
+
+        ``requests``: (file_pointer, group_idx, (m_bits, k), loader) where
+        ``loader()`` reads the host bank uint32[3, W, B] if not yet resident.
+        Returns {(file_pointer, group_idx): bool[T, B] match slice}.
+        """
+        placements: dict[tuple[bytes, int], tuple[tuple[int, int], int, int]] = {}
+        touched: dict[tuple[int, int], Superbank] = {}
+        for file_pointer, group_idx, mk, loader in requests:
+            seg_key = self.segment_key(file_pointer, group_idx)
+            sb = self._ensure_resident(file_pointer, mk, seg_key, loader)
+            start, n = sb.segments[seg_key]
+            placements[(file_pointer, group_idx)] = (mk, start, n)
+            touched[mk] = sb
+
+        matches: dict[tuple[int, int], np.ndarray] = {
+            mk: self._probe_superbank(sb, terms) for mk, sb in touched.items()
+        }
+        return {
+            key: matches[mk][:, start : start + n]
+            for key, (mk, start, n) in placements.items()
+        }

@@ -300,10 +300,14 @@ class BloomSearchEngine:
             try:
                 from .bloom.bank import DeviceProbeBackend
 
-                self._device_backend = DeviceProbeBackend(
+                backend = DeviceProbeBackend(
                     cache_bytes=config.bank_cache_bytes,
                     require_device=(config.probe_backend == "device"),
                 )
+                # "auto" only routes probes through JAX when an accelerator is
+                # attached; on CPU-only hosts the numpy path is faster.
+                if config.probe_backend == "device" or backend.platform == "tpu":
+                    self._device_backend = backend
             except Exception as exc:  # no usable device — fall back to host
                 if config.probe_backend == "device":
                     raise
@@ -602,19 +606,20 @@ class BloomSearchEngine:
                 surviving.extend(mf for mf, good in zip(group_files, ok) if good)
             maybe_files = surviving
 
-        # --- BLOCK-LEVEL: one bank probe per (file, param group) covers all
-        # of that file's blocks at once.
+        # --- BLOCK-LEVEL: batched bank probes. All candidate (file, group)
+        # banks are probed together — on the device backend this is ONE
+        # kernel launch per (m, k) superbank covering every resident block.
         jobs: list[_DataBlockJob] = []
+        if terms is None:
+            for mf in maybe_files:
+                jobs.extend(_DataBlockJob(mf.pointer, blk) for blk in mf.metadata.data_blocks)
+            return jobs
+
+        group_ok = self._probe_blocks(maybe_files, terms, prune_query)
         for mf in maybe_files:
-            blocks = mf.metadata.data_blocks
-            if not blocks:
-                continue
-            if terms is None:
-                jobs.extend(_DataBlockJob(mf.pointer, blk) for blk in blocks)
-                continue
-            block_ok = self._probe_file_blocks(mf, terms, prune_query)
-            for blk in blocks:
-                if block_ok.get(id(blk), False):
+            for blk in mf.metadata.data_blocks:
+                ok_vector = group_ok.get((mf.pointer, blk.bank_group))
+                if ok_vector is not None and bool(ok_vector[blk.bank_col]):
                     jobs.append(_DataBlockJob(mf.pointer, blk))
                 else:
                     try_put(
@@ -629,39 +634,57 @@ class BloomSearchEngine:
                     )
         return jobs
 
-    def _probe_file_blocks(
-        self, mf, terms: CompiledBloomTerms, prune_query: BloomQuery
-    ) -> dict[int, bool]:
-        """Probe every (possibly prefiltered) block of one file.
+    def _probe_blocks(
+        self, maybe_files, terms: CompiledBloomTerms, prune_query: BloomQuery
+    ) -> dict[tuple[bytes, int], np.ndarray]:
+        """Probe every needed (file, bank-group) against the query terms.
 
-        Returns {id(block_metadata): survived}. Uses the device backend's
-        HBM-resident banks when available, else reads bank groups from the
-        file and probes on host.
+        Returns {(pointer, group_idx): bool[num_blocks] survival vector}.
+        Uses the device backend's HBM-resident superbanks when available
+        (banks load once per file, then queries never touch disk for
+        filters); otherwise reads bank groups from files and probes on host.
         """
-        blocks = mf.metadata.data_blocks
-        needed_groups = sorted({blk.bank_group for blk in blocks})
-        group_match: dict[int, np.ndarray] = {}
 
-        if self._device_backend is not None:
-            for gi in needed_groups:
+        def make_loader(pointer: bytes, group):
+            def load() -> np.ndarray:
+                with self.data_store.open_file(pointer) as fh:
+                    return read_bank_group(fh, group)
+
+            return load
+
+        needed: list[tuple] = []
+        for mf in maybe_files:
+            for gi in sorted({blk.bank_group for blk in mf.metadata.data_blocks}):
                 group = mf.metadata.bank_groups[gi]
-                match = self._device_backend.probe_file_group(
-                    self.data_store, mf.pointer, mf.metadata, gi, terms, prune_query
-                )
-                group_match[gi] = match
-        else:
-            with self.data_store.open_file(mf.pointer) as fh:
-                for gi in needed_groups:
-                    group = mf.metadata.bank_groups[gi]
-                    bank = read_bank_group(fh, group)
-                    match = probe_bank_host(bank, terms, group.m_bits, group.k)
-                    group_match[gi] = evaluate_match_expression(
+                needed.append((mf.pointer, gi, group))
+
+        result: dict[tuple[bytes, int], np.ndarray] = {}
+        if self._device_backend is not None:
+            requests = [
+                (pointer, gi, (group.m_bits, group.k), make_loader(pointer, group))
+                for pointer, gi, group in needed
+            ]
+            matches = self._device_backend.probe_groups(requests, terms)
+            for pointer, gi, group in needed:
+                match = matches[(pointer, gi)]
+                result[(pointer, gi)] = np.asarray(
+                    evaluate_match_expression(
                         prune_query.expression, terms, match, group.num_blocks
                     )
-
-        return {
-            id(blk): bool(group_match[blk.bank_group][blk.bank_col]) for blk in blocks
-        }
+                )
+        else:
+            by_pointer: dict[bytes, list[tuple[int, Any]]] = {}
+            for pointer, gi, group in needed:
+                by_pointer.setdefault(pointer, []).append((gi, group))
+            for pointer, groups in by_pointer.items():
+                with self.data_store.open_file(pointer) as fh:
+                    for gi, group in groups:
+                        bank = read_bank_group(fh, group)
+                        match = probe_bank_host(bank, terms, group.m_bits, group.k)
+                        result[(pointer, gi)] = evaluate_match_expression(
+                            prune_query.expression, terms, match, group.num_blocks
+                        )
+        return result
 
     def _query_worker(
         self,

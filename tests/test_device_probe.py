@@ -1,0 +1,234 @@
+"""Device probe backend: superbanks, kernel parity, cache behavior.
+
+Runs on the CPU backend (conftest forces JAX_PLATFORMS=cpu with 8 virtual
+devices); the Pallas kernel is validated in interpreter mode against the host
+numpy probe, which is the semantic spec.
+"""
+
+import numpy as np
+import pytest
+
+import bloomsearch_tpu as bs
+from bloomsearch_tpu.bloom import BloomParams
+from bloomsearch_tpu.bloom.bank import DeviceProbeBackend, Superbank
+from bloomsearch_tpu.bloom.probe import (
+    compile_bloom_terms,
+    probe_bank_host,
+    stack_filter_bank,
+)
+from bloomsearch_tpu.file_format import BloomFilters
+
+
+def make_bank(params: BloomParams, per_block_keys: list[tuple[list, list, list]]):
+    """Host bank uint32[3, W, B] from per-block (field, token, ft) key lists."""
+    triples = []
+    for field_keys, token_keys, ft_keys in per_block_keys:
+        t = BloomFilters.from_params(params)
+        t.field.add_keys(field_keys)
+        t.token.add_keys(token_keys)
+        t.field_token.add_keys(ft_keys)
+        triples.append(t)
+    return stack_filter_bank(triples)
+
+
+PARAMS = BloomParams(1000, 0.01)
+BLOCK_KEYS = [
+    (["service"], ["error", "timeout"], ["service::payment"]),
+    (["level"], ["info"], ["level::info"]),
+    (["service", "level"], ["error"], ["service::auth"]),
+]
+
+
+def make_terms(*exprs):
+    query = bs.new_query()
+    for kind, *args in exprs:
+        getattr(query, kind)(*args)
+    q = query.build()
+    return q.bloom, compile_bloom_terms(q.bloom)
+
+
+class TestBackendParity:
+    @staticmethod
+    def to_bank2d(bank: np.ndarray, C: int = 128) -> np.ndarray:
+        """Pad a [3, W, B] host bank into the kernel's 2D layout [R8, C]."""
+        from bloomsearch_tpu.bloom.pallas_kernels import round_up_rows
+
+        _, W, B = bank.shape
+        out = np.zeros((round_up_rows(3 * W), C), dtype=np.uint32)
+        out[: 3 * W, :B] = bank.reshape(3 * W, B)
+        return out
+
+    @staticmethod
+    def flat_probes(terms, W: int):
+        word_idx, bit_idx = terms.positions_for(PARAMS.m_bits, PARAMS.k)
+        flat_rows = (terms.ks_idx[:, None].astype(np.int32) * W + word_idx).reshape(-1)
+        return flat_rows, bit_idx.reshape(-1)
+
+    def test_xla_matches_host(self):
+        import jax.numpy as jnp
+
+        from bloomsearch_tpu.bloom.pallas_kernels import probe_bank_xla
+
+        bank = make_bank(PARAMS, BLOCK_KEYS)
+        _, terms = make_terms(
+            ("token", "error"), ("field", "level"), ("field_token", "service", "payment")
+        )
+        expected = probe_bank_host(bank, terms, PARAMS.m_bits, PARAMS.k)
+        flat_rows, shifts = self.flat_probes(terms, bank.shape[1])
+        actual = np.asarray(
+            probe_bank_xla(
+                jnp.asarray(self.to_bank2d(bank)),
+                jnp.asarray(flat_rows),
+                jnp.asarray(shifts),
+                PARAMS.k,
+            )
+        )[:, : bank.shape[2]]
+        np.testing.assert_array_equal(expected, actual)
+
+    def test_pallas_interpret_matches_host(self):
+        import jax.numpy as jnp
+
+        from bloomsearch_tpu.bloom.pallas_kernels import probe_bank_pallas_tk
+
+        bank = make_bank(PARAMS, BLOCK_KEYS)
+        _, terms = make_terms(("token", "error"), ("field", "level"))
+        T = len(terms)
+        bank2d = self.to_bank2d(bank)
+        flat_rows, shifts = self.flat_probes(terms, bank.shape[1])
+        match = probe_bank_pallas_tk(
+            jnp.asarray(bank2d),
+            jnp.asarray(flat_rows),
+            jnp.asarray(shifts),
+            T,
+            PARAMS.k,
+            interpret=True,
+        )
+        actual = np.asarray(match)[:, : bank.shape[2]] != 0
+        expected = probe_bank_host(bank, terms, PARAMS.m_bits, PARAMS.k)
+        np.testing.assert_array_equal(expected, actual)
+        # Padded (zero) columns can never match.
+        assert not np.asarray(match)[:, bank.shape[2] :].any()
+
+
+class TestSuperbank:
+    def make_sb(self):
+        import jax
+        import jax.numpy as jnp
+
+        return Superbank(PARAMS.m_bits, PARAMS.k, jnp, jax)
+
+    def test_insert_and_grow(self):
+        sb = self.make_sb()
+        bank1 = make_bank(PARAMS, BLOCK_KEYS)
+        start, n = sb.insert(b"k1", bank1)
+        assert (start, n) == (0, 3)
+        assert sb.capacity % 128 == 0
+        old_cap = sb.capacity
+        # Force growth past the current capacity.
+        big = make_bank(PARAMS, [(["x"], ["y"], ["z"])] * 130)
+        start2, n2 = sb.insert(b"k2", big)
+        assert start2 == 3 and n2 == 130
+        assert sb.capacity > old_cap
+        # Original columns survive growth.
+        host = np.asarray(sb.bank2d[: 3 * sb.num_words, :3])
+        np.testing.assert_array_equal(host, bank1.reshape(3 * sb.num_words, 3))
+
+    def test_remove_and_compact(self):
+        sb = self.make_sb()
+        bank1 = make_bank(PARAMS, BLOCK_KEYS)
+        bank2 = make_bank(PARAMS, [(["a"], ["b"], ["c"])])
+        sb.insert(b"k1", bank1)
+        sb.insert(b"k2", bank2)
+        sb.remove(b"k1")
+        sb.maybe_compact()  # dead (3) >= live (1): compacts
+        assert sb.used == 1
+        assert b"k2" in sb.segments and b"k1" not in sb.segments
+        np.testing.assert_array_equal(
+            np.asarray(sb.bank2d[: 3 * sb.num_words, :1]),
+            bank2.reshape(3 * sb.num_words, 1),
+        )
+
+
+class TestDeviceProbeBackend:
+    def test_probe_groups_and_residency(self):
+        backend = DeviceProbeBackend()
+        bank = make_bank(PARAMS, BLOCK_KEYS)
+        loads = []
+
+        def loader():
+            loads.append(1)
+            return bank
+
+        mk = (PARAMS.m_bits, PARAMS.k)
+        _, terms = make_terms(("token", "error"))
+        out = backend.probe_groups([(b"file-1", 0, mk, loader)], terms)
+        match = out[(b"file-1", 0)]
+        assert match.shape == (1, 3)
+        expected = probe_bank_host(bank, terms, PARAMS.m_bits, PARAMS.k)
+        np.testing.assert_array_equal(match, expected)
+        assert len(loads) == 1
+
+        # Second probe: bank already resident, loader not called again.
+        backend.probe_groups([(b"file-1", 0, mk, loader)], terms)
+        assert len(loads) == 1
+
+        # Invalidation drops residency; loader runs again.
+        backend.invalidate(b"file-1")
+        backend.probe_groups([(b"file-1", 0, mk, loader)], terms)
+        assert len(loads) == 2
+
+    def test_eviction_under_budget(self):
+        # Superbank memory is capacity-based: eviction triggers when growth
+        # pushes capacity past the budget. Two 128-column files at a budget of
+        # ~1.5 banks: inserting the second grows to 256 cols, evicting the
+        # first (LRU) and compacting back under budget.
+        one_bank_bytes = 3 * PARAMS.num_words * 128 * 4
+        backend = DeviceProbeBackend(cache_bytes=int(one_bank_bytes * 1.5))
+        bank = make_bank(PARAMS, [(["x"], ["y"], ["z"])] * 128)
+        mk = (PARAMS.m_bits, PARAMS.k)
+        _, terms = make_terms(("token", "error"))
+        loads = {"a": 0, "b": 0}
+
+        def loader_for(name):
+            def load():
+                loads[name] += 1
+                return bank
+
+            return load
+
+        backend.probe_groups([(b"A", 0, mk, loader_for("a"))], terms)
+        backend.probe_groups([(b"B", 0, mk, loader_for("b"))], terms)
+        assert backend.total_bytes() <= int(one_bank_bytes * 1.5)
+        backend.probe_groups([(b"A", 0, mk, loader_for("a"))], terms)
+        assert loads["a"] == 2, "A should have been evicted and reloaded"
+
+
+class TestEngineWithDeviceBackend:
+    def test_end_to_end_device_probe(self, tmp_path):
+        store = bs.FileSystemDataStore(str(tmp_path / "data"))
+        config = bs.BloomSearchEngineConfig(
+            row_data_compression="none", probe_backend="device"
+        )
+        engine = bs.BloomSearchEngine(config, store, store)
+        assert engine._device_backend is not None
+        engine.start()
+        try:
+            engine.ingest_rows(
+                [
+                    {"service": "payment", "msg": "connection timeout"},
+                    {"service": "auth", "msg": "login ok"},
+                ],
+                timeout=10,
+            )
+            engine.flush(timeout=10)
+            rows = engine.query_sync(bs.new_query().token("timeout").build(), timeout=30)
+            assert len(rows) == 1 and rows[0]["service"] == "payment"
+            rows = engine.query_sync(
+                bs.new_query().field_token("service", "auth").build(), timeout=30
+            )
+            assert len(rows) == 1 and rows[0]["service"] == "auth"
+            # Repeat query hits the resident superbank.
+            rows = engine.query_sync(bs.new_query().token("timeout").build(), timeout=30)
+            assert len(rows) == 1
+        finally:
+            engine.stop(timeout=10)
