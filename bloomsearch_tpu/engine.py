@@ -61,13 +61,19 @@ from .file_format import (
     DataFileWriter,
     FileMetadata,
     encode_row,
+    extract_block_filters,
     read_bank_group,
     read_block_rows_compressed,
     split_rows,
 )
-from .minmax import MinMaxIndex, convert_to_min_max_int64, update_min_max_index
+from .minmax import (
+    MinMaxIndex,
+    convert_to_min_max_int64,
+    union_min_max_indexes,
+    update_min_max_index,
+)
 from .query import BloomQuery, Query, and_bloom_queries, new_query, regex_field_guard_bloom_query
-from .stores import DataStore, MetaStore, WriteOperation
+from .stores import DataStore, DeleteOperation, MaybeFile, MetaStore, WriteOperation
 from .tokenizer import (
     ValueTokenizer,
     basic_whitespace_lower_tokenizer,
@@ -487,6 +493,18 @@ class BloomSearchEngine:
             self._device_backend.invalidate(file_pointer)
 
     # ------------------------------------------------------------------
+    # Merge / compaction (reference Merge :1206-1372)
+    # ------------------------------------------------------------------
+
+    def merge(self) -> MergeStats:
+        """Merge small files (and drop TTL-expired blocks); safe to run in
+
+        the background alongside ingest and queries — files are immutable and
+        replacement publishes atomically through the MetaStore.
+        """
+        return _Merger(self).merge()
+
+    # ------------------------------------------------------------------
     # Query execution (reference Query :934-1204)
     # ------------------------------------------------------------------
 
@@ -749,6 +767,337 @@ class BloomSearchEngine:
         finally:
             stats.duration = time.monotonic() - start
             try_put(stats_queue, stats)
+
+
+@dataclass
+class _SourceBlock:
+    """A block slated for merging, with its origin file handle context."""
+
+    pointer: bytes
+    metadata: FileMetadata
+    block: DataBlockMetadata
+
+
+class _Merger:
+    """Merge/compaction (reference Merge, bloom_tree_engine.go:1206-1372).
+
+    Behavior preserved:
+    - Files group only at identical *file-level* bloom params (:1497-1509);
+      groups fill greedily by ascending average block size, bounded by
+      ``max_file_size`` and ``max_files_to_merge_per_operation``, and require
+      at least one mergeable row-group pair (:1514-1603).
+    - File-level filters OR-merge (:1606-1623).
+    - Blocks bucket by partition (:1661-1673); blocks are mergeable only at
+      same partition + same block bloom params + combined row/byte caps
+      (:1374-1399). Merged blocks OR their filters, union minmax, interleave
+      rows round-robin, and re-compress to the engine's *current* codec
+      (:1830-1917); unmergeable blocks raw-copy byte-for-byte, keeping their
+      original codec and params (:1762-1786).
+    - New files publish atomically (meta update with writes+deletes) and old
+      files tombstone after (:1340-1353).
+
+    Additions over the reference:
+    - TTL expiry: blocks whose ``created_at_ms`` is older than
+      ``ttl_seconds`` are dropped during merge (README.md:283-287 describes
+      this but the reference never implemented it). A merged block's
+      ``created_at_ms`` is the newest of its sources, so data never expires
+      *early*.
+    - Merged blocks stamp their *source* bloom params (the params the OR'd
+      filter actually has) rather than blindly stamping current config.
+    """
+
+    def __init__(self, engine: "BloomSearchEngine"):
+        self.engine = engine
+        self.config = engine.config
+
+    def merge(self) -> MergeStats:
+        start = time.monotonic()
+        stats = MergeStats()
+        files = self.engine.meta_store.get_maybe_files_for_query(None)
+        if len(files) < 2 and not self._has_expired_blocks(files):
+            stats.duration = time.monotonic() - start
+            return stats
+
+        groups = self._identify_file_merge_groups(files)
+        for group in groups:
+            self._execute_merge_group(group, stats)
+
+        stats.duration = max(time.monotonic() - start, 1e-9)
+        stats.rows_per_second = stats.rows_processed / stats.duration
+        stats.bytes_per_second = stats.bytes_processed / stats.duration
+        return stats
+
+    # -- expiry ---------------------------------------------------------
+
+    def _now_ms(self) -> int:
+        return int(time.time() * 1000)
+
+    def _is_expired(self, block: DataBlockMetadata) -> bool:
+        ttl = self.config.ttl_seconds
+        if ttl is None or block.created_at_ms <= 0:
+            return False
+        return self._now_ms() - block.created_at_ms > ttl * 1000
+
+    def _has_expired_blocks(self, files) -> bool:
+        return any(
+            self._is_expired(blk) for mf in files for blk in mf.metadata.data_blocks
+        )
+
+    # -- grouping -------------------------------------------------------
+
+    def _blocks_are_mergeable(self, a: DataBlockMetadata, b: DataBlockMetadata) -> bool:
+        """(reference dataBlocksAreMergeable, :1374-1399)"""
+        return (
+            a.partition_id == b.partition_id
+            and a.bloom_expected_items == b.bloom_expected_items
+            and a.bloom_false_positive_rate == b.bloom_false_positive_rate
+            and a.rows + b.rows <= self.config.max_row_group_rows
+            and a.uncompressed_size + b.uncompressed_size <= self.config.max_row_group_bytes
+        )
+
+    def _has_compatible_row_groups(self, candidate: MaybeFile, members: list[MaybeFile]) -> bool:
+        for member in members:
+            for a in candidate.metadata.data_blocks:
+                for b in member.metadata.data_blocks:
+                    if self._blocks_are_mergeable(a, b):
+                        return True
+        return False
+
+    def _identify_file_merge_groups(self, files) -> list[list[MaybeFile]]:
+        """(reference identifyFileMergeGroups, :1491-1603)"""
+        by_params: dict[tuple[int, float], list[MaybeFile]] = {}
+        for mf in files:
+            key = (mf.metadata.bloom_expected_items, mf.metadata.bloom_false_positive_rate)
+            by_params.setdefault(key, []).append(mf)
+
+        groups: list[list[MaybeFile]] = []
+        for candidates in by_params.values():
+            def sort_key(mf: MaybeFile):
+                blocks = mf.metadata.data_blocks
+                avg = mf.size / len(blocks) if blocks else float(mf.size)
+                return (avg, mf.size)
+
+            candidates = sorted(candidates, key=sort_key)
+            used: set[int] = set()
+            for i, seed in enumerate(candidates):
+                if i in used:
+                    continue
+                group = [seed]
+                group_size = seed.size
+                for j in range(i + 1, len(candidates)):
+                    if j in used or len(group) >= self.config.max_files_to_merge_per_operation:
+                        continue
+                    other = candidates[j]
+                    if group_size + other.size > self.config.max_file_size:
+                        continue
+                    if not self._has_compatible_row_groups(other, group):
+                        continue
+                    group.append(other)
+                    group_size += other.size
+                    used.add(j)
+                if len(group) >= 2:
+                    used.add(i)
+                    groups.append(group)
+                elif self.config.ttl_seconds is not None and any(
+                    self._is_expired(blk) for blk in seed.metadata.data_blocks
+                ):
+                    # Solo rewrite purely to drop expired blocks.
+                    used.add(i)
+                    groups.append(group)
+        return groups
+
+    # -- execution ------------------------------------------------------
+
+    def _execute_merge_group(self, group: list[MaybeFile], stats: MergeStats) -> None:
+        """(reference executeMergeGroup, :1606-1702)"""
+        engine = self.engine
+        config = self.config
+
+        # OR-merge file-level filters (identical params by grouping).
+        file_filters = group[0].metadata.bloom_filters.copy()
+        for mf in group[1:]:
+            file_filters.merge(mf.metadata.bloom_filters)
+
+        # Collect live (non-expired) blocks, bucketed by partition.
+        by_partition: dict[str, list[_SourceBlock]] = {}
+        expired = 0
+        for mf in group:
+            for blk in mf.metadata.data_blocks:
+                if self._is_expired(blk):
+                    expired += 1
+                    continue
+                by_partition.setdefault(blk.partition_id, []).append(
+                    _SourceBlock(mf.pointer, mf.metadata, blk)
+                )
+        if expired:
+            logger.info("merge: dropping %d expired block(s)", expired)
+
+        writer_fh, new_pointer = engine.data_store.create_file()
+        try:
+            writer = DataFileWriter(
+                writer_fh,
+                BloomParams(
+                    group[0].metadata.bloom_expected_items,
+                    group[0].metadata.bloom_false_positive_rate,
+                ),
+            )
+            open_files: dict[bytes, Any] = {}
+
+            def fh_for(pointer: bytes):
+                if pointer not in open_files:
+                    open_files[pointer] = engine.data_store.open_file(pointer)
+                return open_files[pointer]
+
+            try:
+                for partition_id, blocks in by_partition.items():
+                    self._process_partition_blocks(writer, blocks, fh_for, stats)
+            finally:
+                for fh in open_files.values():
+                    fh.close()
+            writer.finish(file_filters)
+            writer_fh.close()
+        except Exception:
+            try:
+                writer_fh.close()
+            except Exception:
+                pass
+            engine.data_store.tombstone_file(new_pointer)
+            raise
+
+        metadata = self._reread_metadata(new_pointer)
+        engine.meta_store.update(
+            [WriteOperation(metadata, new_pointer)],
+            [DeleteOperation(mf.pointer) for mf in group],
+        )
+        for mf in group:
+            engine.data_store.tombstone_file(mf.pointer)
+            if engine._device_backend is not None:
+                engine._device_backend.invalidate(mf.pointer)
+        stats.files_processed += len(group)
+
+    def _reread_metadata(self, pointer: bytes) -> FileMetadata:
+        from .file_format import read_file_metadata
+
+        with self.engine.data_store.open_file(pointer) as fh:
+            return read_file_metadata(fh)
+
+    def _process_partition_blocks(self, writer, blocks, fh_for, stats: MergeStats) -> None:
+        """Greedy grouping under caps, then copy or stream-merge
+
+        (reference processPartitionBlocks, :1704-1760).
+        """
+        config = self.config
+        remaining = list(blocks)
+        while remaining:
+            seed = remaining.pop(0)
+            bucket = [seed]
+            rows = seed.block.rows
+            nbytes = seed.block.uncompressed_size
+            i = 0
+            while i < len(remaining):
+                cand = remaining[i]
+                if (
+                    cand.block.partition_id == seed.block.partition_id
+                    and cand.block.bloom_expected_items == seed.block.bloom_expected_items
+                    and cand.block.bloom_false_positive_rate == seed.block.bloom_false_positive_rate
+                    and rows + cand.block.rows <= config.max_row_group_rows
+                    and nbytes + cand.block.uncompressed_size <= config.max_row_group_bytes
+                ):
+                    bucket.append(remaining.pop(i))
+                    rows += cand.block.rows
+                    nbytes += cand.block.uncompressed_size
+                else:
+                    i += 1
+            if len(bucket) == 1:
+                self._copy_block(writer, seed, fh_for, stats)
+            else:
+                self._merge_blocks(writer, bucket, fh_for, stats)
+
+    def _read_block_filters(self, src: _SourceBlock, fh) -> BloomFilters:
+        group = src.metadata.bank_groups[src.block.bank_group]
+        bank = read_bank_group(fh, group)
+        return extract_block_filters(bank, group, src.block.bank_col)
+
+    def _copy_block(self, writer: DataFileWriter, src: _SourceBlock, fh_for, stats) -> None:
+        """Raw byte copy; keeps original codec, params, minmax, timestamps
+
+        (reference copyDataBlock, :1762-1786).
+        """
+        fh = fh_for(src.pointer)
+        payload = read_block_rows_compressed(fh, src.block)
+        filters = self._read_block_filters(src, fh)
+        writer.add_block(
+            payload,
+            filters,
+            rows=src.block.rows,
+            partition_id=src.block.partition_id,
+            min_max_indexes=src.block.min_max_indexes,
+            compression=src.block.compression,
+            uncompressed_size=src.block.uncompressed_size,
+            created_at_ms=src.block.created_at_ms,
+            params=src.block.bloom_params,
+        )
+        stats.row_groups_processed += 1
+        stats.rows_processed += src.block.rows
+        stats.bytes_processed += src.block.size
+
+    def _merge_blocks(self, writer: DataFileWriter, bucket: list[_SourceBlock], fh_for, stats) -> None:
+        """Stream-merge: OR filters, union minmax, round-robin interleave
+
+        rows, re-compress to the engine's codec (reference mergeDataBlocks +
+        streamMergeDataBlocks, :1789-1929). Heterogeneous source codecs
+        consolidate to the current config codec.
+        """
+        config = self.config
+        merged_filters: Optional[BloomFilters] = None
+        min_max: dict[str, MinMaxIndex] = {}
+        row_streams: list[list[bytes]] = []
+        total_rows = 0
+        created_at = 0
+        for src in bucket:
+            fh = fh_for(src.pointer)
+            filters = self._read_block_filters(src, fh)
+            if merged_filters is None:
+                merged_filters = filters
+            else:
+                merged_filters.merge(filters)
+            min_max = union_min_max_indexes(min_max, src.block.min_max_indexes)
+            compressed = read_block_rows_compressed(fh, src.block)
+            data = decompress_block(compressed, src.block.compression, src.block.uncompressed_size)
+            rows = split_rows(data, max_rows=max(src.block.rows, 1) * 2 + 16)
+            row_streams.append(rows)
+            total_rows += len(rows)
+            # Newest source: merged data never expires earlier than it should.
+            created_at = max(created_at, src.block.created_at_ms)
+            stats.rows_processed += src.block.rows
+            stats.bytes_processed += src.block.size
+            stats.row_groups_processed += 1
+
+        encoder = StreamEncoder(config.row_data_compression, config.zstd_compression_level)
+        # Round-robin one row per source per pass (reference :1846-1894).
+        cursors = [0] * len(row_streams)
+        remaining = total_rows
+        while remaining:
+            for si, rows in enumerate(row_streams):
+                if cursors[si] < len(rows):
+                    encoder.write(encode_row(rows[cursors[si]]))
+                    cursors[si] += 1
+                    remaining -= 1
+        payload = encoder.finish()
+
+        writer.add_block(
+            payload,
+            merged_filters,
+            rows=total_rows,
+            partition_id=bucket[0].block.partition_id,
+            min_max_indexes=min_max,
+            compression=config.row_data_compression,
+            uncompressed_size=encoder.uncompressed_len,
+            created_at_ms=created_at,
+            # Stamp the params the OR'd filter actually has (sources share
+            # them by the mergeability gate).
+            params=bucket[0].block.bloom_params,
+        )
 
 
 class _IngestState:

@@ -1,0 +1,262 @@
+"""Merge/compaction integration tests.
+
+Mirrors reference bloom_tree_engine_test.go merge coverage: E2E merge with
+query-before/after (:986-1246), unmergeable files with different bloom params
+(:1139-1246), partitions + minmax widening (:1248-1528), cross-compression
+consolidation (:1530-1663), merged-block codec assertions (:1666-1763), and
+tombstone tracking (:1765-1858). TTL expiry is ours (README.md:283-287,
+unimplemented in the reference).
+"""
+
+import time
+
+import pytest
+
+import bloomsearch_tpu as bs
+from bloomsearch_tpu import BloomSearchEngine, BloomSearchEngineConfig, FileSystemDataStore
+
+TIMEOUT = 10.0
+
+
+def make_engine(tmp_path, name="data", **overrides):
+    store = FileSystemDataStore(str(tmp_path / name))
+    config = BloomSearchEngineConfig(row_data_compression="none", **overrides)
+    engine = BloomSearchEngine(config, store, store)
+    engine.start()
+    return engine, store
+
+
+def ingest_flush(engine, rows):
+    engine.ingest_rows(rows, timeout=TIMEOUT)
+    engine.flush(timeout=TIMEOUT)
+
+
+class TombstoneTrackingStore(FileSystemDataStore):
+    """Decorator recording tombstone calls (reference :1765-1858)."""
+
+    def __init__(self, root):
+        super().__init__(root)
+        self.tombstoned: list[bytes] = []
+
+    def tombstone_file(self, file_pointer: bytes) -> None:
+        self.tombstoned.append(file_pointer)
+        super().tombstone_file(file_pointer)
+
+
+class TestMergeEndToEnd:
+    def test_merge_combines_files_and_preserves_results(self, tmp_path):
+        engine, store = make_engine(tmp_path)
+        try:
+            for i in range(4):
+                ingest_flush(engine, [{"batch": i, "tag": "common", "word": f"w{i}"}])
+            assert len(store.get_maybe_files_for_query(None)) == 4
+
+            stats = engine.merge()
+            assert stats.files_processed == 4
+            files = store.get_maybe_files_for_query(None)
+            assert len(files) == 1
+            # All 4 single-row blocks were mergeable into one.
+            assert len(files[0].metadata.data_blocks) == 1
+            assert files[0].metadata.data_blocks[0].rows == 4
+
+            rows = engine.query_sync(bs.new_query().token("common").build(), timeout=TIMEOUT)
+            assert sorted(r["batch"] for r in rows) == [0, 1, 2, 3]
+            # Needle queries still exact post-merge.
+            rows = engine.query_sync(bs.new_query().token("w2").build(), timeout=TIMEOUT)
+            assert len(rows) == 1 and rows[0]["batch"] == 2
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_merge_is_noop_with_single_file(self, tmp_path):
+        engine, store = make_engine(tmp_path)
+        try:
+            ingest_flush(engine, [{"a": 1}])
+            stats = engine.merge()
+            assert stats.files_processed == 0
+            assert len(store.get_maybe_files_for_query(None)) == 1
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_unmergeable_file_with_different_bloom_params_left_alone(self, tmp_path):
+        # Two engines writing to the same store with different file bloom
+        # params: merge only groups files at identical params (:1497-1509).
+        store = FileSystemDataStore(str(tmp_path / "data"))
+        e1 = BloomSearchEngine(
+            BloomSearchEngineConfig(row_data_compression="none"), store, store
+        )
+        e1.start()
+        e2 = BloomSearchEngine(
+            BloomSearchEngineConfig(
+                row_data_compression="none", file_bloom_expected_items=50_000
+            ),
+            store,
+            store,
+        )
+        e2.start()
+        try:
+            e1.ingest_rows([{"x": 1}], timeout=TIMEOUT)
+            e1.flush(timeout=TIMEOUT)
+            e1.ingest_rows([{"x": 2}], timeout=TIMEOUT)
+            e1.flush(timeout=TIMEOUT)
+            e2.ingest_rows([{"x": 3}], timeout=TIMEOUT)
+            e2.flush(timeout=TIMEOUT)
+            assert len(store.get_maybe_files_for_query(None)) == 3
+
+            stats = e1.merge()
+            assert stats.files_processed == 2  # only the two compatible files
+            files = store.get_maybe_files_for_query(None)
+            assert len(files) == 2
+            rows = e1.query_sync(bs.new_query().field("x").build(), timeout=TIMEOUT)
+            assert sorted(r["x"] for r in rows) == [1, 2, 3]
+        finally:
+            e1.stop(timeout=TIMEOUT)
+            e2.stop(timeout=TIMEOUT)
+
+    def test_merge_with_partitions_and_minmax_widening(self, tmp_path):
+        engine, store = make_engine(
+            tmp_path,
+            partition_func=lambda r: r["part"],
+            min_max_indexes=["ts"],
+        )
+        try:
+            ingest_flush(
+                engine, [{"part": "a", "ts": 10, "v": 1}, {"part": "b", "ts": 20, "v": 3}]
+            )
+            ingest_flush(
+                engine, [{"part": "a", "ts": 500, "v": 2}, {"part": "b", "ts": 40, "v": 4}]
+            )
+            engine.merge()
+
+            files = store.get_maybe_files_for_query(None)
+            assert len(files) == 1
+            blocks = {b.partition_id: b for b in files[0].metadata.data_blocks}
+            assert set(blocks) == {"a", "b"}
+            # Partition a's two blocks merged; minmax widened to the union.
+            assert blocks["a"].rows == 2
+            assert blocks["a"].min_max_indexes["ts"].min == 10
+            assert blocks["a"].min_max_indexes["ts"].max == 500
+
+            # Prefilter still prunes correctly post-merge.
+            q = (
+                bs.new_query()
+                .match_prefilter(bs.min_max("ts", bs.numeric_greater_than(400)))
+                .build()
+            )
+            rows = engine.query_sync(q, timeout=TIMEOUT)
+            # Widened range means partition-a block survives prefiltering;
+            # exact verification would keep both a-rows (no row-level ts
+            # filter in the query), so assert partitions only.
+            assert {r["part"] for r in rows} == {"a"}
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_cross_compression_merge_consolidates_codec(self, tmp_path):
+        store = FileSystemDataStore(str(tmp_path / "data"))
+        e_none = BloomSearchEngine(
+            BloomSearchEngineConfig(row_data_compression="none"), store, store
+        )
+        e_none.start()
+        e_none.ingest_rows([{"n": 1, "tag": "x"}], timeout=TIMEOUT)
+        e_none.flush(timeout=TIMEOUT)
+        e_none.stop(timeout=TIMEOUT)
+
+        e_zstd = BloomSearchEngine(
+            BloomSearchEngineConfig(row_data_compression="zstd"), store, store
+        )
+        e_zstd.start()
+        try:
+            e_zstd.ingest_rows([{"n": 2, "tag": "x"}], timeout=TIMEOUT)
+            e_zstd.flush(timeout=TIMEOUT)
+            stats = e_zstd.merge()
+            assert stats.files_processed == 2
+            files = store.get_maybe_files_for_query(None)
+            assert len(files) == 1
+            block = files[0].metadata.data_blocks[0]
+            assert block.compression == "zstd"  # engine's current codec
+            assert block.rows == 2
+            rows = e_zstd.query_sync(bs.new_query().token("x").build(), timeout=TIMEOUT)
+            assert sorted(r["n"] for r in rows) == [1, 2]
+        finally:
+            e_zstd.stop(timeout=TIMEOUT)
+
+    def test_unmergeable_blocks_raw_copied_with_their_codec(self, tmp_path):
+        # Two blocks too big to combine (row cap 1) raw-copy, keeping codecs.
+        store = FileSystemDataStore(str(tmp_path / "data"))
+        config = BloomSearchEngineConfig(row_data_compression="none", max_row_group_rows=1)
+        engine = BloomSearchEngine(config, store, store)
+        engine.start()
+        try:
+            engine.ingest_rows([{"n": 1}], timeout=TIMEOUT)
+            engine.flush(timeout=TIMEOUT)
+            engine.ingest_rows([{"n": 2}], timeout=TIMEOUT)
+            engine.flush(timeout=TIMEOUT)
+            stats = engine.merge()
+            assert stats.files_processed == 0  # no mergeable row-group pair
+            assert len(store.get_maybe_files_for_query(None)) == 2
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_tombstones_recorded_for_replaced_files(self, tmp_path):
+        store = TombstoneTrackingStore(str(tmp_path / "data"))
+        config = BloomSearchEngineConfig(row_data_compression="none")
+        engine = BloomSearchEngine(config, store, store)
+        engine.start()
+        try:
+            ingest_flush(engine, [{"a": 1}])
+            ingest_flush(engine, [{"a": 2}])
+            old = [f.pointer for f in store.get_maybe_files_for_query(None)]
+            engine.merge()
+            assert sorted(store.tombstoned) == sorted(old)
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+
+class TestTTLExpiry:
+    def test_expired_blocks_dropped_during_merge(self, tmp_path):
+        engine, store = make_engine(tmp_path, ttl_seconds=3600.0)
+        try:
+            ingest_flush(engine, [{"n": 1, "tag": "old"}])
+            ingest_flush(engine, [{"n": 2, "tag": "new"}])
+
+            # Backdate the first file's block beyond the TTL by rewriting its
+            # created_at through a fresh file (files are immutable; simulate
+            # age by monkeypatching the merger's clock instead).
+            merger_now = time.time() * 1000
+
+            files = store.get_maybe_files_for_query(None)
+            assert len(files) == 2
+
+            from bloomsearch_tpu.engine import _Merger
+
+            merger = _Merger(engine)
+            first_created = files[0].metadata.data_blocks[0].created_at_ms
+            # Clock far in the future: everything expires.
+            merger._now_ms = lambda: first_created + 10 * 3600 * 1000
+            stats = merger.merge()
+            files = store.get_maybe_files_for_query(None)
+            total_blocks = sum(len(f.metadata.data_blocks) for f in files)
+            assert total_blocks == 0
+            assert engine.query_sync(None, timeout=TIMEOUT) == []
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_unexpired_blocks_survive_merge(self, tmp_path):
+        engine, store = make_engine(tmp_path, ttl_seconds=3600.0)
+        try:
+            ingest_flush(engine, [{"n": 1}])
+            ingest_flush(engine, [{"n": 2}])
+            engine.merge()
+            rows = engine.query_sync(None, timeout=TIMEOUT)
+            assert sorted(r["n"] for r in rows) == [1, 2]
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_no_ttl_means_no_expiry(self, tmp_path):
+        engine, store = make_engine(tmp_path)
+        try:
+            ingest_flush(engine, [{"n": 1}])
+            ingest_flush(engine, [{"n": 2}])
+            engine.merge()
+            assert len(engine.query_sync(None, timeout=TIMEOUT)) == 2
+        finally:
+            engine.stop(timeout=TIMEOUT)
