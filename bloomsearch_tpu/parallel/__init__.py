@@ -1,0 +1,19 @@
+from .mesh import (
+    BLOCK_AXIS,
+    default_mesh,
+    pad_columns_for_mesh,
+    shard_bank,
+    sharded_probe_packed,
+    sharded_query_step,
+    unpack_bitmap,
+)
+
+__all__ = [
+    "BLOCK_AXIS",
+    "default_mesh",
+    "pad_columns_for_mesh",
+    "shard_bank",
+    "sharded_probe_packed",
+    "sharded_query_step",
+    "unpack_bitmap",
+]

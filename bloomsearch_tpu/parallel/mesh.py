@@ -1,0 +1,170 @@
+"""Multi-chip probe sharding over a jax.sharding.Mesh.
+
+The reference's only scaling dimension is data-parallelism over blocks —
+a bounded worker pool on one host (SURVEY.md §2, parallelism items 3-4) and
+a README-only scatter/gather design (README.md:397-418). The TPU-native
+equivalent maps that dimension onto the device mesh: the superbank's block
+axis shards across chips (``P(None, "blocks")``), query-term probe positions
+replicate (the broadcast), each chip probes its local shard with the same
+kernel (shard_map), and the packed per-block match bitmaps ride ICI back via
+the all-gather XLA inserts when the sharded output is consumed replicated.
+
+Filter banks beyond one chip's HBM therefore scale linearly in chips, and a
+query still costs ONE launch per param group regardless of mesh size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..bloom.pallas_kernels import (
+    MAX_UNROLLED_PROBES,
+    probe_bank_pallas_tk,
+    probe_bank_xla,
+    round_up_rows,
+)
+
+BLOCK_AXIS = "blocks"
+
+
+def default_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """A 1-D mesh over the block axis (the data-parallel dimension)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (BLOCK_AXIS,))
+
+
+def pad_columns_for_mesh(c: int, mesh: Mesh) -> int:
+    """Columns must split evenly into 128-lane shards."""
+    n = mesh.shape[BLOCK_AXIS]
+    unit = 128 * n
+    return ((c + unit - 1) // unit) * unit
+
+
+def shard_bank(mesh: Mesh, bank2d: np.ndarray) -> jax.Array:
+    """Place a host bank [rows, C] onto the mesh, block axis sharded.
+
+    Pads rows to the sublane group and C to a lane multiple per shard.
+    """
+    rows, c = bank2d.shape
+    rows_p = round_up_rows(rows)
+    c_p = pad_columns_for_mesh(c, mesh)
+    if (rows_p, c_p) != (rows, c):
+        padded = np.zeros((rows_p, c_p), dtype=np.uint32)
+        padded[:rows, :c] = bank2d
+        bank2d = padded
+    sharding = NamedSharding(mesh, P(None, BLOCK_AXIS))
+    return jax.device_put(jnp.asarray(bank2d), sharding)
+
+
+def _pack_bitmap(match: jax.Array) -> jax.Array:
+    """bool[T, C] -> uint32[T, C/32] little-endian bit packing."""
+    T, C = match.shape
+    groups = match.reshape(T, C // 32, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "T", "K", "use_pallas", "gather")
+)
+def sharded_probe_packed(
+    mesh: Mesh,
+    bank2d: jax.Array,  # [rows, C] sharded P(None, "blocks")
+    row_idx: jax.Array,  # int32[T*K] replicated
+    shift: jax.Array,  # int32[T*K] replicated
+    T: int,
+    K: int,
+    use_pallas: bool = False,
+    gather: bool = True,
+) -> jax.Array:
+    """Probe every shard's blocks -> packed uint32[T, C/32] match bitmap.
+
+    Each device runs the identical probe kernel on its local block shard;
+    the packed bitmaps concatenate along the block axis. With ``gather`` the
+    result is replicated (XLA all-gathers the shards over ICI); otherwise it
+    stays sharded for downstream sharded consumption.
+    """
+
+    def local(bank_local: jax.Array, fr: jax.Array, sh: jax.Array) -> jax.Array:
+        if use_pallas:
+            match = probe_bank_pallas_tk(bank_local, fr, sh, T, K) != 0
+        else:
+            match = probe_bank_xla(bank_local, fr, sh, K)
+        return _pack_bitmap(match)
+
+    out_spec = P(None, BLOCK_AXIS)
+    shmapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, BLOCK_AXIS), P(), P()),
+        out_specs=out_spec,
+    )
+    packed = shmapped(bank2d, row_idx, shift)
+    if gather:
+        packed = jax.lax.with_sharding_constraint(
+            packed, NamedSharding(mesh, P())
+        )
+    return packed
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "T", "K", "use_pallas"))
+def sharded_query_step(
+    mesh: Mesh,
+    bank2d: jax.Array,  # [rows, C] sharded P(None, "blocks")
+    row_idx: jax.Array,
+    shift: jax.Array,
+    and_mask: jax.Array,  # bool[T]: terms under the top-level AND
+    T: int,
+    K: int,
+    use_pallas: bool = False,
+):
+    """The full sharded query step: probe + expression reduce + global stats.
+
+    Evaluates a top-level AND over the masked terms entirely on-device
+    (arbitrary AND/OR trees evaluate host-side over the packed bitmap; the
+    flat-AND case — the overwhelmingly common query shape — stays fused
+    here), packs the surviving-block bitmap, and psums the per-shard
+    survivor count so the scheduler can size the decode worker pool without
+    waiting for the bitmap transfer.
+
+    Returns (packed_survivors uint32[C/32] replicated, total_survivors i32).
+    """
+
+    def local(bank_local, fr, sh, mask):
+        if use_pallas:
+            match = probe_bank_pallas_tk(bank_local, fr, sh, T, K) != 0
+        else:
+            match = probe_bank_xla(bank_local, fr, sh, K)
+        # AND over active terms; inactive terms contribute True.
+        survives = jnp.all(match | ~mask[:, None], axis=0)  # bool[C_local]
+        packed = _pack_bitmap(survives[None, :])[0]  # uint32[C_local/32]
+        count = jnp.sum(survives.astype(jnp.int32))
+        total = jax.lax.psum(count, BLOCK_AXIS)  # ICI collective
+        return packed, total
+
+    shmapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, BLOCK_AXIS), P(), P(), P()),
+        out_specs=(P(BLOCK_AXIS), P()),
+    )
+    packed, total = shmapped(bank2d, row_idx, shift, and_mask)
+    packed = jax.lax.with_sharding_constraint(packed, NamedSharding(mesh, P()))
+    return packed, total
+
+
+def unpack_bitmap(packed: np.ndarray, num_cols: int) -> np.ndarray:
+    """uint32[..., C/32] -> bool[..., num_cols]."""
+    bits = np.unpackbits(
+        np.ascontiguousarray(packed).view(np.uint8), axis=-1, bitorder="little"
+    )
+    return bits[..., :num_cols].astype(bool)
