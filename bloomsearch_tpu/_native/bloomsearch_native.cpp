@@ -253,4 +253,197 @@ BS_EXPORT int64_t bs_split_rows(const uint8_t* data, int64_t n,
   return count;
 }
 
+// ---------------------------------------------------------------------------
+// Snappy block codec (format-compatible with the public snappy block format:
+// uvarint uncompressed length, then literal/copy tagged elements).
+// Implemented from the published format description. The engine frames
+// streams as chunks of [uint32 LE compressed_len | snappy block], each block
+// covering <= 64 KiB of input (bloomsearch_tpu/snappy.py).
+// ---------------------------------------------------------------------------
+
+static const int64_t kSnappyMaxBlockInput = 65536;
+
+BS_EXPORT int64_t bs_snappy_max_compressed(int64_t n) {
+  // Worst case: all literals with headers, plus uvarint length.
+  return 32 + n + n / 6;
+}
+
+static inline uint32_t snappy_hash(uint32_t bytes) {
+  return (bytes * 0x1e35a7bdu) >> 18;  // 14-bit table
+}
+
+static inline uint32_t load32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+static uint8_t* emit_literal(uint8_t* op, const uint8_t* lit, int64_t len) {
+  const int64_t n = len - 1;
+  if (n < 60) {
+    *op++ = (uint8_t)(n << 2);
+  } else if (n < 256) {
+    *op++ = 60 << 2;
+    *op++ = (uint8_t)n;
+  } else {
+    *op++ = 61 << 2;
+    *op++ = (uint8_t)(n & 0xff);
+    *op++ = (uint8_t)(n >> 8);
+  }
+  std::memcpy(op, lit, len);
+  return op + len;
+}
+
+static uint8_t* emit_copy(uint8_t* op, int64_t offset, int64_t len) {
+  // Emit copies of length 4..64; caller splits longer matches.
+  while (len >= 68) {
+    *op++ = (uint8_t)((63 << 2) | 2);  // copy-2, len 64
+    *op++ = (uint8_t)(offset & 0xff);
+    *op++ = (uint8_t)(offset >> 8);
+    len -= 64;
+  }
+  if (len > 64) {
+    // Leave >= 4 for the final copy.
+    *op++ = (uint8_t)((59 << 2) | 2);  // len 60
+    *op++ = (uint8_t)(offset & 0xff);
+    *op++ = (uint8_t)(offset >> 8);
+    len -= 60;
+  }
+  if (len >= 12 || offset >= 2048) {
+    *op++ = (uint8_t)(((len - 1) << 2) | 2);
+    *op++ = (uint8_t)(offset & 0xff);
+    *op++ = (uint8_t)(offset >> 8);
+  } else {
+    *op++ = (uint8_t)(((offset >> 8) << 5) | ((len - 4) << 2) | 1);
+    *op++ = (uint8_t)(offset & 0xff);
+  }
+  return op;
+}
+
+// Compress one block (n <= 64 KiB) -> compressed size.
+BS_EXPORT int64_t bs_snappy_compress_block(const uint8_t* in, int64_t n,
+                                           uint8_t* out) {
+  if (n > kSnappyMaxBlockInput) return -1;
+  uint8_t* op = out;
+  // uvarint uncompressed length
+  uint64_t v = (uint64_t)n;
+  while (v >= 0x80) {
+    *op++ = (uint8_t)(v | 0x80);
+    v >>= 7;
+  }
+  *op++ = (uint8_t)v;
+
+  if (n < 16) {
+    if (n > 0) op = emit_literal(op, in, n);
+    return op - out;
+  }
+
+  static thread_local uint16_t table[1 << 14];
+  std::memset(table, 0, sizeof(table));
+
+  const uint8_t* ip = in;
+  const uint8_t* ip_end = in + n;
+  const uint8_t* ip_limit = ip_end - 15;  // room for load32 + margin
+  const uint8_t* next_emit = in;
+
+  ip++;
+  while (ip < ip_limit) {
+    uint32_t h = snappy_hash(load32(ip));
+    const uint8_t* candidate = in + table[h];
+    table[h] = (uint16_t)(ip - in);
+    if (candidate < ip && load32(candidate) == load32(ip)) {
+      // Emit pending literal.
+      if (ip > next_emit) op = emit_literal(op, next_emit, ip - next_emit);
+      // Extend the match.
+      const uint8_t* base = ip;
+      ip += 4;
+      const uint8_t* match = candidate + 4;
+      while (ip < ip_end && match < ip_end && *ip == *match) {
+        ip++;
+        match++;
+      }
+      op = emit_copy(op, base - candidate, ip - base);
+      next_emit = ip;
+      if (ip >= ip_limit) break;
+      // Re-prime the table at the new position.
+      table[snappy_hash(load32(ip))] = (uint16_t)(ip - in);
+      ip++;
+    } else {
+      ip++;
+    }
+  }
+  if (next_emit < ip_end) op = emit_literal(op, next_emit, ip_end - next_emit);
+  return op - out;
+}
+
+// Parse the uvarint uncompressed length of a block; -1 if malformed.
+BS_EXPORT int64_t bs_snappy_uncompressed_length(const uint8_t* in, int64_t n) {
+  uint64_t result = 0;
+  int shift = 0;
+  int64_t i = 0;
+  while (i < n && shift < 64) {
+    const uint8_t b = in[i++];
+    result |= (uint64_t)(b & 0x7f) << shift;
+    if (!(b & 0x80)) return (int64_t)result;
+    shift += 7;
+  }
+  return -1;
+}
+
+// Decompress one block -> bytes written, or -1 on malformed input.
+BS_EXPORT int64_t bs_snappy_decompress_block(const uint8_t* in, int64_t n,
+                                             uint8_t* out, int64_t out_cap) {
+  // Skip the uvarint header.
+  int64_t i = 0;
+  while (i < n && (in[i] & 0x80)) i++;
+  if (i >= n) return -1;
+  i++;
+
+  uint8_t* op = out;
+  uint8_t* op_end = out + out_cap;
+  while (i < n) {
+    const uint8_t tag = in[i++];
+    const uint32_t kind = tag & 3;
+    if (kind == 0) {  // literal
+      int64_t len = (tag >> 2) + 1;
+      if (len > 60) {
+        const int extra = (int)(len - 60);
+        if (i + extra > n) return -1;
+        len = 0;
+        for (int b = extra - 1; b >= 0; b--) len = (len << 8) | in[i + b];
+        len += 1;
+        i += extra;
+      }
+      if (i + len > n || op + len > op_end) return -1;
+      std::memcpy(op, in + i, len);
+      i += len;
+      op += len;
+    } else {
+      int64_t len, offset;
+      if (kind == 1) {
+        len = ((tag >> 2) & 7) + 4;
+        if (i >= n) return -1;
+        offset = ((int64_t)(tag >> 5) << 8) | in[i++];
+      } else if (kind == 2) {
+        len = (tag >> 2) + 1;
+        if (i + 2 > n) return -1;
+        offset = (int64_t)in[i] | ((int64_t)in[i + 1] << 8);
+        i += 2;
+      } else {
+        len = (tag >> 2) + 1;
+        if (i + 4 > n) return -1;
+        offset = (int64_t)in[i] | ((int64_t)in[i + 1] << 8) |
+                 ((int64_t)in[i + 2] << 16) | ((int64_t)in[i + 3] << 24);
+        i += 4;
+      }
+      if (offset <= 0 || op - out < offset || op + len > op_end) return -1;
+      // Byte-wise copy: overlapping copies replicate runs (RLE semantics).
+      const uint8_t* src = op - offset;
+      for (int64_t b = 0; b < len; b++) op[b] = src[b];
+      op += len;
+    }
+  }
+  return op - out;
+}
+
 BS_EXPORT int64_t bs_version() { return 1; }

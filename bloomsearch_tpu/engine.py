@@ -94,6 +94,12 @@ class InvalidConfigError(ValueError):
     pass
 
 
+def _default_compression() -> str:
+    from .compression import COMPRESSION_SNAPPY, compression_available
+
+    return COMPRESSION_SNAPPY if compression_available(COMPRESSION_SNAPPY) else COMPRESSION_ZSTD
+
+
 @dataclass
 class BloomSearchEngineConfig:
     """Engine configuration (reference BloomSearchEngineConfig, :158-229).
@@ -124,7 +130,10 @@ class BloomSearchEngineConfig:
     file_bloom_expected_items: int = 100_000
     bloom_false_positive_rate: float = 0.001
 
-    row_data_compression: str = COMPRESSION_ZSTD
+    # Default to snappy for fast decompression like the reference
+    # (bloom_tree_engine.go:223-224); falls back to zstd if the native
+    # snappy codec isn't built.
+    row_data_compression: str = dc_field(default_factory=lambda: _default_compression())
     zstd_compression_level: int = 3
 
     max_files_to_merge_per_operation: int = 10

@@ -87,6 +87,18 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.bs_split_rows.restype = ctypes.c_int64
+        lib.bs_snappy_max_compressed.argtypes = [ctypes.c_int64]
+        lib.bs_snappy_max_compressed.restype = ctypes.c_int64
+        lib.bs_snappy_compress_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.bs_snappy_compress_block.restype = ctypes.c_int64
+        lib.bs_snappy_uncompressed_length.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.bs_snappy_uncompressed_length.restype = ctypes.c_int64
+        lib.bs_snappy_decompress_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.bs_snappy_decompress_block.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -149,6 +161,42 @@ def crc32c(data, crc_in: int = 0) -> int:
     assert lib is not None
     buf = np.frombuffer(data, dtype=np.uint8) if len(data) else np.empty(0, dtype=np.uint8)
     return int(lib.bs_crc32c(_ptr(buf), buf.size, ctypes.c_uint32(crc_in)))
+
+
+SNAPPY_MAX_BLOCK_INPUT = 65536
+
+
+def snappy_available() -> bool:
+    return available()
+
+
+def snappy_compress_block(data: bytes) -> bytes:
+    """Compress one <=64 KiB block into the snappy block format."""
+    lib = _load()
+    assert lib is not None
+    n = len(data)
+    assert n <= SNAPPY_MAX_BLOCK_INPUT
+    buf = np.frombuffer(data, dtype=np.uint8) if n else np.empty(0, dtype=np.uint8)
+    out = np.empty(int(lib.bs_snappy_max_compressed(n)), dtype=np.uint8)
+    written = lib.bs_snappy_compress_block(_ptr(buf), n, _ptr(out))
+    if written < 0:
+        raise ValueError("snappy compress failed")
+    return out[:written].tobytes()
+
+
+def snappy_decompress_block(data: bytes) -> bytes:
+    """Decompress one snappy block."""
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    expected = lib.bs_snappy_uncompressed_length(_ptr(buf), buf.size)
+    if expected < 0 or expected > SNAPPY_MAX_BLOCK_INPUT:
+        raise ValueError("malformed snappy block header")
+    out = np.empty(int(expected), dtype=np.uint8)
+    written = lib.bs_snappy_decompress_block(_ptr(buf), buf.size, _ptr(out), expected)
+    if written != expected:
+        raise ValueError(f"malformed snappy block (wrote {written}, expected {expected})")
+    return out.tobytes()
 
 
 def split_rows(data: np.ndarray, max_rows: int) -> Optional[tuple[np.ndarray, np.ndarray]]:

@@ -1,35 +1,74 @@
 """Snappy codec backed by the native C++ library (chunked stream framing).
 
-Stream framing (our own format — files are not interchange with the Go
-reference): a sequence of chunks, each ``uint32 LE compressed_len`` followed
-by one raw snappy block. ``SnappyStreamCompressor`` cuts a chunk per
-``compress()`` call whose cumulative input exceeds the chunk size.
+The reference defaults to snappy for fast decompression
+(bloom_tree_engine.go:223-224); this module provides the same codec choice
+via our own C++ implementation of the public snappy block format.
 
-Until the native snappy kernels land this module reports unavailable and the
-engine's config validation rejects ``compression="snappy"``.
+Stream framing (our own; files are not byte-interchange with the Go
+reference): a sequence of chunks, each ``uint32 LE compressed_len`` followed
+by one snappy block covering up to 64 KiB of input. Blocks are independent,
+so decompression is a simple chunk walk and a corrupted chunk cannot poison
+the rest of the stream.
 """
 
 from __future__ import annotations
 
+import struct
+
+from . import native
+
+CHUNK_SIZE = native.SNAPPY_MAX_BLOCK_INPUT  # 64 KiB per snappy block
+
 
 def available() -> bool:
-    from . import native
-
-    return native.snappy_available() if hasattr(native, "snappy_available") else False
+    return native.snappy_available()
 
 
 class SnappyStreamCompressor:
+    """Incremental chunked compressor with the StreamEncoder obj protocol."""
+
     def __init__(self):
-        raise RuntimeError(
-            "snappy compression requires the native library (not available)"
-        )
+        if not available():
+            raise RuntimeError("snappy compression requires the native library")
+        self._pending = bytearray()
 
-    def compress(self, data: bytes) -> bytes:  # pragma: no cover - stub
-        raise NotImplementedError
+    def _emit_full_chunks(self) -> bytes:
+        out = bytearray()
+        while len(self._pending) >= CHUNK_SIZE:
+            chunk = bytes(self._pending[:CHUNK_SIZE])
+            del self._pending[:CHUNK_SIZE]
+            compressed = native.snappy_compress_block(chunk)
+            out += struct.pack("<I", len(compressed))
+            out += compressed
+        return bytes(out)
 
-    def flush(self) -> bytes:  # pragma: no cover - stub
-        raise NotImplementedError
+    def compress(self, data: bytes) -> bytes:
+        self._pending += data
+        return self._emit_full_chunks()
+
+    def flush(self) -> bytes:
+        out = bytearray(self._emit_full_chunks())
+        if self._pending:
+            compressed = native.snappy_compress_block(bytes(self._pending))
+            self._pending.clear()
+            out += struct.pack("<I", len(compressed))
+            out += compressed
+        return bytes(out)
 
 
 def decompress_stream(data: bytes) -> bytes:
-    raise RuntimeError("snappy decompression requires the native library (not available)")
+    if not available():
+        raise RuntimeError("snappy decompression requires the native library")
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("truncated snappy stream chunk header")
+        (clen,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if pos + clen > n:
+            raise ValueError("truncated snappy stream chunk")
+        out += native.snappy_decompress_block(data[pos : pos + clen])
+        pos += clen
+    return bytes(out)

@@ -1,0 +1,99 @@
+"""Native snappy codec: block round-trips, stream framing, engine E2E."""
+
+import random
+
+import pytest
+
+import bloomsearch_tpu as bs
+from bloomsearch_tpu import native
+from bloomsearch_tpu import snappy
+from bloomsearch_tpu.compression import StreamEncoder, decompress_block
+
+pytestmark = pytest.mark.skipif(not snappy.available(), reason="native lib unavailable")
+
+
+def random_bytes(rng, n):
+    return bytes(rng.randrange(256) for _ in range(n))
+
+
+class TestBlockRoundTrip:
+    @pytest.mark.parametrize("size", [0, 1, 10, 100, 4096, 65535, 65536])
+    def test_incompressible_round_trip(self, size):
+        rng = random.Random(size)
+        data = random_bytes(rng, size)
+        compressed = native.snappy_compress_block(data)
+        assert native.snappy_decompress_block(compressed) == data
+
+    @pytest.mark.parametrize("size", [10, 1000, 65536])
+    def test_compressible_round_trip(self, size):
+        data = (b"abcdefgh" * (size // 8 + 1))[:size]
+        compressed = native.snappy_compress_block(data)
+        assert native.snappy_decompress_block(compressed) == data
+        if size >= 1000:
+            assert len(compressed) < size // 4, "repetitive data should compress well"
+
+    def test_rle_run(self):
+        data = b"\x00" * 50000
+        compressed = native.snappy_compress_block(data)
+        assert len(compressed) < 3000  # snappy copies cap at 64 bytes: ~3B per 64
+        assert native.snappy_decompress_block(compressed) == data
+
+    def test_json_like_payload(self):
+        rng = random.Random(7)
+        rows = [
+            ('{"user": "u%d", "level": "info", "msg": "request %d ok"}' % (rng.randrange(100), i)).encode()
+            for i in range(500)
+        ]
+        data = b"".join(rows)[:65536]
+        compressed = native.snappy_compress_block(data)
+        assert native.snappy_decompress_block(compressed) == data
+        assert len(compressed) < len(data) // 2
+
+    def test_corrupt_block_detected(self):
+        data = b"hello world, hello world, hello world!"
+        compressed = bytearray(native.snappy_compress_block(data))
+        compressed[1] ^= 0xFF
+        with pytest.raises(ValueError):
+            # Either header or body becomes inconsistent.
+            out = native.snappy_decompress_block(bytes(compressed))
+            if out != data:
+                raise ValueError("mismatch")
+
+
+class TestStreamFraming:
+    def test_multi_chunk_stream(self):
+        rng = random.Random(1)
+        data = random_bytes(rng, 200_000)  # > 3 chunks
+        comp = snappy.SnappyStreamCompressor()
+        out = comp.compress(data[:100_000])
+        out += comp.compress(data[100_000:])
+        out += comp.flush()
+        assert snappy.decompress_stream(out) == data
+
+    def test_stream_encoder_integration(self):
+        enc = StreamEncoder("snappy")
+        payload = b'{"a": 1}' * 10000
+        enc.write(payload)
+        compressed = enc.finish()
+        assert decompress_block(compressed, "snappy") == payload
+        assert enc.uncompressed_len == len(payload)
+
+
+class TestEngineWithSnappy:
+    def test_ingest_flush_query_round_trip(self, tmp_path):
+        store = bs.FileSystemDataStore(str(tmp_path / "data"))
+        config = bs.BloomSearchEngineConfig(row_data_compression="snappy")
+        engine = bs.BloomSearchEngine(config, store, store)
+        engine.start()
+        try:
+            engine.ingest_rows(
+                [{"n": i, "word": f"w{i}", "tag": "all"} for i in range(200)], timeout=10
+            )
+            engine.flush(timeout=10)
+            files = store.get_maybe_files_for_query(None)
+            assert files[0].metadata.data_blocks[0].compression == "snappy"
+            rows = engine.query_sync(bs.new_query().token("w42").build(), timeout=10)
+            assert len(rows) == 1 and rows[0]["n"] == 42
+            assert len(engine.query_sync(bs.new_query().token("all").build(), timeout=10)) == 200
+        finally:
+            engine.stop(timeout=10)
