@@ -446,4 +446,67 @@ BS_EXPORT int64_t bs_snappy_decompress_block(const uint8_t* in, int64_t n,
   return op - out;
 }
 
+// ---------------------------------------------------------------------------
+// Candidate row scan: multi-needle case-insensitive substring search over a
+// decompressed block, mapping hits to rows. A sound *pre-filter* for row
+// verification — a row can only match token/field conditions if the needle
+// bytes appear in it — so JSON parsing runs only on candidates; exact
+// verification upstream keeps zero false positives.
+// ---------------------------------------------------------------------------
+
+#include <cstdlib>
+#include <cstring>
+
+// out is uint8[n_needles * n_rows] (row-major per needle), set to 1 where the
+// needle occurs within (or overlapping) the row's byte range. Needles and
+// data are compared case-insensitively for ASCII letters. Returns 0 on
+// success, -1 on allocation failure.
+BS_EXPORT int64_t bs_scan_candidates(
+    const uint8_t* data, int64_t n,
+    const uint8_t* needles, const int64_t* needle_offsets, int64_t n_needles,
+    const int64_t* row_offsets, const int64_t* row_lengths, int64_t n_rows,
+    uint8_t* out) {
+  if (n == 0 || n_rows == 0) return 0;
+  // Lowercase the buffer once; searches are then exact matches.
+  uint8_t* lower = (uint8_t*)std::malloc((size_t)n);
+  if (!lower) return -1;
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t c = data[i];
+    lower[i] = (c >= 'A' && c <= 'Z') ? (uint8_t)(c + 32) : c;
+  }
+
+  for (int64_t q = 0; q < n_needles; q++) {
+    const uint8_t* needle = needles + needle_offsets[q];
+    const int64_t nlen = needle_offsets[q + 1] - needle_offsets[q];
+    uint8_t* row_out = out + q * n_rows;
+    if (nlen == 0 || nlen > n) {
+      // Degenerate needle: conservatively every row is a candidate.
+      std::memset(row_out, 1, (size_t)n_rows);
+      continue;
+    }
+    int64_t row = 0;
+    const uint8_t* cursor = lower;
+    const uint8_t* end = lower + n;
+    while (cursor < end) {
+      const uint8_t* hit =
+          (const uint8_t*)memmem(cursor, end - cursor, needle, (size_t)nlen);
+      if (!hit) break;
+      const int64_t hit_start = hit - lower;
+      const int64_t hit_end = hit_start + nlen - 1;
+      // Advance to the first row whose range could include hit_start.
+      while (row < n_rows && row_offsets[row] + row_lengths[row] <= hit_start) {
+        row++;
+      }
+      // Mark every row the hit overlaps (row-spanning hits mark both sides:
+      // conservative, exact verification rejects the false side).
+      for (int64_t r = row; r < n_rows && row_offsets[r] <= hit_end; r++) {
+        row_out[r] = 1;
+      }
+      cursor = hit + 1;
+    }
+  }
+  std::free(lower);
+  return 0;
+}
+
 BS_EXPORT int64_t bs_version() { return 1; }

@@ -572,8 +572,10 @@ class BloomSearchEngine:
         stats_queue: Optional[queue.Queue],
         cancel_event: Optional[threading.Event],
     ) -> None:
+        # Row bloom AND the regex field guard prune together (reference :949).
+        prune_query = and_bloom_queries(q.bloom, regex_field_guard_bloom_query(q.regex))
         try:
-            jobs = self._plan_query_jobs(q, stats_queue)
+            jobs = self._plan_query_jobs(q, prune_query, stats_queue)
         except Exception as exc:
             try_put(error_queue, exc)
             result_queue.put(None)
@@ -583,6 +585,12 @@ class BloomSearchEngine:
             result_queue.put(None)
             return
 
+        # Candidate-scan pre-filter for the decode stage (scan.py): sound
+        # necessary-condition substring pruning over the prune query.
+        from .scan import compile_scan_plan
+
+        scan_plan = compile_scan_plan(prune_query, self.config.delimiter)
+
         job_queue: queue.Queue = queue.Queue()
         for job in jobs:
             job_queue.put(job)
@@ -591,7 +599,10 @@ class BloomSearchEngine:
         for _ in range(num_workers):
             w = threading.Thread(
                 target=self._query_worker,
-                args=(q, compiled_regex, job_queue, result_queue, error_queue, stats_queue, cancel_event),
+                args=(
+                    q, compiled_regex, scan_plan, job_queue, result_queue,
+                    error_queue, stats_queue, cancel_event,
+                ),
                 daemon=True,
             )
             w.start()
@@ -601,15 +612,13 @@ class BloomSearchEngine:
         result_queue.put(None)
 
     def _plan_query_jobs(
-        self, q: Query, stats_queue: Optional[queue.Queue]
+        self, q: Query, prune_query: Optional[BloomQuery], stats_queue: Optional[queue.Queue]
     ) -> list[_DataBlockJob]:
         """Hierarchical prune: prefilter → file bloom → block bloom.
 
         Returns only the (file, block) jobs whose blocks survived all filter
         stages; bloom-skipped blocks emit stats immediately (skipped=True).
         """
-        # Row bloom AND the regex field guard prune together (reference :949).
-        prune_query = and_bloom_queries(q.bloom, regex_field_guard_bloom_query(q.regex))
         terms = compile_bloom_terms(prune_query)
 
         maybe_files = self.meta_store.get_maybe_files_for_query(q.prefilter)
@@ -717,6 +726,7 @@ class BloomSearchEngine:
         self,
         q: Query,
         compiled_regex,
+        scan_plan,
         job_queue: queue.Queue,
         result_queue: queue.Queue,
         error_queue: Optional[queue.Queue],
@@ -733,7 +743,7 @@ class BloomSearchEngine:
             with self._query_semaphore:
                 try:
                     self._process_data_block(
-                        q, compiled_regex, job, result_queue, stats_queue, cancel_event
+                        q, compiled_regex, scan_plan, job, result_queue, stats_queue, cancel_event
                     )
                 except Exception as exc:
                     try_put(error_queue, exc)
@@ -743,12 +753,20 @@ class BloomSearchEngine:
         self,
         q: Query,
         compiled_regex,
+        scan_plan,
         job: _DataBlockJob,
         result_queue: queue.Queue,
         stats_queue: Optional[queue.Queue],
         cancel_event: Optional[threading.Event],
     ) -> None:
-        """Decode a surviving block and exactly verify every row (:1066-1204)."""
+        """Decode a surviving block, candidate-scan it, and exactly verify.
+
+        The reference parses + gjson-verifies every row (:1156-1194); here the
+        native substring scan prunes to candidate rows first and only those
+        are JSON-parsed — same exact results, far less parse work.
+        """
+        from .scan import candidate_rows, split_rows_arrays
+
         start = time.monotonic()
         stats = BlockStats(
             file_pointer=job.file_pointer,
@@ -762,15 +780,26 @@ class BloomSearchEngine:
             data = decompress_block(
                 compressed, job.block.compression, job.block.uncompressed_size
             )
-            row_payloads = split_rows(data, max_rows=max(job.block.rows, 1) * 2 + 16)
+            buf, offsets, lengths = split_rows_arrays(data)
+            num_rows = offsets.shape[0]
+            stats.rows_processed = num_rows
+            stats.bytes_processed = int(lengths.sum())
+
+            candidate_idx = None
+            if scan_plan is not None:
+                mask = candidate_rows(scan_plan, buf, offsets, lengths)
+                if mask is not None:
+                    candidate_idx = np.nonzero(mask)[0]
+            if candidate_idx is None:
+                candidate_idx = range(num_rows)
+
             tokenizer = self.config.tokenizer
             delimiter = self.config.delimiter
-            for payload in row_payloads:
+            for i in candidate_idx:
                 if cancel_event is not None and cancel_event.is_set():
                     return
+                payload = data[offsets[i] : offsets[i] + lengths[i]]
                 parsed = json.loads(payload)
-                stats.rows_processed += 1
-                stats.bytes_processed += len(payload)
                 if row_matches_query(parsed, q.bloom, compiled_regex, delimiter, tokenizer):
                     result_queue.put(parsed)
         finally:

@@ -99,6 +99,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ]
         lib.bs_snappy_decompress_block.restype = ctypes.c_int64
+        lib.bs_scan_candidates.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.bs_scan_candidates.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -161,6 +168,38 @@ def crc32c(data, crc_in: int = 0) -> int:
     assert lib is not None
     buf = np.frombuffer(data, dtype=np.uint8) if len(data) else np.empty(0, dtype=np.uint8)
     return int(lib.bs_crc32c(_ptr(buf), buf.size, ctypes.c_uint32(crc_in)))
+
+
+def scan_candidates(
+    data: np.ndarray,
+    needles: list[bytes],
+    row_offsets: np.ndarray,
+    row_lengths: np.ndarray,
+) -> Optional[np.ndarray]:
+    """Multi-needle case-insensitive substring scan -> bool[needles, rows]."""
+    lib = _load()
+    assert lib is not None
+    n_rows = row_offsets.shape[0]
+    n_needles = len(needles)
+    out = np.zeros((n_needles, n_rows), dtype=np.uint8)
+    if n_rows == 0 or n_needles == 0:
+        return out.astype(bool)
+    lengths = np.fromiter((len(b) for b in needles), dtype=np.int64, count=n_needles)
+    offsets = np.zeros(n_needles + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    blob = b"".join(needles)
+    needle_buf = np.frombuffer(blob, dtype=np.uint8) if blob else np.empty(0, dtype=np.uint8)
+    row_offsets = np.ascontiguousarray(row_offsets, dtype=np.int64)
+    row_lengths = np.ascontiguousarray(row_lengths, dtype=np.int64)
+    rc = lib.bs_scan_candidates(
+        _ptr(data), data.size,
+        _ptr(needle_buf), _ptr(offsets), n_needles,
+        _ptr(row_offsets), _ptr(row_lengths), n_rows,
+        _ptr(out),
+    )
+    if rc != 0:
+        return None
+    return out.astype(bool)
 
 
 SNAPPY_MAX_BLOCK_INPUT = 65536

@@ -1,0 +1,165 @@
+"""Candidate row scanning: substring pre-filter before exact verification.
+
+The reference's block hot loop parses and verifies EVERY row of a surviving
+block with gjson (bloom_tree_engine.go:1156-1194) — that scan is its query
+bottleneck. Here, a sound necessary-condition pre-filter runs first: a row
+can only match
+
+- a TOKEN / FIELD_TOKEN condition if the token's bytes appear in the row
+  (tokens are whitespace-delimited substrings of the value, and values are
+  stored verbatim in the row JSON), and
+- a FIELD condition if its last path segment appears as a JSON key
+  (``"seg":`` — our ingest always writes compact separators),
+
+so a multi-needle case-insensitive substring scan (native C++ memmem over a
+lowercased copy) yields a per-condition row bitmask, the bloom AND/OR tree
+evaluates over those bitmasks, and only candidate rows get JSON-parsed and
+exactly verified. Zero false negatives by construction:
+
+- needles that could be altered by JSON string escaping (containing ``"``,
+  ``\\``, control bytes, or any non-ASCII — json.dumps escapes non-ASCII)
+  are declared unusable and their condition conservatively matches all rows;
+- hits spanning row boundaries mark both rows;
+- regex conditions never pre-filter (their field guard already pruned blocks).
+
+False positives are fine — the exact row verification stage still runs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from . import native
+from .query import (
+    BloomConditionType,
+    BloomExpression,
+    BloomQuery,
+    bloom_query_conditions,
+)
+from .bloom.probe import evaluate_match_expression
+
+
+def _usable_needle(text: str) -> bool:
+    if not text:
+        return False
+    for ch in text:
+        code = ord(ch)
+        if code < 0x20 or code > 0x7E:  # control or non-ASCII
+            return False
+        if ch in ('"', "\\"):
+            return False
+    return True
+
+
+class ScanPlan:
+    """Per-query compiled needle set + expression over condition bitmasks."""
+
+    __slots__ = ("expression", "conditions", "needles", "needle_index", "term_index")
+
+    def __init__(self, expression: BloomExpression, conditions, needles, needle_index):
+        self.expression = expression
+        self.conditions = conditions
+        self.needles = needles  # list[bytes] for the usable conditions
+        self.needle_index = needle_index  # condition idx -> needle row or None
+        self.term_index = {
+            (c.type, c.field, c.token): i for i, c in enumerate(conditions)
+        }
+
+
+def compile_scan_plan(
+    bloom_query: Optional[BloomQuery], delimiter: str = "."
+) -> Optional[ScanPlan]:
+    """Build a scan plan; None when scanning can't help (no usable needle
+    or the native scanner is unavailable)."""
+    if bloom_query is None or bloom_query.expression is None:
+        return None
+    if not native.available():
+        return None
+    conditions = bloom_query_conditions(bloom_query.expression)
+    if not conditions:
+        return None
+    needles: list[bytes] = []
+    needle_index: list[Optional[int]] = []
+    for cond in conditions:
+        needle: Optional[bytes] = None
+        if cond.type in (BloomConditionType.TOKEN, BloomConditionType.FIELD_TOKEN):
+            if _usable_needle(cond.token):
+                needle = cond.token.lower().encode("ascii")
+        elif cond.type == BloomConditionType.FIELD:
+            segment = cond.field.split(delimiter)[-1]
+            if _usable_needle(segment):
+                needle = ('"' + segment.lower() + '":').encode("ascii")
+        if needle is None:
+            needle_index.append(None)
+        else:
+            needle_index.append(len(needles))
+            needles.append(needle)
+    if not needles:
+        return None
+    return ScanPlan(bloom_query.expression, conditions, needles, needle_index)
+
+
+def candidate_rows(
+    plan: ScanPlan,
+    data: np.ndarray,
+    row_offsets: np.ndarray,
+    row_lengths: np.ndarray,
+) -> Optional[np.ndarray]:
+    """bool[num_rows] candidate mask, or None to fall back to full verify."""
+    n_rows = row_offsets.shape[0]
+    scanned = native.scan_candidates(data, plan.needles, row_offsets, row_lengths)
+    if scanned is None:
+        return None
+    # Matrix over ALL conditions: unusable ones conservatively all-True.
+    matrix = np.ones((len(plan.conditions), n_rows), dtype=bool)
+    for cond_idx, needle_row in enumerate(plan.needle_index):
+        if needle_row is not None:
+            matrix[cond_idx] = scanned[needle_row]
+
+    class _TermsView:
+        term_index = plan.term_index
+
+    return np.asarray(
+        evaluate_match_expression(plan.expression, _TermsView, matrix, n_rows)
+    )
+
+
+def split_rows_arrays(data: bytes):
+    """Length-prefixed stream -> (uint8 buffer, offsets[int64], lengths[int64]).
+
+    Array-of-offsets variant of file_format.split_rows for the scan path.
+    """
+    import struct
+
+    from .file_format import InvalidFormatError
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if len(data) == 0:
+        return buf, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    if native.available():
+        result = native.split_rows(buf, max_rows=len(data) // 4 + 1)
+        if result is None:
+            raise InvalidFormatError("malformed length-prefixed row stream")
+        offsets, lengths = result
+        return buf, offsets, lengths
+    offsets_list = []
+    lengths_list = []
+    pos = 0
+    n = len(data)
+    while pos + 4 <= n:
+        (length,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if pos + length > n:
+            raise InvalidFormatError("malformed length-prefixed row stream")
+        offsets_list.append(pos)
+        lengths_list.append(length)
+        pos += length
+    if pos != n:
+        raise InvalidFormatError("malformed length-prefixed row stream")
+    return (
+        buf,
+        np.asarray(offsets_list, dtype=np.int64),
+        np.asarray(lengths_list, dtype=np.int64),
+    )

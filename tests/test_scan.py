@@ -1,0 +1,155 @@
+"""Candidate-scan pre-filter: soundness (no false negatives) + engine parity."""
+
+import json
+import random
+
+import numpy as np
+import pytest
+
+import bloomsearch_tpu as bs
+from bloomsearch_tpu import native
+from bloomsearch_tpu.query import and_bloom_queries, regex_field_guard_bloom_query
+from bloomsearch_tpu.scan import candidate_rows, compile_scan_plan, split_rows_arrays
+from bloomsearch_tpu.file_format import encode_row
+from bloomsearch_tpu.tokenizer import basic_whitespace_lower_tokenizer, row_matches_bloom_expression
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+
+
+def rows_to_stream(rows: list[dict]) -> bytes:
+    return b"".join(
+        encode_row(json.dumps(r, separators=(",", ":")).encode()) for r in rows
+    )
+
+
+def scan_mask(query_bloom, rows):
+    plan = compile_scan_plan(query_bloom)
+    if plan is None:
+        return None
+    data = rows_to_stream(rows)
+    buf, offsets, lengths = split_rows_arrays(data)
+    return candidate_rows(plan, buf, offsets, lengths)
+
+
+class TestScanSoundness:
+    def test_no_false_negatives_random_rows(self):
+        rng = random.Random(42)
+        words = ["alpha", "bravo", "Charlie", "delta-9", "ECHO", "fox trot", "42", "true"]
+        rows = []
+        for i in range(300):
+            row = {
+                "id": i,
+                "msg": " ".join(rng.choice(words) for _ in range(rng.randrange(1, 5))),
+                "level": rng.choice(["info", "warn", "error"]),
+            }
+            if rng.random() < 0.3:
+                row["extra"] = {"nested": rng.choice(words)}
+            rows.append(row)
+
+        queries = [
+            bs.new_query().token("alpha").build(),
+            bs.new_query().token("charlie").build(),  # case-insensitive
+            bs.new_query().field_token("level", "error").build(),
+            bs.new_query().field("extra.nested").build(),
+            bs.new_query().match(
+                bs.or_(bs.token("echo"), bs.and_(bs.token("42"), bs.field("msg")))
+            ).build(),
+        ]
+        parsed_rows = [json.loads(json.dumps(r)) for r in rows]
+        for q in queries:
+            mask = scan_mask(q.bloom, rows)
+            assert mask is not None
+            for i, parsed in enumerate(parsed_rows):
+                truly_matches = row_matches_bloom_expression(
+                    parsed, q.bloom.expression, ".", basic_whitespace_lower_tokenizer
+                )
+                if truly_matches:
+                    assert mask[i], f"FALSE NEGATIVE: row {i} for query {q.bloom}"
+
+    def test_prunes_non_matching_rows(self):
+        rows = [{"msg": f"word{i}"} for i in range(100)]
+        rows.append({"msg": "needle here"})
+        q = bs.new_query().token("needle").build()
+        mask = scan_mask(q.bloom, rows)
+        assert mask is not None
+        assert mask.sum() == 1 and mask[100]
+
+    def test_unusable_needles_conservative(self):
+        # Quotes and non-ASCII make a needle unusable -> all rows candidates.
+        rows = [{"msg": 'has "quoted" token'}, {"msg": "café open"}]
+        q1 = bs.new_query().token('"quoted"').build()
+        assert compile_scan_plan(q1.bloom) is None  # only condition unusable
+        q2 = bs.new_query().token("café").token("open").build()
+        mask = scan_mask(q2.bloom, rows)
+        # 'café' can't scan (json escapes non-ASCII) but 'open' can: row 1 only.
+        assert mask is not None
+        assert not mask[0] and mask[1]
+
+    def test_field_needle_matches_key_not_value(self):
+        rows = [
+            {"special": 1},
+            {"msg": "the word special appears as a value"},
+        ]
+        q = bs.new_query().field("special").build()
+        mask = scan_mask(q.bloom, rows)
+        # Row 0 has the key; row 1 contains "special" but not '"special":'.
+        assert mask[0] and not mask[1]
+
+    def test_regex_field_guard_participates(self):
+        rows = [{"target_field": "abc"}, {"other": "xyz"}]
+        q = bs.new_query().field_regex("target_field", "^a").build()
+        prune = and_bloom_queries(q.bloom, regex_field_guard_bloom_query(q.regex))
+        mask = scan_mask(prune, rows)
+        assert mask[0] and not mask[1]
+
+    def test_hit_spanning_rows_is_conservative(self):
+        # Construct rows where the needle spans the boundary bytes of two
+        # rows; both get marked, neither truly matches -> exact verify culls.
+        rows = [{"a": "ends with nee"}, {"b": "dle starts"}]
+        q = bs.new_query().token("needledoesnotexist").build()
+        mask = scan_mask(q.bloom, rows)
+        assert mask is not None  # plan exists; no matches expected
+        assert not mask.any()
+
+
+class TestEngineScanParity:
+    def test_results_identical_with_and_without_scan(self, tmp_path):
+        store = bs.FileSystemDataStore(str(tmp_path / "data"))
+        config = bs.BloomSearchEngineConfig(row_data_compression="none", probe_backend="host")
+        engine = bs.BloomSearchEngine(config, store, store)
+        engine.start()
+        try:
+            rng = random.Random(0)
+            rows = [
+                {"n": i, "msg": f"entry {i} " + ("MATCH-me" if i % 37 == 0 else "nothing")}
+                for i in range(500)
+            ]
+            engine.ingest_rows(rows, timeout=10)
+            engine.flush(timeout=10)
+            expected = sorted(
+                r["n"] for r in rows if "MATCH-me" in r["msg"]
+            )
+            got = sorted(
+                r["n"]
+                for r in engine.query_sync(bs.new_query().token("match-me").build(), timeout=10)
+            )
+            assert got == expected
+
+            # Force the no-scan path and compare.
+            import bloomsearch_tpu.engine as eng_mod
+            from bloomsearch_tpu import scan as scan_mod
+
+            orig = scan_mod.compile_scan_plan
+            scan_mod.compile_scan_plan = lambda *a, **k: None
+            try:
+                got2 = sorted(
+                    r["n"]
+                    for r in engine.query_sync(
+                        bs.new_query().token("match-me").build(), timeout=10
+                    )
+                )
+            finally:
+                scan_mod.compile_scan_plan = orig
+            assert got2 == expected
+        finally:
+            engine.stop(timeout=10)
