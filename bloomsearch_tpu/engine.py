@@ -130,6 +130,14 @@ class BloomSearchEngineConfig:
     file_bloom_expected_items: int = 100_000
     bloom_false_positive_rate: float = 0.001
 
+    # Block filters are sized by the row-group row cap like the reference
+    # (:518-520) — but each row inserts many distinct keys (fields + tokens +
+    # field:token pairs), so high-cardinality data saturates filters sized
+    # that way (the reference's own benchmark degrades to full scans for
+    # this reason). Set this to the expected distinct KEYS per block to keep
+    # the configured FPR honest; None keeps reference-parity sizing.
+    block_bloom_expected_items: Optional[int] = None
+
     # Default to snappy for fast decompression like the reference
     # (bloom_tree_engine.go:223-224); falls back to zstd if the native
     # snappy codec isn't built.
@@ -155,8 +163,10 @@ class BloomSearchEngineConfig:
 
     @property
     def block_bloom_params(self) -> BloomParams:
-        # Block filters are sized by the row-group cap (reference :518-520).
-        return BloomParams(self.max_row_group_rows, self.bloom_false_positive_rate)
+        # Block filters are sized by the row-group cap (reference :518-520)
+        # unless block_bloom_expected_items overrides it.
+        n = self.block_bloom_expected_items or self.max_row_group_rows
+        return BloomParams(n, self.bloom_false_positive_rate)
 
 
 def default_config() -> BloomSearchEngineConfig:

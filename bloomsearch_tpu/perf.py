@@ -1,0 +1,284 @@
+"""End-to-end performance harness.
+
+Modeled on the reference's performance test methodology
+(bloom_tree_engine_performance_test.go): ``generate`` writes a synthetic
+dataset of random JSON rows — 1-5 random keys, string-or-array values,
+random ``00``-``09`` partitions (:30-33, :486-516) plus planted needle rows;
+``inspect`` dumps the file/block/partition layout (:198-260); ``query`` runs
+needle field / token / field:token searches and reports wall time, rows/s
+and bytes/s over all candidate rows, per-worker peaks, and selectivity
+(:263-473) — the numbers PERFORMANCE.md reports for the Go engine.
+
+Usage::
+
+    python -m bloomsearch_tpu.perf generate --dir /tmp/perf --target-mb 200
+    python -m bloomsearch_tpu.perf inspect  --dir /tmp/perf
+    python -m bloomsearch_tpu.perf query    --dir /tmp/perf
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import random
+import string
+import sys
+import time
+
+from .engine import BlockStats, BloomSearchEngine, BloomSearchEngineConfig
+from .stores import FileSystemDataStore
+from .utils import format_bytes_per_second, format_rate
+from . import query as q
+
+NEEDLE_FIELD = "needle_field_xq"
+NEEDLE_TOKEN = "needletoken7q9z"
+NEEDLE_FT_FIELD = "service_zz"
+NEEDLE_FT_TOKEN = "ftneedle3k1x"
+
+
+def _random_value(rng: random.Random) -> object:
+    if rng.random() < 0.2:
+        return [
+            "".join(rng.choices(string.ascii_lowercase, k=rng.randrange(3, 10)))
+            for _ in range(rng.randrange(1, 4))
+        ]
+    words = [
+        "".join(rng.choices(string.ascii_lowercase + string.digits, k=rng.randrange(3, 12)))
+        for _ in range(rng.randrange(1, 6))
+    ]
+    return " ".join(words)
+
+
+def _random_row(rng: random.Random) -> dict:
+    row = {}
+    for _ in range(rng.randrange(1, 6)):
+        key = "".join(rng.choices(string.ascii_lowercase, k=rng.randrange(4, 10)))
+        row[key] = _random_value(rng)
+    row["part"] = f"{rng.randrange(10):02d}"
+    return row
+
+
+def _engine(args, **overrides) -> tuple[BloomSearchEngine, FileSystemDataStore]:
+    store = FileSystemDataStore(args.dir)
+    config = BloomSearchEngineConfig(
+        row_data_compression=args.compression,
+        partition_func=lambda row: row.get("part", ""),
+        max_query_concurrency=args.concurrency,
+        probe_backend=args.probe_backend,
+        **overrides,
+    )
+    engine = BloomSearchEngine(config, store, store)
+    engine.start()
+    return engine, store
+
+
+def cmd_generate(args) -> None:
+    # Large ingest buffers so files end up at realistic sizes (the defaults
+    # flush every 1000 rows, which would produce thousands of tiny files).
+    engine, store = _engine(
+        args,
+        max_buffered_rows=100_000,
+        max_buffered_bytes=64 * 1024 * 1024,
+        max_buffered_time=3600.0,
+    )
+    rng = random.Random(args.seed)
+    target = args.target_mb * 1024 * 1024
+    written = 0
+    rows_written = 0
+    needles_planted = 0
+    t0 = time.perf_counter()
+    try:
+        while written < target:
+            batch = [_random_row(rng) for _ in range(1000)]
+            # Plant a handful of needle rows across the dataset.
+            if needles_planted < 5 and rng.random() < 0.02:
+                batch.append(
+                    {
+                        NEEDLE_FIELD: "present",
+                        "message": f"alpha {NEEDLE_TOKEN} omega",
+                        NEEDLE_FT_FIELD: f"value {NEEDLE_FT_TOKEN}",
+                        "part": f"{rng.randrange(10):02d}",
+                    }
+                )
+                needles_planted += 1
+            engine.ingest_rows(batch, timeout=60)
+            written += sum(len(json.dumps(r)) for r in batch)
+            rows_written += len(batch)
+            if rows_written % 50_000 < 1000:
+                elapsed = time.perf_counter() - t0
+                print(
+                    f"  {rows_written} rows, {written / 1e6:.0f} MB, "
+                    f"{format_rate(rows_written / elapsed)} rows/s",
+                    file=sys.stderr,
+                )
+        # Ensure at least one needle row exists.
+        if needles_planted == 0:
+            engine.ingest_rows(
+                [
+                    {
+                        NEEDLE_FIELD: "present",
+                        "message": f"alpha {NEEDLE_TOKEN} omega",
+                        NEEDLE_FT_FIELD: f"value {NEEDLE_FT_TOKEN}",
+                        "part": "00",
+                    }
+                ],
+                timeout=60,
+            )
+            needles_planted = 1
+        engine.flush(timeout=300)
+    finally:
+        engine.stop(timeout=300)
+    elapsed = time.perf_counter() - t0
+    print(
+        f"generated {rows_written} rows / {written / 1e6:.0f} MB "
+        f"({needles_planted} needles) in {elapsed:.1f}s "
+        f"({format_rate(rows_written / elapsed)} rows/s, "
+        f"{format_bytes_per_second(written / elapsed)})"
+    )
+
+
+def cmd_inspect(args) -> None:
+    store = FileSystemDataStore(args.dir)
+    files = store.get_maybe_files_for_query(None)
+    total_rows = 0
+    total_bytes = 0
+    total_blocks = 0
+    for i, mf in enumerate(files):
+        blocks = mf.metadata.data_blocks
+        rows = sum(b.rows for b in blocks)
+        total_rows += rows
+        total_bytes += mf.size
+        total_blocks += len(blocks)
+        partitions = sorted({b.partition_id for b in blocks})
+        print(
+            f"file {i}: {mf.size / 1e6:.1f} MB, {len(blocks)} blocks, {rows} rows, "
+            f"partitions={partitions[:5]}{'...' if len(partitions) > 5 else ''} "
+            f"bank_groups={len(mf.metadata.bank_groups)}"
+        )
+        if args.blocks:
+            for b in blocks:
+                print(
+                    f"    block@{b.offset}: part={b.partition_id} rows={b.rows} "
+                    f"size={b.size} ({b.compression}, {b.uncompressed_size} raw)"
+                )
+    print(
+        f"total: {len(files)} files, {total_blocks} blocks, {total_rows} rows, "
+        f"{total_bytes / 1e9:.2f} GB"
+    )
+
+
+def _run_one_query(engine, store, label: str, built_query) -> dict:
+    result_q: queue.Queue = queue.Queue()
+    error_q: queue.Queue = queue.Queue()
+    stats_q: queue.Queue = queue.Queue(maxsize=100_000)
+    t0 = time.perf_counter()
+    engine.query(built_query, result_q, error_q, stats_q)
+    results = []
+    while True:
+        item = result_q.get()
+        if item is None:
+            break
+        results.append(item)
+    wall = time.perf_counter() - t0
+    if not error_q.empty():
+        raise error_q.get_nowait()
+
+    stats: list[BlockStats] = []
+    while not stats_q.empty():
+        stats.append(stats_q.get_nowait())
+    candidate_rows = sum(s.total_rows for s in stats)
+    candidate_bytes = sum(s.total_bytes for s in stats)
+    skipped = sum(1 for s in stats if s.bloom_filter_skipped)
+    processed = [s for s in stats if not s.bloom_filter_skipped]
+    processed_rows = sum(s.rows_processed for s in processed)
+    busy = sum(s.duration for s in processed)
+    peak = max(
+        (s.rows_processed / s.duration for s in processed if s.duration > 0),
+        default=0.0,
+    )
+    out = {
+        "label": label,
+        "wall_ms": wall * 1e3,
+        "results": len(results),
+        "candidate_rows": candidate_rows,
+        "candidate_bytes": candidate_bytes,
+        "rows_per_sec": candidate_rows / wall if wall > 0 else 0.0,
+        "bytes_per_sec": candidate_bytes / wall if wall > 0 else 0.0,
+        "blocks_skipped_by_bloom": skipped,
+        "blocks_processed": len(processed),
+        "rows_decoded_or_scanned": processed_rows,
+        "peak_worker_rows_per_sec": peak,
+        "concurrency_factor": busy / wall if wall > 0 else 0.0,
+        "selectivity_pct": 100.0 * len(results) / candidate_rows if candidate_rows else 0.0,
+    }
+    print(
+        f"{label:>14}: {out['wall_ms']:.0f} ms | {out['results']} results | "
+        f"{format_rate(out['rows_per_sec'])} rows/s | "
+        f"{format_bytes_per_second(out['bytes_per_sec'])} | "
+        f"blocks {out['blocks_processed']} scanned / {skipped} bloom-skipped | "
+        f"selectivity {out['selectivity_pct']:.4f}%"
+    )
+    return out
+
+
+def cmd_query(args) -> None:
+    engine, store = _engine(args)
+    try:
+        queries = [
+            ("token", q.new_query().token(NEEDLE_TOKEN).build),
+            ("field", q.new_query().field(NEEDLE_FIELD).build),
+            (
+                "field:token",
+                q.new_query().field_token(NEEDLE_FT_FIELD, NEEDLE_FT_TOKEN).build,
+            ),
+        ]
+        all_results = []
+        for label, build in queries:
+            for rep in range(args.repeat):
+                result = _run_one_query(engine, store, f"{label}#{rep}", build())
+                all_results.append(result)
+        if args.json_out:
+            with open(args.json_out, "w") as fh:
+                json.dump(all_results, fh, indent=2)
+    finally:
+        engine.stop(timeout=60)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="bloomsearch_tpu.perf")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--dir", required=True)
+        p.add_argument("--compression", default=None)
+        p.add_argument("--concurrency", type=int, default=100)
+        p.add_argument("--probe-backend", default="auto")
+
+    g = sub.add_parser("generate")
+    common(g)
+    g.add_argument("--target-mb", type=int, default=100)
+    g.add_argument("--seed", type=int, default=0)
+    g.set_defaults(func=cmd_generate)
+
+    i = sub.add_parser("inspect")
+    common(i)
+    i.add_argument("--blocks", action="store_true")
+    i.set_defaults(func=cmd_inspect)
+
+    qq = sub.add_parser("query")
+    common(qq)
+    qq.add_argument("--repeat", type=int, default=2)
+    qq.add_argument("--json-out", default=None)
+    qq.set_defaults(func=cmd_query)
+
+    args = parser.parse_args(argv)
+    if args.compression is None:
+        from .engine import _default_compression
+
+        args.compression = _default_compression()
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

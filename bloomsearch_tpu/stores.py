@@ -136,6 +136,12 @@ class FileSystemDataStore:
     def __init__(self, root_dir: str):
         os.makedirs(root_dir, exist_ok=True)
         self.root_dir = root_dir
+        # Files are immutable once visible, so parsed footers cache safely:
+        # path -> (size, mtime_ns, FileMetadata). Without this every query
+        # re-reads and re-parses every footer (file-level filters included),
+        # which dominates query latency once files accumulate.
+        self._metadata_cache: dict[str, tuple[int, int, FileMetadata]] = {}
+        self._cache_lock = threading.Lock()
 
     # DataStore
 
@@ -160,27 +166,56 @@ class FileSystemDataStore:
 
     # MetaStore
 
-    def _read_file_metadata(self, path: str) -> FileMetadata:
+    def _read_file_metadata(self, path: str, stat: os.stat_result) -> FileMetadata:
+        key = (stat.st_size, stat.st_mtime_ns)
+        with self._cache_lock:
+            cached = self._metadata_cache.get(path)
+            if cached is not None and cached[:2] == key:
+                return cached[2]
         with open(path, "rb") as fh:
-            return read_file_metadata(fh)
+            metadata = read_file_metadata(fh, file_size=stat.st_size)
+        with self._cache_lock:
+            self._metadata_cache[path] = (key[0], key[1], metadata)
+        return metadata
 
     def get_maybe_files_for_query(self, prefilter: Optional[QueryPrefilter]) -> list[MaybeFile]:
         maybe_files: list[MaybeFile] = []
+        with self._cache_lock:
+            stale = set(self._metadata_cache)
         for name in sorted(os.listdir(self.root_dir)):
             if not name.endswith(".dat"):
                 continue
             path = os.path.join(self.root_dir, name)
+            try:
+                stat = os.stat(path)
+            except FileNotFoundError:
+                continue
             if not os.path.isfile(path):
                 continue
-            metadata = self._read_file_metadata(path)
-            metadata.data_blocks = filter_data_blocks(metadata.data_blocks, prefilter)
-            size = os.path.getsize(path)
+            stale.discard(path)
+            cached = self._read_file_metadata(path, stat)
+            # Never mutate the cached object: present a shallow view with the
+            # prefiltered block list (meta_store.go:33-41 allows subsetting).
+            metadata = FileMetadata(
+                bloom_filters=cached.bloom_filters,
+                bloom_expected_items=cached.bloom_expected_items,
+                bloom_false_positive_rate=cached.bloom_false_positive_rate,
+                data_blocks=filter_data_blocks(cached.data_blocks, prefilter),
+                bank_groups=cached.bank_groups,
+                hash_name=cached.hash_name,
+            )
             # Include all files when unfiltered; otherwise only files with
             # surviving blocks (testing_file_system_store.go:168-175).
             if prefilter is None or metadata.data_blocks:
                 maybe_files.append(
-                    MaybeFile(pointer=path.encode("utf-8"), metadata=metadata, size=size)
+                    MaybeFile(
+                        pointer=path.encode("utf-8"), metadata=metadata, size=stat.st_size
+                    )
                 )
+        if stale:
+            with self._cache_lock:
+                for path in stale:
+                    self._metadata_cache.pop(path, None)
         return maybe_files
 
     def update(self, writes, deletes) -> None:

@@ -408,6 +408,26 @@ class TestConcurrencyBound:
             engine.stop(timeout=TIMEOUT)
 
 
+class TestBlockBloomSizing:
+    def test_expected_items_override_changes_params(self, tmp_path):
+        engine, store = make_engine(tmp_path, block_bloom_expected_items=200_000)
+        try:
+            ingest_and_flush(engine, SAMPLE_ROWS)
+            block = store.get_maybe_files_for_query(None)[0].metadata.data_blocks[0]
+            assert block.bloom_expected_items == 200_000
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_default_sized_by_row_group_rows(self, tmp_path):
+        engine, store = make_engine(tmp_path)
+        try:
+            ingest_and_flush(engine, SAMPLE_ROWS)
+            block = store.get_maybe_files_for_query(None)[0].metadata.data_blocks[0]
+            assert block.bloom_expected_items == engine.config.max_row_group_rows
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+
 class TestBlockStatsSkip:
     def test_bloom_skipped_blocks_reported(self, tmp_path):
         engine, _ = make_engine(tmp_path, partition_func=lambda row: str(row["p"]))
