@@ -509,4 +509,355 @@ BS_EXPORT int64_t bs_scan_candidates(
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Ingest tokenizer: parse a batch of compact JSON rows (ASCII bytes — the
+// engine serializes with json.dumps ensure_ascii), walk fields exactly like
+// the Python tokenizer (dot paths, array indices dropped), tokenize values
+// (ASCII-lower + whitespace split), and emit deduplicated murmur3 hash pairs
+// for the three keyspaces directly — no key strings cross the FFI boundary.
+//
+// Exactness contract with bloomsearch_tpu/tokenizer.py (the semantic spec):
+// - number tokens are the JSON number text with a trailing ".0" stripped
+//   (json.dumps writes repr(); go_like_str == repr() minus trailing .0)
+// - Infinity/-Infinity/NaN literals map to "+inf"/"-inf"/"nan"
+// - bools are "true"/"false"; null contributes nothing
+// - whitespace = ASCII 0x09-0x0d, 0x1c-0x1f, 0x20 (Python str.split's ASCII
+//   subset); lowering is ASCII-only
+// - any \uXXXX escape >= 0x80 or >= 0x80-codepoint content means unicode
+//   lowering/whitespace rules could apply: the row is flagged for the
+//   Python fallback path instead (zero-divergence guarantee).
+// ---------------------------------------------------------------------------
+
+namespace ingest {
+
+struct HashSink {
+  uint64_t* out;      // [cap, 2]
+  int64_t cap;
+  int64_t count;
+  // open-addressing dedup set of full (h1, h2) pairs; empty = (0, 0),
+  // which only murmur3("") produces and empty keys never occur.
+  uint64_t* set_keys;  // [set_size, 2]
+  int64_t set_size;    // power of two
+  bool overflow;
+
+  bool add(uint64_t h1, uint64_t h2) {
+    uint64_t slot = (h1 ^ (h2 * 0x9e3779b97f4a7c15ULL)) & (uint64_t)(set_size - 1);
+    while (true) {
+      uint64_t* entry = set_keys + 2 * slot;
+      if (entry[0] == 0 && entry[1] == 0) {
+        if (count >= cap || count * 2 >= set_size) {
+          overflow = true;
+          return false;
+        }
+        entry[0] = h1;
+        entry[1] = h2;
+        out[2 * count] = h1;
+        out[2 * count + 1] = h2;
+        count++;
+        return true;
+      }
+      if (entry[0] == h1 && entry[1] == h2) return true;  // duplicate
+      slot = (slot + 1) & (uint64_t)(set_size - 1);
+    }
+  }
+};
+
+static inline bool is_ws(uint8_t c) {
+  return (c >= 0x09 && c <= 0x0d) || (c >= 0x1c && c <= 0x20);
+}
+
+static inline uint8_t ascii_lower(uint8_t c) {
+  return (c >= 'A' && c <= 'Z') ? (uint8_t)(c + 32) : c;
+}
+
+struct Parser {
+  const uint8_t* p;
+  const uint8_t* end;
+  bool fallback;  // row needs the Python path
+  bool error;
+
+  // scratch buffers (reused across rows)
+  uint8_t* path;       // current dot path
+  int64_t path_len;
+  uint8_t* value_buf;  // decoded value bytes
+  uint8_t* key_buf;    // decoded object key
+  int64_t buf_cap;
+
+  HashSink* fields;
+  HashSink* tokens;
+  HashSink* fts;
+  uint8_t delimiter;
+
+  void skip_value();  // fwd decl
+
+  bool at_end() { return p >= end; }
+
+  // Decode a JSON string into dst (ASCII-lowered if lower=true).
+  // Returns length, or -1 -> fallback/error.
+  int64_t parse_string(uint8_t* dst, bool lower) {
+    if (at_end() || *p != '"') { error = true; return -1; }
+    p++;
+    int64_t n = 0;
+    while (!at_end() && *p != '"') {
+      uint8_t c = *p++;
+      if (c == '\\') {
+        if (at_end()) { error = true; return -1; }
+        uint8_t e = *p++;
+        switch (e) {
+          case '"': c = '"'; break;
+          case '\\': c = '\\'; break;
+          case '/': c = '/'; break;
+          case 'b': c = 0x08; break;
+          case 'f': c = 0x0c; break;
+          case 'n': c = 0x0a; break;
+          case 'r': c = 0x0d; break;
+          case 't': c = 0x09; break;
+          case 'u': {
+            if (end - p < 4) { error = true; return -1; }
+            uint32_t cp = 0;
+            for (int i = 0; i < 4; i++) {
+              const uint8_t h = *p++;
+              cp <<= 4;
+              if (h >= '0' && h <= '9') cp |= h - '0';
+              else if (h >= 'a' && h <= 'f') cp |= h - 'a' + 10;
+              else if (h >= 'A' && h <= 'F') cp |= h - 'A' + 10;
+              else { error = true; return -1; }
+            }
+            if (cp >= 0x80) { fallback = true; return -1; }
+            c = (uint8_t)cp;
+            break;
+          }
+          default: error = true; return -1;
+        }
+      } else if (c >= 0x80) {
+        // Shouldn't occur with ensure_ascii, but be safe.
+        fallback = true;
+        return -1;
+      }
+      if (n >= buf_cap) { error = true; return -1; }
+      dst[n++] = lower ? ascii_lower(c) : c;
+    }
+    if (at_end()) { error = true; return -1; }
+    p++;  // closing quote
+    return n;
+  }
+
+  void skip_ws() {
+    while (!at_end() && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) p++;
+  }
+
+  void emit_tokens_from_value(int64_t vlen) {
+    // Emit field path once per primitive (dedup collapses repeats).
+    uint64_t fh[2];
+    murmur3_x64_128(path, (uint64_t)path_len, 0, fh);
+    fields->add(fh[0], fh[1]);
+    // Tokenize value_buf (already lowered) on whitespace.
+    int64_t i = 0;
+    while (i < vlen) {
+      while (i < vlen && is_ws(value_buf[i])) i++;
+      const int64_t start = i;
+      while (i < vlen && !is_ws(value_buf[i])) i++;
+      if (i > start) {
+        uint64_t th[2];
+        murmur3_x64_128(value_buf + start, (uint64_t)(i - start), 0, th);
+        tokens->add(th[0], th[1]);
+        // field::token — build in key_buf: path + "::" + token
+        const int64_t tok_len = i - start;
+        if (path_len + 2 + tok_len <= buf_cap) {
+          std::memcpy(key_buf, path, path_len);
+          key_buf[path_len] = ':';
+          key_buf[path_len + 1] = ':';
+          std::memcpy(key_buf + path_len + 2, value_buf + start, tok_len);
+          uint64_t fth[2];
+          murmur3_x64_128(key_buf, (uint64_t)(path_len + 2 + tok_len), 0, fth);
+          fts->add(fth[0], fth[1]);
+        } else {
+          error = true;
+          return;
+        }
+      }
+    }
+  }
+
+  // Parse a number/keyword primitive; token text goes into value_buf.
+  void parse_primitive() {
+    const uint8_t c = *p;
+    if (c == 't') {  // true
+      if (end - p >= 4 && std::memcmp(p, "true", 4) == 0) {
+        std::memcpy(value_buf, "true", 4);
+        p += 4;
+        emit_tokens_from_value(4);
+      } else error = true;
+    } else if (c == 'f') {
+      if (end - p >= 5 && std::memcmp(p, "false", 5) == 0) {
+        std::memcpy(value_buf, "false", 5);
+        p += 5;
+        emit_tokens_from_value(5);
+      } else error = true;
+    } else if (c == 'n') {
+      if (end - p >= 4 && std::memcmp(p, "null", 4) == 0) {
+        p += 4;  // null contributes nothing (tokenizer.py: None skipped)
+      } else error = true;
+    } else if (c == 'N') {  // NaN (json.dumps non-strict)
+      if (end - p >= 3 && std::memcmp(p, "NaN", 3) == 0) {
+        std::memcpy(value_buf, "nan", 3);
+        p += 3;
+        emit_tokens_from_value(3);
+      } else error = true;
+    } else if (c == 'I') {  // Infinity
+      if (end - p >= 8 && std::memcmp(p, "Infinity", 8) == 0) {
+        std::memcpy(value_buf, "+inf", 4);
+        p += 8;
+        emit_tokens_from_value(4);
+      } else error = true;
+    } else {
+      // number (or -Infinity)
+      if (c == '-' && end - p >= 9 && std::memcmp(p + 1, "Infinity", 8) == 0) {
+        std::memcpy(value_buf, "-inf", 4);
+        p += 9;
+        emit_tokens_from_value(4);
+        return;
+      }
+      int64_t n = 0;
+      while (!at_end() &&
+             ((*p >= '0' && *p <= '9') || *p == '-' || *p == '+' || *p == '.' ||
+              *p == 'e' || *p == 'E')) {
+        if (n >= buf_cap) { error = true; return; }
+        value_buf[n++] = ascii_lower(*p++);
+      }
+      if (n == 0) { error = true; return; }
+      // go_like_str: repr() minus a trailing ".0".
+      if (n >= 2 && value_buf[n - 1] == '0' && value_buf[n - 2] == '.') n -= 2;
+      emit_tokens_from_value(n);
+    }
+  }
+
+  void parse_value() {
+    if (error || fallback) return;
+    skip_ws();
+    if (at_end()) { error = true; return; }
+    const uint8_t c = *p;
+    if (c == '{') {
+      p++;
+      skip_ws();
+      if (!at_end() && *p == '}') { p++; return; }
+      while (!error && !fallback) {
+        skip_ws();
+        const int64_t klen = parse_string(key_buf, false);
+        if (klen < 0) return;
+        skip_ws();
+        if (at_end() || *p != ':') { error = true; return; }
+        p++;
+        // Push path segment.
+        const int64_t saved = path_len;
+        if (path_len + 1 + klen > buf_cap) { error = true; return; }
+        if (path_len > 0) path[path_len++] = delimiter;
+        std::memcpy(path + path_len, key_buf, klen);
+        path_len += klen;
+        parse_value();
+        path_len = saved;
+        if (error || fallback) return;
+        skip_ws();
+        if (!at_end() && *p == ',') { p++; continue; }
+        if (!at_end() && *p == '}') { p++; return; }
+        error = true;
+        return;
+      }
+    } else if (c == '[') {
+      p++;
+      skip_ws();
+      if (!at_end() && *p == ']') { p++; return; }
+      while (!error && !fallback) {
+        parse_value();  // same path: indices dropped
+        if (error || fallback) return;
+        skip_ws();
+        if (!at_end() && *p == ',') { p++; continue; }
+        if (!at_end() && *p == ']') { p++; return; }
+        error = true;
+        return;
+      }
+    } else if (c == '"') {
+      const int64_t vlen = parse_string(value_buf, true);
+      if (vlen < 0) return;
+      if (path_len > 0) emit_tokens_from_value(vlen);
+    } else {
+      if (path_len > 0) {
+        parse_primitive();
+      } else {
+        skip_value();
+      }
+    }
+  }
+};
+
+void Parser::skip_value() {
+  // Top-level bare primitive (rows are objects; tolerate anything).
+  while (!at_end() && *p != ',' && *p != '}' && *p != ']') p++;
+}
+
+}  // namespace ingest
+
+// Tokenize + hash a batch of serialized rows. Returns 0 on success, -1 if an
+// output capacity was exceeded (caller doubles and retries). Rows that need
+// Python handling (unicode content or parse trouble) get row_fallback[i]=1
+// and contribute no hashes.
+BS_EXPORT int64_t bs_ingest_tokenize(
+    const uint8_t* data, const int64_t* row_offsets, const int64_t* row_lengths,
+    int64_t n_rows, uint8_t delimiter,
+    uint64_t* field_out, int64_t field_cap, int64_t* n_field,
+    uint64_t* token_out, int64_t token_cap, int64_t* n_token,
+    uint64_t* ft_out, int64_t ft_cap, int64_t* n_ft,
+    uint8_t* row_fallback) {
+  auto pow2 = [](int64_t x) {
+    int64_t v = 64;
+    while (v < x) v <<= 1;
+    return v;
+  };
+  const int64_t fset = pow2(field_cap * 4);
+  const int64_t tset = pow2(token_cap * 4);
+  const int64_t ftset = pow2(ft_cap * 4);
+  uint64_t* sets = (uint64_t*)std::calloc((size_t)(2 * (fset + tset + ftset)), 8);
+  const int64_t kBuf = 1 << 20;
+  uint8_t* scratch = (uint8_t*)std::malloc(3 * kBuf);
+  if (!sets || !scratch) {
+    std::free(sets);
+    std::free(scratch);
+    return -2;
+  }
+
+  ingest::HashSink fields{field_out, field_cap, 0, sets, fset, false};
+  ingest::HashSink tokens{token_out, token_cap, 0, sets + 2 * fset, tset, false};
+  ingest::HashSink fts{ft_out, ft_cap, 0, sets + 2 * (fset + tset), ftset, false};
+
+  int64_t rc = 0;
+  for (int64_t r = 0; r < n_rows; r++) {
+    ingest::Parser parser;
+    parser.p = data + row_offsets[r];
+    parser.end = parser.p + row_lengths[r];
+    parser.fallback = false;
+    parser.error = false;
+    parser.path = scratch;
+    parser.path_len = 0;
+    parser.value_buf = scratch + kBuf;
+    parser.key_buf = scratch + 2 * kBuf;
+    parser.buf_cap = kBuf - 8;
+    parser.fields = &fields;
+    parser.tokens = &tokens;
+    parser.fts = &fts;
+    parser.delimiter = delimiter;
+    parser.parse_value();
+    if (fields.overflow || tokens.overflow || fts.overflow) {
+      rc = -1;
+      break;
+    }
+    row_fallback[r] = (parser.error || parser.fallback) ? 1 : 0;
+  }
+  *n_field = fields.count;
+  *n_token = tokens.count;
+  *n_ft = fts.count;
+  std::free(sets);
+  std::free(scratch);
+  return rc;
+}
+
 BS_EXPORT int64_t bs_version() { return 1; }

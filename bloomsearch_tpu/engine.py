@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import logging
+import struct
 import queue
 import threading
 import time
@@ -88,6 +89,7 @@ logger = logging.getLogger("bloomsearch_tpu.engine")
 PartitionFunc = Callable[[dict], str]
 
 MAX_ROW_BYTES = 0xFFFFFFFF
+_LENGTH_PREFIX = struct.Struct("<I")
 
 
 class InvalidConfigError(ValueError):
@@ -98,6 +100,24 @@ def _default_compression() -> str:
     from .compression import COMPRESSION_SNAPPY, compression_available
 
     return COMPRESSION_SNAPPY if compression_available(COMPRESSION_SNAPPY) else COMPRESSION_ZSTD
+
+
+def _native_ingest_available() -> bool:
+    from . import native
+
+    return native.available()
+
+
+def _native_tokenize(serialized: list[bytes], delimiter: str):
+    """Call the native batch tokenizer over already-serialized rows."""
+    from . import native
+
+    lengths = np.fromiter((len(b) for b in serialized), dtype=np.int64, count=len(serialized))
+    offsets = np.zeros(len(serialized), dtype=np.int64)
+    if len(serialized) > 1:
+        np.cumsum(lengths[:-1], out=offsets[1:])
+    data = b"".join(serialized)
+    return native.ingest_tokenize(data, offsets, lengths, delimiter)
 
 
 @dataclass
@@ -1200,6 +1220,10 @@ class _IngestState:
         if self.buffer_start_time is None:
             self.buffer_start_time = time.monotonic()
 
+        use_native_tokenizer = (
+            config.tokenizer is basic_whitespace_lower_tokenizer and _native_ingest_available()
+        )
+
         for partition_id, partition_rows in partitioned.items():
             buf = self.partition_buffers.get(partition_id)
             if buf is None:
@@ -1211,20 +1235,14 @@ class _IngestState:
                 )
                 self.partition_buffers[partition_id] = buf
 
-            # Batch the three keyspaces across the whole request for this
-            # partition: dedupe, hash once, feed both block + file filters
-            # (replaces the reference's per-key AddString hot loop :547-565).
-            pending_keys: dict[str, None] = {}
+            # Serialize rows, update minmax, feed the compressor (:567-613).
+            # Length prefixes + payloads batch into ONE compressor write per
+            # request (per-row compressor calls dominated ingest profiles).
+            serialized: list[bytes] = []
+            stream_parts: list[bytes] = []
+            batch_bytes = 0
+            dumps = json.dumps
             for row in partition_rows:
-                fields = unique_fields(row, config.delimiter)
-                for path, values in fields.items():
-                    pending_keys[path] = None
-                    for value in values:
-                        for tok in config.tokenizer(value):
-                            pending_keys[tok] = None
-                            pending_keys[make_field_token_key(path, tok)] = None
-
-                # MinMax update (reference :567-584): top-level keys only.
                 for index_field in config.min_max_indexes:
                     if index_field in row:
                         bounds = convert_to_min_max_int64(row[index_field])
@@ -1237,24 +1255,63 @@ class _IngestState:
                             buf.min_max_indexes[index_field] = update_min_max_index(
                                 existing, *bounds
                             )
-
-                # Serialize + length-prefix into the compressor (:586-613).
-                row_bytes = json.dumps(row, separators=(",", ":")).encode("utf-8")
+                row_bytes = dumps(row, separators=(",", ":")).encode("utf-8")
                 if len(row_bytes) > MAX_ROW_BYTES:
                     raise ValueError(
                         f"row too large: {len(row_bytes)} bytes exceeds maximum"
                     )
-                buf.encoder.write(encode_row(row_bytes))
-                buf.row_count += 1
-                self.buffered_row_count += 1
-                self.buffered_bytes += len(row_bytes) + 4
+                serialized.append(row_bytes)
+                stream_parts.append(_LENGTH_PREFIX.pack(len(row_bytes)))
+                stream_parts.append(row_bytes)
+                batch_bytes += len(row_bytes) + 4
+            buf.encoder.write(b"".join(stream_parts))
+            buf.row_count += len(partition_rows)
+            self.buffered_row_count += len(partition_rows)
+            self.buffered_bytes += batch_bytes
 
-            if pending_keys:
-                hashes = hash_keys(list(pending_keys))
-                for filt in (buf.filters, self.file_filters):
-                    filt.field.add_hashes(hashes)
-                    filt.token.add_hashes(hashes)
-                    filt.field_token.add_hashes(hashes)
+            # Expand the three keyspaces and feed both block + file filters.
+            # Hot path: the native tokenizer parses the serialized batch,
+            # tokenizes, hashes, and dedupes in one C++ pass (replacing the
+            # reference's per-key AddString loop :547-565); rows it flags
+            # (unicode content) fall back to the Python semantic spec.
+            fallback_rows = partition_rows
+            if use_native_tokenizer and serialized:
+                native_result = _native_tokenize(serialized, config.delimiter)
+                if native_result is not None:
+                    field_h, token_h, ft_h, fallback_mask = native_result
+                    for hashes, selector in (
+                        (field_h, "field"),
+                        (token_h, "token"),
+                        (ft_h, "field_token"),
+                    ):
+                        if len(hashes):
+                            getattr(buf.filters, selector).add_hashes(hashes)
+                            getattr(self.file_filters, selector).add_hashes(hashes)
+                    fallback_rows = [
+                        row for row, fb in zip(partition_rows, fallback_mask) if fb
+                    ]
+
+            if fallback_rows:
+                field_keys: dict[str, None] = {}
+                token_keys: dict[str, None] = {}
+                ft_keys: dict[str, None] = {}
+                for row in fallback_rows:
+                    fields = unique_fields(row, config.delimiter)
+                    for path, values in fields.items():
+                        field_keys[path] = None
+                        for value in values:
+                            for tok in config.tokenizer(value):
+                                token_keys[tok] = None
+                                ft_keys[make_field_token_key(path, tok)] = None
+                for keys, selector in (
+                    (field_keys, "field"),
+                    (token_keys, "token"),
+                    (ft_keys, "field_token"),
+                ):
+                    if keys:
+                        hashes = hash_keys(list(keys))
+                        getattr(buf.filters, selector).add_hashes(hashes)
+                        getattr(self.file_filters, selector).add_hashes(hashes)
 
     def _check_flush_triggers(self) -> None:
         """(reference :616-650) — partition caps, then buffer caps."""

@@ -106,6 +106,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
         ]
         lib.bs_scan_candidates.restype = ctypes.c_int64
+        lib.bs_ingest_tokenize.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_uint8,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.bs_ingest_tokenize.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -200,6 +209,59 @@ def scan_candidates(
     if rc != 0:
         return None
     return out.astype(bool)
+
+
+def ingest_tokenize(
+    data: bytes,
+    row_offsets: np.ndarray,
+    row_lengths: np.ndarray,
+    delimiter: str = ".",
+) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Tokenize + hash serialized rows in one native pass.
+
+    Returns (field_hashes[Nf,2], token_hashes[Nt,2], ft_hashes[Nft,2],
+    fallback_mask[bool]) — rows flagged in fallback_mask produced no hashes
+    and must go through the Python tokenizer. None means the native library
+    is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n_rows = row_offsets.shape[0]
+    buf = np.frombuffer(data, dtype=np.uint8) if data else np.empty(0, dtype=np.uint8)
+    row_offsets = np.ascontiguousarray(row_offsets, dtype=np.int64)
+    row_lengths = np.ascontiguousarray(row_lengths, dtype=np.int64)
+    fallback = np.zeros(n_rows, dtype=np.uint8)
+    # Token-ish keys per byte is bounded; start generous, retry doubling.
+    cap = max(1024, len(data) // 3)
+    for _ in range(8):
+        field_out = np.empty((cap, 2), dtype=np.uint64)
+        token_out = np.empty((cap, 2), dtype=np.uint64)
+        ft_out = np.empty((cap, 2), dtype=np.uint64)
+        n_field = ctypes.c_int64()
+        n_token = ctypes.c_int64()
+        n_ft = ctypes.c_int64()
+        rc = lib.bs_ingest_tokenize(
+            _ptr(buf), _ptr(row_offsets), _ptr(row_lengths), n_rows,
+            ord(delimiter),
+            _ptr(field_out), cap, ctypes.byref(n_field),
+            _ptr(token_out), cap, ctypes.byref(n_token),
+            _ptr(ft_out), cap, ctypes.byref(n_ft),
+            _ptr(fallback),
+        )
+        if rc == 0:
+            return (
+                field_out[: n_field.value],
+                token_out[: n_token.value],
+                ft_out[: n_ft.value],
+                fallback.astype(bool),
+            )
+        if rc == -1:
+            cap *= 2
+            fallback.fill(0)
+            continue
+        return None
+    return None
 
 
 SNAPPY_MAX_BLOCK_INPUT = 65536

@@ -408,6 +408,25 @@ class TestConcurrencyBound:
             engine.stop(timeout=TIMEOUT)
 
 
+class TestKeyspaceSeparation:
+    def test_filters_only_contain_their_keyspace(self, tmp_path):
+        # Regression: paths must not enter the token filter etc. — a union
+        # inflates FPR ~3x vs the reference's per-keyspace inserts (:551-562).
+        engine, store = make_engine(tmp_path)
+        try:
+            ingest_and_flush(engine, [{"somefield": "sometoken"}])
+            triple = store.get_maybe_files_for_query(None)[0].metadata.bloom_filters
+            assert triple.field.test("somefield")
+            assert not triple.field.test("sometoken")
+            assert not triple.field.test("somefield::sometoken")
+            assert triple.token.test("sometoken")
+            assert not triple.token.test("somefield")
+            assert triple.field_token.test("somefield::sometoken")
+            assert not triple.field_token.test("sometoken")
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+
 class TestBlockBloomSizing:
     def test_expected_items_override_changes_params(self, tmp_path):
         engine, store = make_engine(tmp_path, block_bloom_expected_items=200_000)
