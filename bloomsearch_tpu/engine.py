@@ -175,6 +175,11 @@ class BloomSearchEngineConfig:
     probe_backend: str = "auto"
     bank_cache_bytes: int = 2 * 1024 * 1024 * 1024
 
+    # Serving mode: pin hot blocks' decompressed rows in HBM and run the
+    # candidate scan on-device (rowcache.py). 0 disables; only effective
+    # when the device probe backend is active.
+    row_cache_bytes: int = 0
+
     delimiter: str = "."
 
     @property
@@ -357,6 +362,12 @@ class BloomSearchEngine:
                 if config.probe_backend == "device":
                     raise
                 logger.debug("device probe backend unavailable: %s", exc)
+
+        self._row_cache = None
+        if config.row_cache_bytes > 0 and self._device_backend is not None:
+            from .rowcache import DeviceRowCache
+
+            self._row_cache = DeviceRowCache(config.row_cache_bytes)
 
     # ------------------------------------------------------------------
     # Lifecycle (reference Start/Stop :281-307)
@@ -795,7 +806,7 @@ class BloomSearchEngine:
         native substring scan prunes to candidate rows first and only those
         are JSON-parsed — same exact results, far less parse work.
         """
-        from .scan import candidate_rows, split_rows_arrays
+        from .scan import candidate_rows, evaluate_plan, split_rows_arrays
 
         start = time.monotonic()
         stats = BlockStats(
@@ -805,19 +816,34 @@ class BloomSearchEngine:
             total_bytes=job.block.size,
         )
         try:
-            with self.data_store.open_file(job.file_pointer) as fh:
-                compressed = read_block_rows_compressed(fh, job.block)
-            data = decompress_block(
-                compressed, job.block.compression, job.block.uncompressed_size
-            )
-            buf, offsets, lengths = split_rows_arrays(data)
+            cache_key = (job.file_pointer, job.block.offset)
+            pinned = self._row_cache.get(cache_key) if self._row_cache is not None else None
+            if pinned is not None:
+                data = pinned.data
+                offsets, lengths = pinned.row_offsets, pinned.row_lengths
+            else:
+                with self.data_store.open_file(job.file_pointer) as fh:
+                    compressed = read_block_rows_compressed(fh, job.block)
+                data = decompress_block(
+                    compressed, job.block.compression, job.block.uncompressed_size
+                )
+                buf, offsets, lengths = split_rows_arrays(data)
+                if self._row_cache is not None:
+                    pinned = self._row_cache.pin(cache_key, data, offsets, lengths)
             num_rows = offsets.shape[0]
             stats.rows_processed = num_rows
             stats.bytes_processed = int(lengths.sum())
 
             candidate_idx = None
             if scan_plan is not None:
-                mask = candidate_rows(scan_plan, buf, offsets, lengths)
+                if pinned is not None:
+                    # Serving mode: the needle scan runs on-device over the
+                    # HBM-pinned row matrix; host CPU never touches the bytes.
+                    scanned = self._row_cache.scan(pinned, scan_plan.needles)
+                    mask = evaluate_plan(scan_plan, scanned, num_rows)
+                else:
+                    buf = np.frombuffer(data, dtype=np.uint8)
+                    mask = candidate_rows(scan_plan, buf, offsets, lengths)
                 if mask is not None:
                     candidate_idx = np.nonzero(mask)[0]
             if candidate_idx is None:
@@ -1041,6 +1067,8 @@ class _Merger:
             engine.data_store.tombstone_file(mf.pointer)
             if engine._device_backend is not None:
                 engine._device_backend.invalidate(mf.pointer)
+            if engine._row_cache is not None:
+                engine._row_cache.invalidate_file(mf.pointer)
         stats.files_processed += len(group)
 
     def _reread_metadata(self, pointer: bytes) -> FileMetadata:

@@ -1,0 +1,155 @@
+"""Device row cache: HBM-pinned row data with on-device candidate scanning.
+
+Serving mode for hot data. The host candidate scan (scan.py) already avoids
+JSON-parsing non-matching rows, but still burns host CPU re-reading and
+re-scanning block bytes on every query. Here a block's decompressed rows are
+pinned in HBM **once** — lowercased and padded into a ``uint8[num_rows,
+row_width]`` matrix — and each query's needle scan runs on the TPU as a
+vectorized sliding-window comparison, returning only a tiny per-row bitmap.
+Both filter probing (bank.py) and candidate scanning then execute on-device;
+the host only JSON-parses the handful of surviving candidate rows.
+
+Conservative-by-construction like scan.py: rows longer than the padding cap
+are flagged always-candidate, padding bytes are zeros (never match printable
+needles), and the exact verification stage still runs on every candidate.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from typing import Optional
+
+import numpy as np
+
+ROW_WIDTH_CAP = 4096  # rows longer than this are always-candidates
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _device_scan_fn():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("L",))
+    def scan_rows(rows2d, needle, L: int):
+        """rows2d uint8[R, P] (lowercased), needle uint8[L] -> bool[R]."""
+        R, P = rows2d.shape
+        W = P - L + 1
+        acc = jnp.ones((R, W), dtype=bool)
+        for l in range(L):
+            window = jax.lax.dynamic_slice_in_dim(rows2d, l, W, axis=1)
+            acc = acc & (window == needle[l])
+        return jnp.any(acc, axis=1)
+
+    return scan_rows
+
+
+class _PinnedBlock:
+    __slots__ = (
+        "rows2d", "num_rows", "overlong_mask", "nbytes",
+        "data", "row_offsets", "row_lengths",
+    )
+
+    def __init__(self, rows2d, num_rows, overlong_mask, data, row_offsets, row_lengths):
+        self.rows2d = rows2d  # jax uint8[R, P], lowercased
+        self.num_rows = num_rows
+        self.overlong_mask = overlong_mask  # bool[R]: always-candidates
+        # Host shadow of the original bytes for candidate extraction/parsing.
+        self.data = data
+        self.row_offsets = row_offsets
+        self.row_lengths = row_lengths
+        self.nbytes = int(np.prod(rows2d.shape)) + len(data)
+
+
+class DeviceRowCache:
+    """LRU cache of pinned blocks keyed by (file pointer, block offset)."""
+
+    def __init__(self, capacity_bytes: int):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax = jax
+        self._jnp = jnp
+        self.capacity_bytes = capacity_bytes
+        self._lock = threading.Lock()
+        self._blocks: dict[tuple[bytes, int], _PinnedBlock] = {}
+        self._scan = _device_scan_fn()
+
+    def total_bytes(self) -> int:
+        with self._lock:
+            return sum(b.nbytes for b in self._blocks.values())
+
+    def get(self, key: tuple[bytes, int]) -> Optional[_PinnedBlock]:
+        with self._lock:
+            block = self._blocks.pop(key, None)
+            if block is not None:
+                self._blocks[key] = block  # LRU bump
+            return block
+
+    def invalidate_file(self, pointer: bytes) -> None:
+        with self._lock:
+            for key in [k for k in self._blocks if k[0] == pointer]:
+                self._blocks.pop(key)
+
+    def pin(
+        self,
+        key: tuple[bytes, int],
+        data: bytes,
+        row_offsets: np.ndarray,
+        row_lengths: np.ndarray,
+    ) -> _PinnedBlock:
+        """Build and cache the padded lowered row matrix for a block."""
+        jnp = self._jnp
+        num_rows = row_offsets.shape[0]
+        width = int(row_lengths.max()) if num_rows else 0
+        overlong = row_lengths > ROW_WIDTH_CAP
+        width = min(width, ROW_WIDTH_CAP)
+        width = max(_round_up(width, _LANE), _LANE)
+        rows_padded = _round_up(max(num_rows, 1), 8)
+
+        matrix = np.zeros((rows_padded, width), dtype=np.uint8)
+        buf = np.frombuffer(data, dtype=np.uint8)
+        for i in range(num_rows):
+            if overlong[i]:
+                continue
+            length = int(row_lengths[i])
+            start = int(row_offsets[i])
+            matrix[i, :length] = buf[start : start + length]
+        # ASCII lowercase in one vectorized pass.
+        upper = (matrix >= ord("A")) & (matrix <= ord("Z"))
+        matrix = np.where(upper, matrix + 32, matrix).astype(np.uint8)
+
+        block = _PinnedBlock(
+            jnp.asarray(matrix), num_rows, np.asarray(overlong),
+            data, row_offsets, row_lengths,
+        )
+        with self._lock:
+            self._blocks[key] = block
+            while (
+                sum(b.nbytes for b in self._blocks.values()) > self.capacity_bytes
+                and len(self._blocks) > 1
+            ):
+                oldest = next(iter(self._blocks))
+                self._blocks.pop(oldest)
+        return block
+
+    def scan(self, block: _PinnedBlock, needles: list[bytes]) -> np.ndarray:
+        """-> bool[len(needles), num_rows] candidate matrix (device scan)."""
+        jnp = self._jnp
+        out = np.zeros((len(needles), block.num_rows), dtype=bool)
+        P = block.rows2d.shape[1]
+        for qi, needle in enumerate(needles):
+            if not needle or len(needle) > P:
+                out[qi] = True  # degenerate: conservative
+                continue
+            device_hits = self._scan(
+                block.rows2d, jnp.asarray(np.frombuffer(needle, dtype=np.uint8)), len(needle)
+            )
+            out[qi] = np.asarray(device_hits)[: block.num_rows]
+        if block.overlong_mask.any():
+            out[:, block.overlong_mask[: block.num_rows]] = True
+        return out

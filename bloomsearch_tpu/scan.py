@@ -101,18 +101,13 @@ def compile_scan_plan(
     return ScanPlan(bloom_query.expression, conditions, needles, needle_index)
 
 
-def candidate_rows(
-    plan: ScanPlan,
-    data: np.ndarray,
-    row_offsets: np.ndarray,
-    row_lengths: np.ndarray,
-) -> Optional[np.ndarray]:
-    """bool[num_rows] candidate mask, or None to fall back to full verify."""
-    n_rows = row_offsets.shape[0]
-    scanned = native.scan_candidates(data, plan.needles, row_offsets, row_lengths)
-    if scanned is None:
-        return None
-    # Matrix over ALL conditions: unusable ones conservatively all-True.
+def evaluate_plan(plan: ScanPlan, scanned: np.ndarray, n_rows: int) -> np.ndarray:
+    """Evaluate the bloom tree over a per-needle row-hit matrix -> bool[rows].
+
+    ``scanned`` is bool[len(plan.needles), n_rows] from any scanner backend
+    (native C++ memmem or the device row-cache scan). Conditions without a
+    usable needle are conservatively all-True.
+    """
     matrix = np.ones((len(plan.conditions), n_rows), dtype=bool)
     for cond_idx, needle_row in enumerate(plan.needle_index):
         if needle_row is not None:
@@ -124,6 +119,20 @@ def candidate_rows(
     return np.asarray(
         evaluate_match_expression(plan.expression, _TermsView, matrix, n_rows)
     )
+
+
+def candidate_rows(
+    plan: ScanPlan,
+    data: np.ndarray,
+    row_offsets: np.ndarray,
+    row_lengths: np.ndarray,
+) -> Optional[np.ndarray]:
+    """bool[num_rows] candidate mask, or None to fall back to full verify."""
+    n_rows = row_offsets.shape[0]
+    scanned = native.scan_candidates(data, plan.needles, row_offsets, row_lengths)
+    if scanned is None:
+        return None
+    return evaluate_plan(plan, scanned, n_rows)
 
 
 def split_rows_arrays(data: bytes):
