@@ -105,5 +105,6 @@ from .engine import (
     MergeStats,
     default_config,
 )
+from .utils import format_bytes_per_second, format_rate
 
 __version__ = "0.1.0"

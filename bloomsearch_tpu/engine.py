@@ -543,6 +543,21 @@ class BloomSearchEngine:
             self._device_backend.invalidate(file_pointer)
 
     # ------------------------------------------------------------------
+    # Observability
+    # ------------------------------------------------------------------
+
+    def profile_trace(self, log_dir: str):
+        """Context manager capturing a jax.profiler trace of device work.
+
+        Wrap query calls to capture probe-kernel and row-scan timelines
+        (view with TensorBoard / xprof). The reference has no profiling
+        hooks (SURVEY.md §5); per-block stats remain the lossy stream.
+        """
+        import jax
+
+        return jax.profiler.trace(log_dir)
+
+    # ------------------------------------------------------------------
     # Merge / compaction (reference Merge :1206-1372)
     # ------------------------------------------------------------------
 
