@@ -152,6 +152,50 @@ BS_EXPORT void bs_build_from_hashes(uint32_t* words, uint64_t m_bits, int64_t k,
   }
 }
 
+// Blocked-256 layout: one 256-bit aligned block per key, k bits inside it.
+// Derivation must match hashing.py::positions_for_hashes_blocked exactly:
+// block = (h1 >> 32) % (m/256); step = (h2 | 1) & 255;
+// bit_j = (h1 + (j+1)*step) & 255.
+BS_EXPORT void bs_build_from_hashes_blocked(uint32_t* words, uint64_t m_bits,
+                                            int64_t k, const uint64_t* hashes,
+                                            int64_t n) {
+  const uint64_t num_blocks = m_bits / 256;
+  for (int64_t i = 0; i < n; i++) {
+    const uint64_t h1 = hashes[2 * i];
+    const uint64_t h2 = hashes[2 * i + 1];
+    const uint64_t block = (h1 >> 32) % num_blocks;
+    const uint64_t step = (h2 | 1) & 255;
+    uint32_t* base = words + block * 8;
+    for (int64_t j = 0; j < k; j++) {
+      const uint64_t bit = (h1 + (uint64_t)(j + 1) * step) & 255;
+      base[bit >> 5] |= (uint32_t)1 << (bit & 31);
+    }
+  }
+}
+
+BS_EXPORT void bs_probe_from_hashes_blocked(const uint32_t* words,
+                                            uint64_t m_bits, int64_t k,
+                                            const uint64_t* hashes, int64_t n,
+                                            uint8_t* out) {
+  const uint64_t num_blocks = m_bits / 256;
+  for (int64_t i = 0; i < n; i++) {
+    const uint64_t h1 = hashes[2 * i];
+    const uint64_t h2 = hashes[2 * i + 1];
+    const uint64_t block = (h1 >> 32) % num_blocks;
+    const uint64_t step = (h2 | 1) & 255;
+    const uint32_t* base = words + block * 8;
+    uint8_t hit = 1;
+    for (int64_t j = 0; j < k; j++) {
+      const uint64_t bit = (h1 + (uint64_t)(j + 1) * step) & 255;
+      if (!((base[bit >> 5] >> (bit & 31)) & 1)) {
+        hit = 0;
+        break;
+      }
+    }
+    out[i] = hit;
+  }
+}
+
 // AND-reduce probe: out[i] = 1 iff all k bits for key i are set.
 BS_EXPORT void bs_probe_from_hashes(const uint32_t* words, uint64_t m_bits,
                                     int64_t k, const uint64_t* hashes,

@@ -45,18 +45,19 @@ def _pad_terms(n: int) -> int:
 
 
 class Superbank:
-    """One device-resident bank for a (m_bits, k) bloom param group.
+    """One device-resident bank for a (m_bits, k, layout) bloom param group.
 
     Layout is the kernel's 2D probe layout: ``bank2d uint32[rows, capacity]``
     with row = keyspace*num_words + word, rows padded to a multiple of 8
     (TPU sublane tiling) and capacity padded to a multiple of 128 (lanes).
     """
 
-    def __init__(self, m_bits: int, k: int, jnp, jax):
+    def __init__(self, m_bits: int, k: int, layout: str, jnp, jax):
         from .pallas_kernels import round_up_rows
 
         self.m_bits = m_bits
         self.k = k
+        self.layout = layout
         self.num_words = (m_bits + 31) // 32
         self.num_rows = round_up_rows(3 * self.num_words)
         self._jnp = jnp
@@ -156,9 +157,9 @@ class DeviceProbeBackend:
         self.use_pallas = self.platform == "tpu"
         self.cache_bytes = cache_bytes
         self._lock = threading.RLock()
-        self._superbanks: dict[tuple[int, int], Superbank] = {}
+        self._superbanks: dict[tuple, Superbank] = {}
         # LRU order of inserted (superbank key, segment key) for eviction.
-        self._lru: dict[tuple[tuple[int, int], bytes], None] = {}
+        self._lru: dict[tuple, None] = {}
         # file pointer -> [(superbank key, segment key)] for invalidation.
         self._by_file: dict[bytes, list[tuple[tuple[int, int], bytes]]] = {}
 
@@ -187,14 +188,14 @@ class DeviceProbeBackend:
     def _ensure_resident(
         self,
         file_pointer: bytes,
-        mk: tuple[int, int],
+        mk: tuple,
         seg_key: bytes,
         loader: Callable[[], np.ndarray],
     ) -> Superbank:
         with self._lock:
             sb = self._superbanks.get(mk)
             if sb is None:
-                sb = Superbank(mk[0], mk[1], self._jnp, self._jax)
+                sb = Superbank(mk[0], mk[1], mk[2], self._jnp, self._jax)
                 self._superbanks[mk] = sb
             if seg_key not in sb.segments:
                 host_bank = loader()
@@ -228,7 +229,10 @@ class DeviceProbeBackend:
         """Probe ALL resident columns of one superbank -> bool[T, capacity]."""
         jnp = self._jnp
         T = len(terms)
-        word_idx, bit_idx = terms.positions_for(sb.m_bits, sb.k)  # [T, k] int32
+        # Blocked layouts localize all k probes of a term in one aligned
+        # 8-row group; the kernel's pipelining then fetches it once (the
+        # revisited in-block index skips re-DMA), cutting HBM traffic ~k x.
+        word_idx, bit_idx = terms.positions_for(sb.m_bits, sb.k, sb.layout)  # [T, k]
         Tp = _pad_terms(T)
         if Tp != T:
             word_idx = np.pad(word_idx, ((0, Tp - T), (0, 0)))
@@ -266,12 +270,12 @@ class DeviceProbeBackend:
     ) -> dict[tuple[bytes, int], np.ndarray]:
         """Batched probe across files.
 
-        ``requests``: (file_pointer, group_idx, (m_bits, k), loader) where
+        ``requests``: (file_pointer, group_idx, (m_bits, k, layout), loader) where
         ``loader()`` reads the host bank uint32[3, W, B] if not yet resident.
         Returns {(file_pointer, group_idx): bool[T, B] match slice}.
         """
-        placements: dict[tuple[bytes, int], tuple[tuple[int, int], int, int]] = {}
-        touched: dict[tuple[int, int], Superbank] = {}
+        placements: dict[tuple[bytes, int], tuple[tuple, int, int]] = {}
+        touched: dict[tuple, Superbank] = {}
         for file_pointer, group_idx, mk, loader in requests:
             seg_key = self.segment_key(file_pointer, group_idx)
             sb = self._ensure_resident(file_pointer, mk, seg_key, loader)
@@ -279,7 +283,7 @@ class DeviceProbeBackend:
             placements[(file_pointer, group_idx)] = (mk, start, n)
             touched[mk] = sb
 
-        matches: dict[tuple[int, int], np.ndarray] = {
+        matches: dict[tuple, np.ndarray] = {
             mk: self._probe_superbank(sb, terms) for mk, sb in touched.items()
         }
         return {

@@ -18,16 +18,29 @@ from typing import Optional, Sequence
 import numpy as np
 
 from .. import native
-from .hashing import KeyLike, hash_keys, positions_for_hashes
-from .params import BloomParams, estimate_parameters, words_for_bits
+from .hashing import KeyLike, hash_keys, positions_for_hashes, positions_for_layout
+from .params import (
+    LAYOUT_BLOCKED256,
+    LAYOUT_CLASSIC,
+    BloomParams,
+    estimate_parameters,
+    words_for_bits,
+)
 
 
 class BloomFilter:
-    __slots__ = ("m_bits", "k", "words")
+    __slots__ = ("m_bits", "k", "words", "layout")
 
-    def __init__(self, m_bits: int, k: int, words: Optional[np.ndarray] = None):
+    def __init__(
+        self,
+        m_bits: int,
+        k: int,
+        words: Optional[np.ndarray] = None,
+        layout: str = LAYOUT_CLASSIC,
+    ):
         self.m_bits = int(m_bits)
         self.k = int(k)
+        self.layout = layout
         n_words = words_for_bits(self.m_bits)
         if words is None:
             self.words = np.zeros(n_words, dtype=np.uint32)
@@ -39,14 +52,14 @@ class BloomFilter:
             self.words = words
 
     @classmethod
-    def new_with_estimates(cls, n: int, p: float) -> "BloomFilter":
+    def new_with_estimates(cls, n: int, p: float, layout: str = LAYOUT_CLASSIC) -> "BloomFilter":
         """Sized like bits-and-blooms ``NewWithEstimates(n, p)`` (SURVEY.md §1)."""
-        m, k = estimate_parameters(n, p)
-        return cls(m, k)
+        params = BloomParams(n, p, layout)
+        return cls(params.m_bits, params.k, layout=layout)
 
     @classmethod
     def from_params(cls, params: BloomParams) -> "BloomFilter":
-        return cls.new_with_estimates(params.expected_items, params.false_positive_rate)
+        return cls(params.m_bits, params.k, layout=params.layout)
 
     # -- build ------------------------------------------------------------
 
@@ -55,9 +68,12 @@ class BloomFilter:
         if hashes.shape[0] == 0:
             return
         if native.available():
-            native.build_from_hashes(self.words, self.m_bits, self.k, hashes)
+            if self.layout == LAYOUT_CLASSIC:
+                native.build_from_hashes(self.words, self.m_bits, self.k, hashes)
+            else:
+                native.build_from_hashes_blocked(self.words, self.m_bits, self.k, hashes)
             return
-        positions = positions_for_hashes(hashes, self.k, self.m_bits).ravel()
+        positions = positions_for_layout(hashes, self.k, self.m_bits, self.layout).ravel()
         word = (positions >> np.uint64(5)).astype(np.int64)
         bit = (positions & np.uint64(31)).astype(np.uint32)
         np.bitwise_or.at(self.words, word, np.uint32(1) << bit)
@@ -77,8 +93,10 @@ class BloomFilter:
         if hashes.shape[0] == 0:
             return np.zeros(0, dtype=bool)
         if native.available():
-            return native.probe_from_hashes(self.words, self.m_bits, self.k, hashes)
-        positions = positions_for_hashes(hashes, self.k, self.m_bits)
+            if self.layout == LAYOUT_CLASSIC:
+                return native.probe_from_hashes(self.words, self.m_bits, self.k, hashes)
+            return native.probe_from_hashes_blocked(self.words, self.m_bits, self.k, hashes)
+        positions = positions_for_layout(hashes, self.k, self.m_bits, self.layout)
         word = (positions >> np.uint64(5)).astype(np.int64)
         bit = (positions & np.uint64(31)).astype(np.uint32)
         bits = (self.words[word] >> bit) & np.uint32(1)
@@ -99,15 +117,16 @@ class BloomFilter:
 
         (reference merge gate, bloom_tree_engine.go:1374-1399).
         """
-        if other.m_bits != self.m_bits or other.k != self.k:
+        if other.m_bits != self.m_bits or other.k != self.k or other.layout != self.layout:
             raise ValueError(
                 f"cannot merge bloom filters with different params: "
-                f"(m={self.m_bits}, k={self.k}) vs (m={other.m_bits}, k={other.k})"
+                f"(m={self.m_bits}, k={self.k}, {self.layout}) vs "
+                f"(m={other.m_bits}, k={other.k}, {other.layout})"
             )
         np.bitwise_or(self.words, other.words, out=self.words)
 
     def copy(self) -> "BloomFilter":
-        return BloomFilter(self.m_bits, self.k, self.words.copy())
+        return BloomFilter(self.m_bits, self.k, self.words.copy(), layout=self.layout)
 
     def reset(self) -> None:
         self.words.fill(0)
@@ -117,9 +136,11 @@ class BloomFilter:
         return self.words.astype("<u4", copy=False).tobytes()
 
     @classmethod
-    def from_bytes(cls, m_bits: int, k: int, data: bytes) -> "BloomFilter":
+    def from_bytes(
+        cls, m_bits: int, k: int, data: bytes, layout: str = LAYOUT_CLASSIC
+    ) -> "BloomFilter":
         words = np.frombuffer(data, dtype="<u4").astype(np.uint32)
-        return cls(m_bits, k, words)
+        return cls(m_bits, k, words, layout=layout)
 
     def bit_count(self) -> int:
         """Number of set bits (diagnostics / fill-ratio checks)."""
@@ -130,5 +151,6 @@ class BloomFilter:
             isinstance(other, BloomFilter)
             and self.m_bits == other.m_bits
             and self.k == other.k
+            and self.layout == other.layout
             and bool(np.array_equal(self.words, other.words))
         )

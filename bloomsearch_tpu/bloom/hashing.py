@@ -132,11 +132,39 @@ def positions_for_hashes(hashes: np.ndarray, k: int, m_bits: int) -> np.ndarray:
     return (hashes[:, 0:1] + i[None, :] * hashes[:, 1:2]) % np.uint64(m_bits)
 
 
+def positions_for_hashes_blocked(hashes: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """Blocked-256 probe positions -> [N, k] uint64, all k inside one
+
+    256-bit aligned block per key. The block index comes from h1's high bits
+    (decorrelated from the in-block KM sequence, which uses the low bits);
+    in-block bits follow KM over h2 with an odd step so the k positions
+    cycle through all 256 slots. Semantics shared bit-exactly by the numpy,
+    C++, and device implementations.
+    """
+    assert m_bits % 256 == 0, "blocked layout requires m padded to 256 bits"
+    num_blocks = m_bits // 256
+    h1 = hashes[:, 0]
+    h2 = hashes[:, 1]
+    block = (h1 >> np.uint64(32)) % np.uint64(num_blocks)  # [N]
+    step = (h2 | np.uint64(1)) & np.uint64(255)  # odd -> full 256-cycle
+    j = np.arange(k, dtype=np.uint64)
+    bits = (h1[:, None] + (j[None, :] + np.uint64(1)) * step[:, None]) & np.uint64(255)
+    return block[:, None] * np.uint64(256) + bits
+
+
 def positions_for_keys(keys: Sequence[KeyLike], k: int, m_bits: int) -> np.ndarray:
     """hash + KM positions in one call -> [N, k] uint64."""
     if len(keys) == 0:
         return np.empty((0, k), dtype=np.uint64)
     return positions_for_hashes(hash_keys(keys), k, m_bits)
+
+
+def positions_for_layout(hashes: np.ndarray, k: int, m_bits: int, layout: str) -> np.ndarray:
+    from .params import LAYOUT_BLOCKED256
+
+    if layout == LAYOUT_BLOCKED256:
+        return positions_for_hashes_blocked(hashes, k, m_bits)
+    return positions_for_hashes(hashes, k, m_bits)
 
 
 def split_positions(positions: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

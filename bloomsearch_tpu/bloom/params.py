@@ -16,6 +16,18 @@ from dataclasses import dataclass
 
 WORD_BITS = 32
 
+# Filter bit layouts:
+# - "classic": Kirsch–Mitzenmacher positions anywhere in [0, m) — the
+#   reference's semantics (bits-and-blooms), k independent random words.
+# - "blocked256": each key selects ONE 256-bit (8-word) aligned block and
+#   its k bits live inside it (split-block bloom filter, cf. Parquet/Impala).
+#   The device probe then fetches a single aligned 8-row group per term
+#   instead of per probe — ~k× less HBM traffic — at a small FPR penalty
+#   (empirically ~2-3x at default params; validated in tests).
+LAYOUT_CLASSIC = "classic"
+LAYOUT_BLOCKED256 = "blocked256"
+BLOCK_BITS = 256
+
 
 def estimate_parameters(n: int, p: float) -> tuple[int, int]:
     """(m_bits, k) for n expected items at false positive rate p."""
@@ -35,19 +47,23 @@ def words_for_bits(m_bits: int) -> int:
 
 @dataclass(frozen=True)
 class BloomParams:
-    """The (n, p) sizing pair plus derived (m, k).
+    """The (n, p) sizing pair plus derived (m, k) and the bit layout.
 
-    Files record (expected_items, fpr) per block and per file exactly like the
-    reference (file_format.go:176-177); merge compatibility is gated on them
-    (bloom_tree_engine.go:1374-1399).
+    Files record (expected_items, fpr, layout) per block and per file like
+    the reference records its params (file_format.go:176-177); merge
+    compatibility is gated on the full tuple (bloom_tree_engine.go:1374-1399).
     """
 
     expected_items: int
     false_positive_rate: float
+    layout: str = LAYOUT_CLASSIC
 
     @property
     def m_bits(self) -> int:
-        return estimate_parameters(self.expected_items, self.false_positive_rate)[0]
+        m = estimate_parameters(self.expected_items, self.false_positive_rate)[0]
+        if self.layout == LAYOUT_BLOCKED256:
+            m = ((m + BLOCK_BITS - 1) // BLOCK_BITS) * BLOCK_BITS
+        return m
 
     @property
     def k(self) -> int:
@@ -58,11 +74,18 @@ class BloomParams:
         return words_for_bits(self.m_bits)
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "ExpectedItems": self.expected_items,
             "FalsePositiveRate": self.false_positive_rate,
         }
+        if self.layout != LAYOUT_CLASSIC:
+            out["Layout"] = self.layout
+        return out
 
     @classmethod
     def from_json(cls, obj: dict) -> "BloomParams":
-        return cls(int(obj["ExpectedItems"]), float(obj["FalsePositiveRate"]))
+        return cls(
+            int(obj["ExpectedItems"]),
+            float(obj["FalsePositiveRate"]),
+            obj.get("Layout", LAYOUT_CLASSIC),
+        )

@@ -33,7 +33,7 @@ from ..query import (
     bloom_query_conditions,
 )
 from ..tokenizer import make_field_token_key
-from .hashing import hash_keys, positions_for_hashes
+from .hashing import hash_keys, positions_for_layout
 
 _KS_INDEX = {
     BloomConditionType.FIELD: 0,
@@ -69,17 +69,19 @@ class CompiledBloomTerms:
         self.term_index = {
             (c.type, c.field, c.token): i for i, c in enumerate(self.conditions)
         }
-        self._positions_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        self._positions_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
     def __len__(self) -> int:
         return len(self.conditions)
 
-    def positions_for(self, m_bits: int, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """(word_idx[T, k] int32, bit_idx[T, k] int32) for a given (m, k)."""
-        key = (m_bits, k)
+    def positions_for(
+        self, m_bits: int, k: int, layout: str = "classic"
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(word_idx[T, k] int32, bit_idx[T, k] int32) for given params."""
+        key = (m_bits, k, layout)
         cached = self._positions_cache.get(key)
         if cached is None:
-            positions = positions_for_hashes(self.hashes, k, m_bits)
+            positions = positions_for_layout(self.hashes, k, m_bits, layout)
             word = (positions >> np.uint64(5)).astype(np.int32)
             bit = (positions & np.uint64(31)).astype(np.int32)
             cached = (word, bit)
@@ -97,7 +99,13 @@ def compile_bloom_terms(query: Optional[BloomQuery]) -> Optional[CompiledBloomTe
     return CompiledBloomTerms(conditions)
 
 
-def probe_bank_host(bank: np.ndarray, terms: CompiledBloomTerms, m_bits: int, k: int) -> np.ndarray:
+def probe_bank_host(
+    bank: np.ndarray,
+    terms: CompiledBloomTerms,
+    m_bits: int,
+    k: int,
+    layout: str = "classic",
+) -> np.ndarray:
     """Probe every block of a bank against every term -> bool[T, B].
 
     ``bank`` is uint32[3, num_words, num_blocks] in probe layout: for a fixed
@@ -105,7 +113,7 @@ def probe_bank_host(bank: np.ndarray, terms: CompiledBloomTerms, m_bits: int, k:
     probes is one contiguous row read — the same access pattern the device
     kernels use.
     """
-    word_idx, bit_idx = terms.positions_for(m_bits, k)  # [T, k]
+    word_idx, bit_idx = terms.positions_for(m_bits, k, layout)  # [T, k]
     # Gather rows: [T, k, B]
     rows = bank[terms.ks_idx[:, None], word_idx, :]
     bits = (rows >> bit_idx[:, :, None].astype(np.uint32)) & np.uint32(1)
@@ -183,6 +191,8 @@ def evaluate_bloom_filters_host(
         if terms is None:
             return True
     bank = stack_filter_bank([triple])
-    match = probe_bank_host(bank, terms, triple.field.m_bits, triple.field.k)
+    match = probe_bank_host(
+        bank, terms, triple.field.m_bits, triple.field.k, triple.field.layout
+    )
     result = evaluate_match_expression(query.expression, terms, match, 1)
     return bool(result[0])

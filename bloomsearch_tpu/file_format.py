@@ -99,11 +99,14 @@ class BloomFilters:
 
     def to_json(self) -> dict:
         def one(f: BloomFilter) -> dict:
-            return {
+            out = {
                 "MBits": f.m_bits,
                 "K": f.k,
                 "Words": base64.b64encode(f.words.astype("<u4").tobytes()).decode("ascii"),
             }
+            if f.layout != "classic":
+                out["Layout"] = f.layout
+            return out
 
         return {
             "Field": one(self.field),
@@ -115,7 +118,10 @@ class BloomFilters:
     def from_json(cls, obj: dict) -> "BloomFilters":
         def one(o: dict) -> BloomFilter:
             return BloomFilter.from_bytes(
-                int(o["MBits"]), int(o["K"]), base64.b64decode(o["Words"])
+                int(o["MBits"]),
+                int(o["K"]),
+                base64.b64decode(o["Words"]),
+                layout=o.get("Layout", "classic"),
             )
 
         return cls(one(obj["Field"]), one(obj["Token"]), one(obj["FieldToken"]))
@@ -138,7 +144,7 @@ class BankGroupMetadata:
         return (self.m_bits + 31) // 32
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "BloomExpectedItems": self.params.expected_items,
             "BloomFalsePositiveRate": self.params.false_positive_rate,
             "MBits": self.m_bits,
@@ -148,12 +154,17 @@ class BankGroupMetadata:
             "Size": self.size,
             "Crc": self.crc,
         }
+        if self.params.layout != "classic":
+            out["Layout"] = self.params.layout
+        return out
 
     @classmethod
     def from_json(cls, obj: dict) -> "BankGroupMetadata":
         return cls(
             params=BloomParams(
-                int(obj["BloomExpectedItems"]), float(obj["BloomFalsePositiveRate"])
+                int(obj["BloomExpectedItems"]),
+                float(obj["BloomFalsePositiveRate"]),
+                obj.get("Layout", "classic"),
             ),
             m_bits=int(obj["MBits"]),
             k=int(obj["K"]),
@@ -185,12 +196,15 @@ class DataBlockMetadata:
     created_at_ms: int = 0
     bloom_expected_items: int = 0
     bloom_false_positive_rate: float = 0.0
+    bloom_layout: str = "classic"
     bank_group: int = 0
     bank_col: int = 0
 
     @property
     def bloom_params(self) -> BloomParams:
-        return BloomParams(self.bloom_expected_items, self.bloom_false_positive_rate)
+        return BloomParams(
+            self.bloom_expected_items, self.bloom_false_positive_rate, self.bloom_layout
+        )
 
     def to_json(self) -> dict:
         out = {
@@ -206,6 +220,8 @@ class DataBlockMetadata:
             "BankGroup": self.bank_group,
             "BankCol": self.bank_col,
         }
+        if self.bloom_layout != "classic":
+            out["BloomLayout"] = self.bloom_layout
         if self.partition_id:
             out["PartitionID"] = self.partition_id
         if self.min_max_indexes:
@@ -229,6 +245,7 @@ class DataBlockMetadata:
             created_at_ms=int(obj.get("CreatedAtMs", 0)),
             bloom_expected_items=int(obj["BloomExpectedItems"]),
             bloom_false_positive_rate=float(obj["BloomFalsePositiveRate"]),
+            bloom_layout=obj.get("BloomLayout", "classic"),
             bank_group=int(obj.get("BankGroup", 0)),
             bank_col=int(obj.get("BankCol", 0)),
         )
@@ -345,6 +362,7 @@ class DataFileWriter:
             created_at_ms=created_at_ms,
             bloom_expected_items=params.expected_items,
             bloom_false_positive_rate=params.false_positive_rate,
+            bloom_layout=params.layout,
         )
         self._write(compressed_rows)
         self._blocks.append(block)
@@ -354,13 +372,13 @@ class DataFileWriter:
     def finish(self, file_filters: BloomFilters) -> FileMetadata:
         """Write bank section + footer; returns the complete metadata."""
         # Group blocks by (m, k); stable order of first appearance.
-        groups: dict[tuple[int, int], list[int]] = {}
+        groups: dict[tuple[int, int, str], list[int]] = {}
         for i, f in enumerate(self._block_filters):
-            key = (f.field.m_bits, f.field.k)
+            key = (f.field.m_bits, f.field.k, f.field.layout)
             groups.setdefault(key, []).append(i)
 
         bank_groups: list[BankGroupMetadata] = []
-        for group_idx, ((m_bits, k), block_indices) in enumerate(groups.items()):
+        for group_idx, ((m_bits, k, _layout), block_indices) in enumerate(groups.items()):
             num_blocks = len(block_indices)
             num_words = (m_bits + 31) // 32
             bank = np.zeros((NUM_KEYSPACES, num_words, num_blocks), dtype=np.uint32)
@@ -462,11 +480,19 @@ def read_bank_group(fh: BinaryIO, group: BankGroupMetadata) -> np.ndarray:
 
 def extract_block_filters(bank: np.ndarray, group: BankGroupMetadata, bank_col: int) -> BloomFilters:
     """Rebuild one block's filter triple from a bank column (merge path)."""
+    layout = group.params.layout
     return BloomFilters(
-        BloomFilter(group.m_bits, group.k, np.ascontiguousarray(bank[KEYSPACE_FIELD, :, bank_col])),
-        BloomFilter(group.m_bits, group.k, np.ascontiguousarray(bank[KEYSPACE_TOKEN, :, bank_col])),
         BloomFilter(
-            group.m_bits, group.k, np.ascontiguousarray(bank[KEYSPACE_FIELD_TOKEN, :, bank_col])
+            group.m_bits, group.k,
+            np.ascontiguousarray(bank[KEYSPACE_FIELD, :, bank_col]), layout=layout,
+        ),
+        BloomFilter(
+            group.m_bits, group.k,
+            np.ascontiguousarray(bank[KEYSPACE_TOKEN, :, bank_col]), layout=layout,
+        ),
+        BloomFilter(
+            group.m_bits, group.k,
+            np.ascontiguousarray(bank[KEYSPACE_FIELD_TOKEN, :, bank_col]), layout=layout,
         ),
     )
 

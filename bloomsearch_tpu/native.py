@@ -81,6 +81,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_void_p,
         ]
         lib.bs_probe_from_hashes.restype = None
+        lib.bs_build_from_hashes_blocked.argtypes = lib.bs_build_from_hashes.argtypes
+        lib.bs_build_from_hashes_blocked.restype = None
+        lib.bs_probe_from_hashes_blocked.argtypes = lib.bs_probe_from_hashes.argtypes
+        lib.bs_probe_from_hashes_blocked.restype = None
         lib.bs_crc32c.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32]
         lib.bs_crc32c.restype = ctypes.c_uint32
         lib.bs_split_rows.argtypes = [
@@ -168,6 +172,25 @@ def probe_from_hashes(words: np.ndarray, m_bits: int, k: int, hashes: np.ndarray
     n = hashes.shape[0]
     out = np.empty(n, dtype=np.uint8)
     lib.bs_probe_from_hashes(_ptr(words), m_bits, k, _ptr(hashes), n, _ptr(out))
+    return out.astype(bool)
+
+
+def build_from_hashes_blocked(words: np.ndarray, m_bits: int, k: int, hashes: np.ndarray) -> None:
+    """Blocked-256 layout build, in place."""
+    lib = _load()
+    assert lib is not None
+    hashes = np.ascontiguousarray(hashes, dtype=np.uint64)
+    lib.bs_build_from_hashes_blocked(_ptr(words), m_bits, k, _ptr(hashes), hashes.shape[0])
+
+
+def probe_from_hashes_blocked(words: np.ndarray, m_bits: int, k: int, hashes: np.ndarray) -> np.ndarray:
+    """Blocked-256 layout probe -> [N] bool."""
+    lib = _load()
+    assert lib is not None
+    hashes = np.ascontiguousarray(hashes, dtype=np.uint64)
+    n = hashes.shape[0]
+    out = np.empty(n, dtype=np.uint8)
+    lib.bs_probe_from_hashes_blocked(_ptr(words), m_bits, k, _ptr(hashes), n, _ptr(out))
     return out.astype(bool)
 
 

@@ -115,7 +115,7 @@ class TestSuperbank:
         import jax
         import jax.numpy as jnp
 
-        return Superbank(PARAMS.m_bits, PARAMS.k, jnp, jax)
+        return Superbank(PARAMS.m_bits, PARAMS.k, "classic", jnp, jax)
 
     def test_insert_and_grow(self):
         sb = self.make_sb()
@@ -159,7 +159,7 @@ class TestDeviceProbeBackend:
             loads.append(1)
             return bank
 
-        mk = (PARAMS.m_bits, PARAMS.k)
+        mk = (PARAMS.m_bits, PARAMS.k, "classic")
         _, terms = make_terms(("token", "error"))
         out = backend.probe_groups([(b"file-1", 0, mk, loader)], terms)
         match = out[(b"file-1", 0)]
@@ -185,7 +185,7 @@ class TestDeviceProbeBackend:
         one_bank_bytes = 3 * PARAMS.num_words * 128 * 4
         backend = DeviceProbeBackend(cache_bytes=int(one_bank_bytes * 1.5))
         bank = make_bank(PARAMS, [(["x"], ["y"], ["z"])] * 128)
-        mk = (PARAMS.m_bits, PARAMS.k)
+        mk = (PARAMS.m_bits, PARAMS.k, "classic")
         _, terms = make_terms(("token", "error"))
         loads = {"a": 0, "b": 0}
 
