@@ -576,9 +576,20 @@ class BloomSearchEngine:
         """Merge small files (and drop TTL-expired blocks); safe to run in
 
         the background alongside ingest and queries — files are immutable and
-        replacement publishes atomically through the MetaStore.
+        replacement publishes atomically through the MetaStore. When the
+        MetaStore provides merge leases (coordination.py, the reference's
+        README-only CoordinatedMetaStore design), concurrent mergers against
+        shared storage serialize; a held lease makes this call a no-op.
         """
-        return _Merger(self).merge()
+        acquire = getattr(self.meta_store, "acquire_merge_lease", None)
+        if acquire is None:
+            return _Merger(self).merge()
+        lease = acquire()
+        if lease is None:
+            logger.info("merge lease held elsewhere; skipping")
+            return MergeStats()
+        with lease:
+            return _Merger(self).merge()
 
     # ------------------------------------------------------------------
     # Query execution (reference Query :934-1204)
