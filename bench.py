@@ -90,7 +90,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    n_small, n_large = 2, 32
+    n_small, n_large = 4, 128
     t_small = run(n_small)
     t_large = run(n_large)
     per_launch = max((t_large - t_small) / (n_large - n_small), 1e-9)

@@ -18,14 +18,8 @@ from typing import Optional, Sequence
 import numpy as np
 
 from .. import native
-from .hashing import KeyLike, hash_keys, positions_for_hashes, positions_for_layout
-from .params import (
-    LAYOUT_BLOCKED256,
-    LAYOUT_CLASSIC,
-    BloomParams,
-    estimate_parameters,
-    words_for_bits,
-)
+from .hashing import KeyLike, hash_keys, positions_for_layout
+from .params import LAYOUT_CLASSIC, BloomParams, words_for_bits
 
 
 class BloomFilter:

@@ -14,7 +14,7 @@ implementation is the always-available fallback and the semantic spec.
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence, Union
+from typing import Sequence, Union
 
 import numpy as np
 

@@ -39,7 +39,6 @@ from typing import Any, Callable, Optional
 
 import numpy as np
 
-from .bloom.filter import BloomFilter
 from .bloom.hashing import hash_keys
 from .bloom.params import BloomParams
 from .bloom.probe import (

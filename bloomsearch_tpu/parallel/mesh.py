@@ -24,12 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..bloom.pallas_kernels import (
-    MAX_UNROLLED_PROBES,
-    probe_bank_pallas_tk,
-    probe_bank_xla,
-    round_up_rows,
-)
+from ..bloom.pallas_kernels import probe_bank_pallas_tk, probe_bank_xla, round_up_rows
 
 BLOCK_AXIS = "blocks"
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass, field as dc_field
-from typing import Any, Optional
+from typing import Optional
 
 from .minmax import MinMaxIndex
 
