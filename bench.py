@@ -72,7 +72,11 @@ def main() -> None:
         def chained(bank, frs, shs):
             total = jnp.zeros((), jnp.int32)
             for i in range(n):
-                out = probe(bank, frs[i], shs[i])
+                # Serialize launches: without the barrier XLA may overlap
+                # independent kernels and the slope under-counts per-launch
+                # time (observed: impossible >HBM-bandwidth readings).
+                fr_i, _ = jax.lax.optimization_barrier((frs[i], total))
+                out = probe(bank, fr_i, shs[i])
                 total = total + out[0, 0] + out[-1, -1]
             return total
 
