@@ -270,12 +270,15 @@ class _PartitionBuffer:
 
 
 class _IngestRequest:
-    __slots__ = ("rows", "done", "force_flush")
+    __slots__ = ("rows", "done", "force_flush", "serialized")
 
-    def __init__(self, rows, done: Optional[Future], force_flush: bool = False):
+    def __init__(
+        self, rows, done: Optional[Future], force_flush: bool = False, serialized: bool = False
+    ):
         self.rows = rows
         self.done = done
         self.force_flush = force_flush
+        self.serialized = serialized
 
 
 class _FlushRequest:
@@ -432,6 +435,27 @@ class BloomSearchEngine:
         if self._stop_event.is_set() or not self._started:
             raise RuntimeError("engine is not running")
         self._ingest_queue.put(_IngestRequest(rows, done), timeout=timeout)
+
+    def ingest_serialized(
+        self, rows: list[bytes], done: Optional[Future] = None, timeout: Optional[float] = None
+    ) -> None:
+        """Fast lane for pre-serialized rows (e.g. JSON-lines log pipelines).
+
+        Each element is one compact-JSON object's bytes; they are stored
+        verbatim and tokenized entirely by the native path (no Python dict
+        round-trip). Requires ``partition_func`` and ``min_max_indexes`` to
+        be unset — those hooks operate on parsed rows (a later byte-level
+        extractor API can lift this).
+        """
+        if self.config.partition_func is not None or self.config.min_max_indexes:
+            raise InvalidConfigError(
+                "ingest_serialized requires partition_func=None and no min_max_indexes"
+            )
+        if self._stop_event.is_set() or not self._started:
+            raise RuntimeError("engine is not running")
+        self._ingest_queue.put(
+            _IngestRequest(rows, done, serialized=True), timeout=timeout
+        )
 
     def flush(self, timeout: Optional[float] = None) -> None:
         """Force-flush buffered data and wait for durability (:326-346)."""
@@ -1278,7 +1302,10 @@ class _IngestState:
                 self.engine._flush_queue.put(_FlushRequest({}, [req.done], None))
             return
         try:
-            self._ingest_rows(req.rows)
+            if req.serialized:
+                self._ingest_serialized_rows(req.rows)
+            else:
+                self._ingest_rows(req.rows)
         except Exception as exc:
             _resolve([req.done], exc)
             return
@@ -1370,26 +1397,84 @@ class _IngestState:
                     ]
 
             if fallback_rows:
-                field_keys: dict[str, None] = {}
-                token_keys: dict[str, None] = {}
-                ft_keys: dict[str, None] = {}
-                for row in fallback_rows:
-                    fields = unique_fields(row, config.delimiter)
-                    for path, values in fields.items():
-                        field_keys[path] = None
-                        for value in values:
-                            for tok in config.tokenizer(value):
-                                token_keys[tok] = None
-                                ft_keys[make_field_token_key(path, tok)] = None
-                for keys, selector in (
-                    (field_keys, "field"),
-                    (token_keys, "token"),
-                    (ft_keys, "field_token"),
-                ):
-                    if keys:
-                        hashes = hash_keys(list(keys))
-                        getattr(buf.filters, selector).add_hashes(hashes)
-                        getattr(self.file_filters, selector).add_hashes(hashes)
+                self._add_python_keys(buf, fallback_rows)
+
+    def _add_python_keys(self, buf: _PartitionBuffer, rows) -> None:
+        """Expand keyspaces via the Python semantic spec and add to filters."""
+        config = self.config
+        field_keys: dict[str, None] = {}
+        token_keys: dict[str, None] = {}
+        ft_keys: dict[str, None] = {}
+        for row in rows:
+            fields = unique_fields(row, config.delimiter)
+            for path, values in fields.items():
+                field_keys[path] = None
+                for value in values:
+                    for tok in config.tokenizer(value):
+                        token_keys[tok] = None
+                        ft_keys[make_field_token_key(path, tok)] = None
+        for keys, selector in (
+            (field_keys, "field"),
+            (token_keys, "token"),
+            (ft_keys, "field_token"),
+        ):
+            if keys:
+                hashes = hash_keys(list(keys))
+                getattr(buf.filters, selector).add_hashes(hashes)
+                getattr(self.file_filters, selector).add_hashes(hashes)
+
+    def _ingest_serialized_rows(self, serialized: list[bytes]) -> None:
+        """Pre-serialized fast lane: no dict round-trip, single partition."""
+        config = self.config
+        if self.buffer_start_time is None:
+            self.buffer_start_time = time.monotonic()
+        buf = self.partition_buffers.get("")
+        if buf is None:
+            buf = _PartitionBuffer(
+                "",
+                config.block_bloom_params,
+                config.row_data_compression,
+                config.zstd_compression_level,
+            )
+            self.partition_buffers[""] = buf
+
+        stream_parts: list[bytes] = []
+        batch_bytes = 0
+        for row_bytes in serialized:
+            if len(row_bytes) > MAX_ROW_BYTES:
+                raise ValueError(f"row too large: {len(row_bytes)} bytes exceeds maximum")
+            stream_parts.append(_LENGTH_PREFIX.pack(len(row_bytes)))
+            stream_parts.append(row_bytes)
+            batch_bytes += len(row_bytes) + 4
+        buf.encoder.write(b"".join(stream_parts))
+        buf.row_count += len(serialized)
+        self.buffered_row_count += len(serialized)
+        self.buffered_bytes += batch_bytes
+
+        native_result = None
+        if (
+            config.tokenizer is basic_whitespace_lower_tokenizer
+            and _native_ingest_available()
+            and serialized
+        ):
+            native_result = _native_tokenize(serialized, config.delimiter)
+        if native_result is not None:
+            field_h, token_h, ft_h, fallback_mask = native_result
+            for hashes, selector in (
+                (field_h, "field"),
+                (token_h, "token"),
+                (ft_h, "field_token"),
+            ):
+                if len(hashes):
+                    getattr(buf.filters, selector).add_hashes(hashes)
+                    getattr(self.file_filters, selector).add_hashes(hashes)
+            flagged = [
+                json.loads(row) for row, fb in zip(serialized, fallback_mask) if fb
+            ]
+        else:
+            flagged = [json.loads(row) for row in serialized]
+        if flagged:
+            self._add_python_keys(buf, flagged)
 
     def _check_flush_triggers(self) -> None:
         """(reference :616-650) — partition caps, then buffer caps."""
