@@ -481,9 +481,21 @@ BS_EXPORT int64_t bs_snappy_decompress_block(const uint8_t* in, int64_t n,
         i += 4;
       }
       if (offset <= 0 || op - out < offset || op + len > op_end) return -1;
-      // Byte-wise copy: overlapping copies replicate runs (RLE semantics).
       const uint8_t* src = op - offset;
-      for (int64_t b = 0; b < len; b++) op[b] = src[b];
+      if (offset >= len) {
+        // Non-overlapping: bulk copy (the common case for text).
+        std::memcpy(op, src, (size_t)len);
+      } else {
+        // Overlapping: replicate the period (RLE semantics). Double the
+        // realized prefix each pass instead of byte-at-a-time.
+        int64_t done = offset;
+        std::memcpy(op, src, (size_t)offset);
+        while (done < len) {
+          const int64_t chunk = (done < len - done) ? done : len - done;
+          std::memcpy(op + done, op, (size_t)chunk);
+          done += chunk;
+        }
+      }
       op += len;
     }
   }
