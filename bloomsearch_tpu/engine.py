@@ -382,6 +382,13 @@ class BloomSearchEngine:
 
             self._row_cache = DeviceRowCache(config.row_cache_bytes)
 
+        # File-level filter banks, cached per param group keyed by the exact
+        # candidate file list (files are immutable; the set only changes on
+        # flush/merge). Without this every query re-stacks every file's
+        # filters — hundreds of MB of memcpy once files accumulate.
+        self._file_bank_cache: dict[tuple, tuple[tuple, np.ndarray]] = {}
+        self._file_bank_lock = threading.Lock()
+
     # ------------------------------------------------------------------
     # Lifecycle (reference Start/Stop :281-307)
     # ------------------------------------------------------------------
@@ -737,7 +744,7 @@ class BloomSearchEngine:
                     (triple.field.m_bits, triple.field.k, triple.field.layout), []
                 ).append(mf)
             for (m_bits, k, layout), group_files in groups.items():
-                bank = stack_filter_bank([mf.metadata.bloom_filters for mf in group_files])
+                bank = self._file_level_bank((m_bits, k, layout), group_files)
                 match = probe_bank_host(bank, terms, m_bits, k, layout)
                 ok = evaluate_match_expression(
                     prune_query.expression, terms, match, len(group_files)
@@ -772,6 +779,20 @@ class BloomSearchEngine:
                         ),
                     )
         return jobs
+
+    def _file_level_bank(self, key: tuple, group_files) -> np.ndarray:
+        """Stacked file-level filter bank for a param group, cached by the
+
+        exact (ordered) candidate file list."""
+        pointers = tuple(mf.pointer for mf in group_files)
+        with self._file_bank_lock:
+            cached = self._file_bank_cache.get(key)
+            if cached is not None and cached[0] == pointers:
+                return cached[1]
+        bank = stack_filter_bank([mf.metadata.bloom_filters for mf in group_files])
+        with self._file_bank_lock:
+            self._file_bank_cache[key] = (pointers, bank)
+        return bank
 
     def _probe_blocks(
         self, maybe_files, terms: CompiledBloomTerms, prune_query: BloomQuery
