@@ -389,6 +389,14 @@ class BloomSearchEngine:
         self._file_bank_cache: dict[tuple, tuple[tuple, np.ndarray]] = {}
         self._file_bank_lock = threading.Lock()
 
+        # Host-side block-bank cache for the host probe path (the device
+        # backend keeps its own HBM-resident cache); files are immutable so
+        # entries key by (pointer, group offset). LRU bounded by
+        # bank_cache_bytes.
+        self._host_bank_cache: dict[tuple[bytes, int], np.ndarray] = {}
+        self._host_bank_bytes = 0
+        self._host_bank_lock = threading.Lock()
+
     # ------------------------------------------------------------------
     # Lifecycle (reference Start/Stop :281-307)
     # ------------------------------------------------------------------
@@ -841,16 +849,52 @@ class BloomSearchEngine:
             for pointer, gi, group in needed:
                 by_pointer.setdefault(pointer, []).append((gi, group))
             for pointer, groups in by_pointer.items():
-                with self.data_store.open_file(pointer) as fh:
+                fh = None
+                try:
                     for gi, group in groups:
-                        bank = read_bank_group(fh, group)
+                        bank = self._host_bank(pointer, group)
+                        if bank is None:
+                            if fh is None:
+                                fh = self.data_store.open_file(pointer)
+                            bank = read_bank_group(fh, group)
+                            self._host_bank_put(pointer, group, bank)
                         match = probe_bank_host(
                             bank, terms, group.m_bits, group.k, group.params.layout
                         )
                         result[(pointer, gi)] = evaluate_match_expression(
                             prune_query.expression, terms, match, group.num_blocks
                         )
+                finally:
+                    if fh is not None:
+                        fh.close()
         return result
+
+    def _host_bank(self, pointer: bytes, group) -> Optional[np.ndarray]:
+        key = (pointer, group.offset)
+        with self._host_bank_lock:
+            bank = self._host_bank_cache.pop(key, None)
+            if bank is not None:
+                self._host_bank_cache[key] = bank  # LRU bump
+            return bank
+
+    def _host_bank_put(self, pointer: bytes, group, bank: np.ndarray) -> None:
+        with self._host_bank_lock:
+            key = (pointer, group.offset)
+            if key in self._host_bank_cache:
+                return
+            self._host_bank_cache[key] = bank
+            self._host_bank_bytes += bank.nbytes
+            while (
+                self._host_bank_bytes > self.config.bank_cache_bytes
+                and len(self._host_bank_cache) > 1
+            ):
+                oldest = next(iter(self._host_bank_cache))
+                self._host_bank_bytes -= self._host_bank_cache.pop(oldest).nbytes
+
+    def _invalidate_host_bank(self, pointer: bytes) -> None:
+        with self._host_bank_lock:
+            for key in [k for k in self._host_bank_cache if k[0] == pointer]:
+                self._host_bank_bytes -= self._host_bank_cache.pop(key).nbytes
 
     def _query_worker(
         self,
@@ -1163,6 +1207,7 @@ class _Merger:
                 engine._device_backend.invalidate(mf.pointer)
             if engine._row_cache is not None:
                 engine._row_cache.invalidate_file(mf.pointer)
+            engine._invalidate_host_bank(mf.pointer)
         stats.files_processed += len(group)
 
     def _reread_metadata(self, pointer: bytes) -> FileMetadata:
