@@ -30,19 +30,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+MAX_NEEDLE = 32  # longer needles fall back to always-candidate
+
+
 def _device_scan_fn():
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("L",))
-    def scan_rows(rows2d, needle, L: int):
-        """rows2d uint8[R, P] (lowercased), needle uint8[L] -> bool[R]."""
+    @jax.jit
+    def scan_rows(rows2d, needle_padded, needle_len):
+        """rows2d uint8[R, P] (lowercased), needle uint8[MAX_NEEDLE],
+
+        needle_len scalar -> bool[R]. The loop is fixed at MAX_NEEDLE slices
+        with positions >= needle_len masked true, so the kernel compiles ONCE
+        per rows2d shape instead of once per needle length (remote-compile
+        environments pay seconds per variant).
+        """
         R, P = rows2d.shape
-        W = P - L + 1
+        W = P - MAX_NEEDLE + 1
         acc = jnp.ones((R, W), dtype=bool)
-        for l in range(L):
+        for l in range(MAX_NEEDLE):
             window = jax.lax.dynamic_slice_in_dim(rows2d, l, W, axis=1)
-            acc = acc & (window == needle[l])
+            acc = acc & jnp.where(l < needle_len, window == needle_padded[l], True)
         return jnp.any(acc, axis=1)
 
     return scan_rows
@@ -108,7 +117,11 @@ class DeviceRowCache:
         width = int(row_lengths.max()) if num_rows else 0
         overlong = row_lengths > ROW_WIDTH_CAP
         width = min(width, ROW_WIDTH_CAP)
-        width = max(_round_up(width, _LANE), _LANE)
+        # Extra MAX_NEEDLE tail so the fixed-size scan windows cover every
+        # start position of the longest row (the scan always slides a
+        # MAX_NEEDLE-wide window; without headroom, matches in a row's last
+        # bytes would fall outside the window range).
+        width = max(_round_up(width + MAX_NEEDLE, _LANE), _LANE)
         rows_padded = _round_up(max(num_rows, 1), 8)
 
         matrix = np.zeros((rows_padded, width), dtype=np.uint8)
@@ -141,13 +154,14 @@ class DeviceRowCache:
         """-> bool[len(needles), num_rows] candidate matrix (device scan)."""
         jnp = self._jnp
         out = np.zeros((len(needles), block.num_rows), dtype=bool)
-        P = block.rows2d.shape[1]
         for qi, needle in enumerate(needles):
-            if not needle or len(needle) > P:
-                out[qi] = True  # degenerate: conservative
+            if not needle or len(needle) > MAX_NEEDLE:
+                out[qi] = True  # degenerate/oversized: conservative
                 continue
+            padded = np.zeros(MAX_NEEDLE, dtype=np.uint8)
+            padded[: len(needle)] = np.frombuffer(needle, dtype=np.uint8)
             device_hits = self._scan(
-                block.rows2d, jnp.asarray(np.frombuffer(needle, dtype=np.uint8)), len(needle)
+                block.rows2d, jnp.asarray(padded), jnp.int32(len(needle))
             )
             out[qi] = np.asarray(device_hits)[: block.num_rows]
         if block.overlong_mask.any():

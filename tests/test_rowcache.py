@@ -44,6 +44,26 @@ class TestDeviceRowCache:
                 truly = needle.decode() in json.dumps(r, separators=(",", ":")).lower()
                 assert device_scan[qi, i] == truly
 
+    def test_match_at_row_tail(self):
+        # Regression: the fixed-size scan window must cover start positions
+        # in the longest row's final bytes (width gets MAX_NEEDLE headroom).
+        rows = [{"a": "x" * 90 + " endneedle"}, {"b": "short"}]
+        data = make_stream(rows)
+        _, offsets, lengths = split_rows_arrays(data)
+        cache = DeviceRowCache(64 << 20)
+        pinned = cache.pin((b"f", 0), data, offsets, lengths)
+        scan = cache.scan(pinned, [b"endneedle"])
+        assert scan[0, 0] and not scan[0, 1]
+
+    def test_oversized_needle_conservative(self):
+        rows = [{"a": "hello"}]
+        data = make_stream(rows)
+        _, offsets, lengths = split_rows_arrays(data)
+        cache = DeviceRowCache(64 << 20)
+        pinned = cache.pin((b"f", 0), data, offsets, lengths)
+        scan = cache.scan(pinned, [b"x" * 64])  # > MAX_NEEDLE
+        assert scan[0, 0]  # conservative: candidate
+
     def test_overlong_rows_always_candidates(self):
         rows = [{"big": "x" * (ROW_WIDTH_CAP + 100)}, {"small": "y"}]
         data = make_stream(rows)
