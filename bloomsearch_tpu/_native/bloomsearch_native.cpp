@@ -293,7 +293,7 @@ BS_EXPORT int64_t bs_split_rows(const uint8_t* data, int64_t n,
     pos += (int64_t)len;
     count++;
   }
-  if (pos != n && count < max_rows) return -1;  // trailing garbage
+  if (pos != n) return -1;  // trailing garbage or capacity exhausted
   return count;
 }
 
@@ -775,13 +775,38 @@ struct Parser {
         return;
       }
       int64_t n = 0;
+      bool has_dot = false, has_exp = false;
       while (!at_end() &&
              ((*p >= '0' && *p <= '9') || *p == '-' || *p == '+' || *p == '.' ||
               *p == 'e' || *p == 'E')) {
+        const uint8_t c2 = ascii_lower(*p++);
+        if (c2 == '.') has_dot = true;
+        if (c2 == 'e') has_exp = true;
         if (n >= buf_cap) { error = true; return; }
-        value_buf[n++] = ascii_lower(*p++);
+        value_buf[n++] = c2;
       }
       if (n == 0) { error = true; return; }
+      // The Python spec is repr(json.loads(text)). For CANONICAL json.dumps
+      // output (repr-formatted) the raw text minus a trailing ".0" is
+      // identical; non-canonical-but-legal JSON ("1.50", "1E5", "01") can
+      // diverge, so those rows fall back to the Python path.
+      {
+        const uint8_t* s = value_buf;
+        int64_t start = (s[0] == '-') ? 1 : 0;
+        const bool leading_zero =
+            (n - start >= 2 && s[start] == '0' && s[start + 1] >= '0' && s[start + 1] <= '9');
+        const bool bad_edge =
+            (n - start == 0) || s[start] == '.' || s[n - 1] == '.';
+        bool trailing_frac_zero = false;
+        if (has_dot && !has_exp && s[n - 1] == '0' &&
+            !(n >= 2 && s[n - 2] == '.')) {
+          trailing_frac_zero = true;  // e.g. "1.50" (repr never emits it)
+        }
+        if (has_exp || leading_zero || bad_edge || trailing_frac_zero) {
+          fallback = true;
+          return;
+        }
+      }
       // go_like_str: repr() minus a trailing ".0".
       if (n >= 2 && value_buf[n - 1] == '0' && value_buf[n - 2] == '.') n -= 2;
       emit_tokens_from_value(n);

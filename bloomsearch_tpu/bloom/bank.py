@@ -197,10 +197,21 @@ class DeviceProbeBackend:
             if sb is None:
                 sb = Superbank(mk[0], mk[1], mk[2], self._jnp, self._jax)
                 self._superbanks[mk] = sb
-            if seg_key not in sb.segments:
-                host_bank = loader()
-                sb.insert(seg_key, host_bank)
-                self._by_file.setdefault(file_pointer, []).append((mk, seg_key))
+            resident = seg_key in sb.segments
+        if not resident:
+            # Load OUTSIDE the lock (disk read + host work); concurrent
+            # loaders of the same segment waste a read but stay correct —
+            # the re-check under the lock inserts only once.
+            host_bank = loader()
+            with self._lock:
+                sb = self._superbanks.get(mk)
+                if sb is None:
+                    sb = Superbank(mk[0], mk[1], mk[2], self._jnp, self._jax)
+                    self._superbanks[mk] = sb
+                if seg_key not in sb.segments:
+                    sb.insert(seg_key, host_bank)
+                    self._by_file.setdefault(file_pointer, []).append((mk, seg_key))
+        with self._lock:
             self._lru.pop((mk, seg_key), None)
             self._lru[(mk, seg_key)] = None
             self._evict_if_needed()
@@ -225,44 +236,6 @@ class DeviceProbeBackend:
 
     # -- probing --------------------------------------------------------
 
-    def _probe_superbank(self, sb: Superbank, terms) -> np.ndarray:
-        """Probe ALL resident columns of one superbank -> bool[T, capacity]."""
-        jnp = self._jnp
-        T = len(terms)
-        # Blocked layouts localize all k probes of a term in one aligned
-        # 8-row group; the kernel's pipelining then fetches it once (the
-        # revisited in-block index skips re-DMA), cutting HBM traffic ~k x.
-        word_idx, bit_idx = terms.positions_for(sb.m_bits, sb.k, sb.layout)  # [T, k]
-        Tp = _pad_terms(T)
-        if Tp != T:
-            word_idx = np.pad(word_idx, ((0, Tp - T), (0, 0)))
-            bit_idx = np.pad(bit_idx, ((0, Tp - T), (0, 0)))
-            ks_idx = np.pad(terms.ks_idx, (0, Tp - T))
-        else:
-            ks_idx = terms.ks_idx
-
-        from .pallas_kernels import MAX_UNROLLED_PROBES, probe_and_pack
-
-        flat_rows = (
-            ks_idx[:, None].astype(np.int32) * sb.num_words + word_idx
-        ).reshape(-1)
-        shifts = bit_idx.reshape(-1)
-        use_pallas = self.use_pallas and Tp * sb.k <= MAX_UNROLLED_PROBES
-        packed = probe_and_pack(
-            sb.bank2d,
-            jnp.asarray(flat_rows),
-            jnp.asarray(shifts),
-            Tp,
-            sb.k,
-            use_pallas=use_pallas,
-        )
-        # Single small d2h transfer: [Tp, C/32] packed words -> unpack on host.
-        packed_host = np.asarray(packed)[:T]
-        bits = np.unpackbits(
-            packed_host.view(np.uint8), axis=1, bitorder="little"
-        )
-        return bits[:, : sb.capacity].astype(bool)
-
     def probe_groups(
         self,
         requests: list[tuple[bytes, int, tuple[int, int], Callable[[], np.ndarray]]],
@@ -270,23 +243,70 @@ class DeviceProbeBackend:
     ) -> dict[tuple[bytes, int], np.ndarray]:
         """Batched probe across files.
 
-        ``requests``: (file_pointer, group_idx, (m_bits, k, layout), loader) where
-        ``loader()`` reads the host bank uint32[3, W, B] if not yet resident.
-        Returns {(file_pointer, group_idx): bool[T, B] match slice}.
-        """
-        placements: dict[tuple[bytes, int], tuple[tuple, int, int]] = {}
-        touched: dict[tuple, Superbank] = {}
-        for file_pointer, group_idx, mk, loader in requests:
-            seg_key = self.segment_key(file_pointer, group_idx)
-            sb = self._ensure_resident(file_pointer, mk, seg_key, loader)
-            start, n = sb.segments[seg_key]
-            placements[(file_pointer, group_idx)] = (mk, start, n)
-            touched[mk] = sb
+        ``requests``: (file_pointer, group_idx, (m_bits, k, layout), loader)
+        where ``loader()`` reads the host bank uint32[3, W, B] if not yet
+        resident. Returns {(file_pointer, group_idx): bool[T, B] match slice}.
 
-        matches: dict[tuple, np.ndarray] = {
-            mk: self._probe_superbank(sb, terms) for mk, sb in touched.items()
-        }
-        return {
-            key: matches[mk][:, start : start + n]
-            for key, (mk, start, n) in placements.items()
-        }
+        Concurrency: residency may race with invalidation/compaction, so the
+        bank array and all segment placements snapshot atomically under the
+        lock; device arrays are immutable, so probing the captured array with
+        the captured placements stays consistent even if a concurrent
+        tombstone compacts the live superbank meanwhile.
+        """
+        for _attempt in range(4):
+            for file_pointer, group_idx, mk, loader in requests:
+                seg_key = self.segment_key(file_pointer, group_idx)
+                self._ensure_resident(file_pointer, mk, seg_key, loader)
+
+            placements: dict[tuple[bytes, int], tuple[tuple, int, int]] = {}
+            snapshots: dict[tuple, tuple] = {}
+            with self._lock:
+                ok = True
+                for file_pointer, group_idx, mk, loader in requests:
+                    seg_key = self.segment_key(file_pointer, group_idx)
+                    sb = self._superbanks.get(mk)
+                    if sb is None or seg_key not in sb.segments:
+                        ok = False  # evicted between ensure and snapshot
+                        break
+                    start, n = sb.segments[seg_key]
+                    placements[(file_pointer, group_idx)] = (mk, start, n)
+                    snapshots[mk] = (sb.bank2d, sb.num_words, sb.capacity, sb.k, sb.layout, sb.m_bits)
+            if not ok:
+                continue
+
+            matches: dict[tuple, np.ndarray] = {}
+            for mk, (bank2d, num_words, capacity, k, layout, m_bits) in snapshots.items():
+                jnp = self._jnp
+                T = len(terms)
+                word_idx, bit_idx = terms.positions_for(m_bits, k, layout)
+                Tp = _pad_terms(T)
+                if Tp != T:
+                    word_idx = np.pad(word_idx, ((0, Tp - T), (0, 0)))
+                    bit_idx = np.pad(bit_idx, ((0, Tp - T), (0, 0)))
+                    ks_idx = np.pad(terms.ks_idx, (0, Tp - T))
+                else:
+                    ks_idx = terms.ks_idx
+
+                from .pallas_kernels import MAX_UNROLLED_PROBES, probe_and_pack
+
+                flat_rows = (
+                    ks_idx[:, None].astype(np.int32) * num_words + word_idx
+                ).reshape(-1)
+                use_pallas = self.use_pallas and Tp * k <= MAX_UNROLLED_PROBES
+                packed = probe_and_pack(
+                    bank2d,
+                    jnp.asarray(flat_rows),
+                    jnp.asarray(bit_idx.reshape(-1)),
+                    Tp,
+                    k,
+                    use_pallas=use_pallas,
+                )
+                packed_host = np.asarray(packed)[:T]
+                bits = np.unpackbits(packed_host.view(np.uint8), axis=1, bitorder="little")
+                matches[mk] = bits[:, :capacity].astype(bool)
+
+            return {
+                key: matches[mk][:, start : start + n]
+                for key, (mk, start, n) in placements.items()
+            }
+        raise RuntimeError("bank segments kept churning during probe; cache too small?")

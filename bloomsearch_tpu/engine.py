@@ -570,15 +570,26 @@ class BloomSearchEngine:
             metadata = writer.finish(flush_req.file_filters)
             writer_fh.close()
         except Exception as exc:
+            # Never publish a partial file: abort (close + delete temp) when
+            # the handle supports it, and tombstone the pointer either way.
             try:
-                writer_fh.close()
+                if hasattr(writer_fh, "abort"):
+                    writer_fh.abort()
+                else:
+                    writer_fh.close()
+            except Exception:
+                pass
+            try:
+                self.data_store.tombstone_file(file_pointer)
             except Exception:
                 pass
             _resolve(flush_req.done_futures, exc)
             return
 
         try:
-            self.meta_store.update([WriteOperation(metadata, file_pointer)], [])
+            self.meta_store.update(
+                [WriteOperation(metadata, file_pointer, file_size=writer.bytes_written)], []
+            )
         except Exception as exc:
             _resolve(flush_req.done_futures, exc)
             return
@@ -710,7 +721,15 @@ class BloomSearchEngine:
         job_queue: queue.Queue = queue.Queue()
         for job in jobs:
             job_queue.put(job)
-        num_workers = min(self.config.max_query_concurrency, len(jobs))
+        import os as _os
+
+        # The global semaphore bounds cross-query block work; the per-query
+        # thread pool only needs enough threads to keep IO/decode busy.
+        num_workers = min(
+            self.config.max_query_concurrency,
+            len(jobs),
+            max(8, 4 * (_os.cpu_count() or 1)),
+        )
         workers = []
         for _ in range(num_workers):
             w = threading.Thread(
@@ -1190,7 +1209,10 @@ class _Merger:
             writer_fh.close()
         except Exception:
             try:
-                writer_fh.close()
+                if hasattr(writer_fh, "abort"):
+                    writer_fh.abort()
+                else:
+                    writer_fh.close()
             except Exception:
                 pass
             engine.data_store.tombstone_file(new_pointer)
@@ -1392,7 +1414,10 @@ class _IngestState:
             self.buffer_start_time = time.monotonic()
 
         use_native_tokenizer = (
-            config.tokenizer is basic_whitespace_lower_tokenizer and _native_ingest_available()
+            config.tokenizer is basic_whitespace_lower_tokenizer
+            and len(config.delimiter) == 1
+            and 0x21 <= ord(config.delimiter) <= 0x7E
+            and _native_ingest_available()
         )
 
         for partition_id, partition_rows in partitioned.items():

@@ -250,6 +250,8 @@ def ingest_tokenize(
     lib = _load()
     if lib is None:
         return None
+    if len(delimiter) != 1 or ord(delimiter) > 0x7E or ord(delimiter) < 0x21:
+        return None  # native path needs a single printable-ASCII delimiter
     n_rows = row_offsets.shape[0]
     buf = np.frombuffer(data, dtype=np.uint8) if data else np.empty(0, dtype=np.uint8)
     row_offsets = np.ascontiguousarray(row_offsets, dtype=np.int64)

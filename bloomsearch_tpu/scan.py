@@ -9,7 +9,8 @@ can only match
   (tokens are whitespace-delimited substrings of the value, and values are
   stored verbatim in the row JSON), and
 - a FIELD condition if its last path segment appears as a JSON key
-  (``"seg":`` — our ingest always writes compact separators),
+  (``"seg"`` quoted — colon omitted since serialized ingest may carry legal
+  whitespace before it),
 
 so a multi-needle case-insensitive substring scan (native C++ memmem over a
 lowercased copy) yields a per-condition row bitmask, the bloom AND/OR tree
@@ -85,12 +86,17 @@ def compile_scan_plan(
     for cond in conditions:
         needle: Optional[bytes] = None
         if cond.type in (BloomConditionType.TOKEN, BloomConditionType.FIELD_TOKEN):
-            if _usable_needle(cond.token):
-                needle = cond.token.lower().encode("ascii")
+            token_lower = cond.token.lower()
+            # Non-finite stringifications ("+inf"/"-inf"/"nan") come from
+            # Infinity/NaN literals whose raw bytes differ — never scannable.
+            if _usable_needle(cond.token) and token_lower not in ("+inf", "-inf", "nan"):
+                needle = token_lower.encode("ascii")
         elif cond.type == BloomConditionType.FIELD:
             segment = cond.field.split(delimiter)[-1]
             if _usable_needle(segment):
-                needle = ('"' + segment.lower() + '":').encode("ascii")
+                # Quoted key WITHOUT the colon: ingest_serialized may carry
+                # legal whitespace between key and colon.
+                needle = ('"' + segment.lower() + '"').encode("ascii")
         if needle is None:
             needle_index.append(None)
         else:

@@ -29,6 +29,9 @@ from .query import QueryPrefilter, filter_data_blocks
 class WriteOperation:
     file_metadata: FileMetadata
     file_pointer: bytes
+    # Total file bytes; lets metadata-only stores report MaybeFile.size
+    # (merge grouping depends on it).
+    file_size: int = 0
 
 
 @dataclass
@@ -117,6 +120,21 @@ class _RenamingFile:
         self._closed = True
         self._fh.close()
         os.replace(self._tmp_path, self._final_path)
+
+    def abort(self) -> None:
+        """Discard: close and delete the temp file WITHOUT publishing it.
+
+        Failed writes must never rename a truncated file into the visible
+        namespace (a corrupt .dat poisons every subsequent directory scan).
+        """
+        if self._closed:
+            return
+        self._closed = True
+        self._fh.close()
+        try:
+            os.remove(self._tmp_path)
+        except FileNotFoundError:
+            pass
 
     def __enter__(self):
         return self
@@ -258,7 +276,7 @@ class MemoryMetaStore:
     def update(self, writes, deletes) -> None:
         with self._lock:
             for w in writes:
-                self._files[w.file_pointer] = (w.file_metadata, 0)
+                self._files[w.file_pointer] = (w.file_metadata, w.file_size)
             for d in deletes:
                 self._files.pop(d.file_pointer, None)
 

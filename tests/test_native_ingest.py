@@ -102,12 +102,28 @@ class TestNativeIngestParity:
     def test_numbers_bools_null(self):
         assert_parity(
             [
-                {"i": 42, "neg": -7, "f": 25.5, "whole": 25.0, "big": 1e16,
-                 "tiny": 1.5e-8, "t": True, "f2": False, "n": None, "zero": 0.0,
-                 "negzero": -0.0},
+                {"i": 42, "neg": -7, "f": 25.5, "whole": 25.0, "t": True,
+                 "f2": False, "n": None, "zero": 0.0, "negzero": -0.0},
             ],
             expect_fallback=[False],
         )
+
+    def test_exponent_numbers_fall_back(self):
+        # repr() pads exponents ("1e+16") while legal JSON may not ("1E16"),
+        # so any exponent form routes through the Python spec.
+        assert_parity([{"big": 1e16, "tiny": 1.5e-8}], expect_fallback=[True])
+
+    def test_non_canonical_numbers_fall_back(self):
+        # Legal-but-non-canonical JSON via the serialized ingest path must
+        # not diverge: trailing fraction zeros / uppercase exponents flag
+        # the row for Python handling.
+        import bloomsearch_tpu as bs
+
+        serialized = [b'{"a":1.50}', b'{"b":1E5}', b'{"c":25.0}']
+        result = _native_tokenize(serialized, ".")
+        assert result is not None
+        _, _, _, fallback = result
+        assert list(fallback) == [True, True, False]
 
     def test_nonfinite_floats(self):
         rows = [{"inf": math.inf, "ninf": -math.inf, "nan": math.nan}]
