@@ -116,6 +116,71 @@ class TestFlushEpochRace:
             engine.stop(timeout=TIMEOUT)
 
 
+class FailingWriteStore(FileSystemDataStore):
+    """First created file's writes fail mid-stream (disk-full simulation)."""
+
+    def __init__(self, root):
+        super().__init__(root)
+        self._failed_once = False
+
+    def create_file(self):
+        fh, pointer = super().create_file()
+        if not self._failed_once:
+            self._failed_once = True
+
+            class _Failing:
+                def __init__(self, inner):
+                    self._inner = inner
+                    self._writes = 0
+
+                def write(self, data):
+                    self._writes += 1
+                    if self._writes > 1:
+                        raise OSError(28, "No space left on device")
+                    return self._inner.write(data)
+
+                def __getattr__(self, name):
+                    return getattr(self._inner, name)
+
+            return _Failing(fh), pointer
+        return fh, pointer
+
+
+class TestFlushFailureDurability:
+    def test_failed_flush_never_publishes_partial_file(self, tmp_path):
+        """A mid-write flush failure must not leave a corrupt visible file
+
+        (regression: the error path used to rename the truncated temp file
+        into place, poisoning every subsequent directory scan)."""
+        from concurrent.futures import Future
+
+        store = FailingWriteStore(str(tmp_path / "data"))
+        config = BloomSearchEngineConfig(row_data_compression="none", probe_backend="host")
+        engine = BloomSearchEngine(config, store, store)
+        engine.start()
+        try:
+            import pytest
+
+            # flush() surfaces the write error from the failed handler.
+            with pytest.raises(OSError):
+                engine.ingest_rows([{"n": 1}], timeout=TIMEOUT)
+                engine.flush(timeout=TIMEOUT)
+
+            # The store must be clean: no visible files, no stale temp poison.
+            assert store.get_maybe_files_for_query(None) == []
+
+            # And the engine keeps working: next flush (store healthy now)
+            # succeeds and only the NEW data is visible (buffered rows of the
+            # failed epoch were consumed by the failed flush, like the
+            # reference's error-to-doneChans semantics).
+            engine.ingest_rows([{"n": 3}], timeout=TIMEOUT)
+            engine.flush(timeout=TIMEOUT)
+            rows = engine.query_sync(None, timeout=TIMEOUT)
+            assert [r["n"] for r in rows] == [3]
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+
 class TestStopWhileIngestBlocked:
     def test_stop_flushes_rows_buffered_behind_a_slow_tokenizer(self, tmp_path):
         """A tokenizer stall freezes the ingest actor mid-request; rows must
