@@ -397,6 +397,13 @@ class BloomSearchEngine:
         self._host_bank_bytes = 0
         self._host_bank_lock = threading.Lock()
 
+        # Merge tombstones defer while queries are in flight so a replaced
+        # file can't vanish under a query that already planned jobs on it
+        # (the reference errors those workers; we drain instead).
+        self._active_queries = 0
+        self._deferred_tombstones: list[bytes] = []
+        self._query_track_lock = threading.Lock()
+
     # ------------------------------------------------------------------
     # Lifecycle (reference Start/Stop :281-307)
     # ------------------------------------------------------------------
@@ -691,6 +698,55 @@ class BloomSearchEngine:
         return rows
 
     def _run_query(
+        self,
+        q: Query,
+        compiled_regex,
+        result_queue: queue.Queue,
+        error_queue: Optional[queue.Queue],
+        stats_queue: Optional[queue.Queue],
+        cancel_event: Optional[threading.Event],
+    ) -> None:
+        with self._query_track_lock:
+            self._active_queries += 1
+        try:
+            self._run_query_inner(
+                q, compiled_regex, result_queue, error_queue, stats_queue, cancel_event
+            )
+        finally:
+            drain: list[bytes] = []
+            with self._query_track_lock:
+                self._active_queries -= 1
+                if self._active_queries == 0 and self._deferred_tombstones:
+                    drain = self._deferred_tombstones
+                    self._deferred_tombstones = []
+            for pointer in drain:
+                self._tombstone_everywhere(pointer)
+
+    def _tombstone_everywhere(self, pointer: bytes) -> None:
+        try:
+            self.data_store.tombstone_file(pointer)
+        except Exception:
+            logger.exception("tombstone failed for %r", pointer)
+        if self._device_backend is not None:
+            self._device_backend.invalidate(pointer)
+        if self._row_cache is not None:
+            self._row_cache.invalidate_file(pointer)
+        self._invalidate_host_bank(pointer)
+
+    def _tombstone_or_defer(self, pointer: bytes) -> None:
+        """Physically tombstone now, or defer until in-flight queries drain.
+
+        The metadata delete has already published atomically, so no NEW
+        query will plan the file; deferral only protects queries that
+        planned before the merge completed.
+        """
+        with self._query_track_lock:
+            if self._active_queries > 0:
+                self._deferred_tombstones.append(pointer)
+                return
+        self._tombstone_everywhere(pointer)
+
+    def _run_query_inner(
         self,
         q: Query,
         compiled_regex,
@@ -1224,12 +1280,7 @@ class _Merger:
             [DeleteOperation(mf.pointer) for mf in group],
         )
         for mf in group:
-            engine.data_store.tombstone_file(mf.pointer)
-            if engine._device_backend is not None:
-                engine._device_backend.invalidate(mf.pointer)
-            if engine._row_cache is not None:
-                engine._row_cache.invalidate_file(mf.pointer)
-            engine._invalidate_host_bank(mf.pointer)
+            engine._tombstone_or_defer(mf.pointer)
         stats.files_processed += len(group)
 
     def _reread_metadata(self, pointer: bytes) -> FileMetadata:

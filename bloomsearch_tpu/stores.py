@@ -25,6 +25,10 @@ from .file_format import FileMetadata, read_file_metadata
 from .query import QueryPrefilter, filter_data_blocks
 
 
+# Metadata-deleted files rename to this suffix until physically tombstoned.
+TOMBSTONED_SUFFIX = ".tombstoned"
+
+
 @dataclass
 class WriteOperation:
     file_metadata: FileMetadata
@@ -174,13 +178,21 @@ class FileSystemDataStore:
         return fh, final_path.encode("utf-8")
 
     def open_file(self, file_pointer: bytes) -> BinaryIO:
-        return open(file_pointer.decode("utf-8"), "rb")
+        path = file_pointer.decode("utf-8")
+        try:
+            return open(path, "rb")
+        except FileNotFoundError:
+            # Metadata-deleted but not yet physically tombstoned (in-flight
+            # queries keep reading replaced files until they drain).
+            return open(path + TOMBSTONED_SUFFIX, "rb")
 
     def tombstone_file(self, file_pointer: bytes) -> None:
-        try:
-            os.remove(file_pointer.decode("utf-8"))
-        except FileNotFoundError:
-            pass
+        path = file_pointer.decode("utf-8")
+        for candidate in (path, path + TOMBSTONED_SUFFIX):
+            try:
+                os.remove(candidate)
+            except FileNotFoundError:
+                pass
 
     # MetaStore
 
@@ -237,10 +249,14 @@ class FileSystemDataStore:
         return maybe_files
 
     def update(self, writes, deletes) -> None:
-        # Writes are no-ops: metadata lives in the file footers.
+        # Writes are no-ops: metadata lives in the file footers. Deletes
+        # RENAME out of the scanned namespace (invisible to new queries)
+        # rather than unlinking — tombstone_file does the physical removal,
+        # which the engine defers past in-flight queries.
         for op in deletes:
+            path = op.file_pointer.decode("utf-8")
             try:
-                os.remove(op.file_pointer.decode("utf-8"))
+                os.replace(path, path + TOMBSTONED_SUFFIX)
             except FileNotFoundError:
                 pass
 
