@@ -399,9 +399,12 @@ class BloomSearchEngine:
 
         # Merge tombstones defer while queries are in flight so a replaced
         # file can't vanish under a query that already planned jobs on it
-        # (the reference errors those workers; we drain instead).
-        self._active_queries = 0
-        self._deferred_tombstones: list[bytes] = []
+        # (the reference errors those workers; we drain instead). Each defer
+        # snapshots the queries active at that moment, so under continuous
+        # query traffic entries still drain as those specific queries finish.
+        self._next_query_id = 0
+        self._active_query_ids: set[int] = set()
+        self._deferred_tombstones: list[tuple[bytes, set[int]]] = []
         self._query_track_lock = threading.Lock()
 
     # ------------------------------------------------------------------
@@ -441,6 +444,14 @@ class BloomSearchEngine:
             thread.join(remaining)
             if thread.is_alive():
                 raise TimeoutError("shutdown timeout exceeded")
+        # Apply any tombstones still deferred behind in-flight queries; the
+        # store's grace window (if configured) keeps the bytes readable for
+        # stragglers, and the startup sweep collects crash leftovers.
+        with self._query_track_lock:
+            drain = [pointer for pointer, _ in self._deferred_tombstones]
+            self._deferred_tombstones = []
+        for pointer in drain:
+            self._tombstone_everywhere(pointer)
         self._started = False
 
     # ------------------------------------------------------------------
@@ -707,7 +718,9 @@ class BloomSearchEngine:
         cancel_event: Optional[threading.Event],
     ) -> None:
         with self._query_track_lock:
-            self._active_queries += 1
+            query_id = self._next_query_id
+            self._next_query_id += 1
+            self._active_query_ids.add(query_id)
         try:
             self._run_query_inner(
                 q, compiled_regex, result_queue, error_queue, stats_queue, cancel_event
@@ -715,10 +728,15 @@ class BloomSearchEngine:
         finally:
             drain: list[bytes] = []
             with self._query_track_lock:
-                self._active_queries -= 1
-                if self._active_queries == 0 and self._deferred_tombstones:
-                    drain = self._deferred_tombstones
-                    self._deferred_tombstones = []
+                self._active_query_ids.discard(query_id)
+                remaining: list[tuple[bytes, set[int]]] = []
+                for pointer, waiting_on in self._deferred_tombstones:
+                    waiting_on.discard(query_id)
+                    if waiting_on:
+                        remaining.append((pointer, waiting_on))
+                    else:
+                        drain.append(pointer)
+                self._deferred_tombstones = remaining
             for pointer in drain:
                 self._tombstone_everywhere(pointer)
 
@@ -741,8 +759,10 @@ class BloomSearchEngine:
         planned before the merge completed.
         """
         with self._query_track_lock:
-            if self._active_queries > 0:
-                self._deferred_tombstones.append(pointer)
+            if self._active_query_ids:
+                # Wait only on the queries active RIGHT NOW — later queries
+                # planned after the metadata delete never see this pointer.
+                self._deferred_tombstones.append((pointer, set(self._active_query_ids)))
                 return
         self._tombstone_everywhere(pointer)
 

@@ -155,9 +155,15 @@ class FileSystemDataStore:
     the prefilter (testing_file_system_store.go:13-192).
     """
 
-    def __init__(self, root_dir: str):
+    def __init__(self, root_dir: str, tombstone_grace_seconds: float = 0.0):
         os.makedirs(root_dir, exist_ok=True)
         self.root_dir = root_dir
+        # Grace window before physically deleting replaced files (protects
+        # readers in OTHER processes; in-process readers are protected by
+        # the engine's deferred tombstones). 0 = delete immediately.
+        self.tombstone_grace_seconds = tombstone_grace_seconds
+        # Startup sweep: orphaned .tombstoned files from crashed processes.
+        self._sweep_tombstoned()
         # Files are immutable once visible, so parsed footers cache safely:
         # path -> (size, mtime_ns, FileMetadata). Without this every query
         # re-reads and re-parses every footer (file-level filters included),
@@ -181,16 +187,50 @@ class FileSystemDataStore:
         path = file_pointer.decode("utf-8")
         try:
             return open(path, "rb")
-        except FileNotFoundError:
+        except FileNotFoundError as original:
             # Metadata-deleted but not yet physically tombstoned (in-flight
             # queries keep reading replaced files until they drain).
-            return open(path + TOMBSTONED_SUFFIX, "rb")
+            try:
+                return open(path + TOMBSTONED_SUFFIX, "rb")
+            except FileNotFoundError:
+                raise original  # report the pointer's real path
 
     def tombstone_file(self, file_pointer: bytes) -> None:
+        """Physically remove — immediately at grace 0 (single-writer default),
+
+        else rename to .tombstoned and leave removal to the age-based sweep
+        so concurrent readers in OTHER processes get a grace window
+        (multi-writer deployments set tombstone_grace_seconds > 0; see
+        coordination.py for the matching merge-lease story)."""
         path = file_pointer.decode("utf-8")
-        for candidate in (path, path + TOMBSTONED_SUFFIX):
+        if self.tombstone_grace_seconds <= 0:
+            for candidate in (path, path + TOMBSTONED_SUFFIX):
+                try:
+                    os.remove(candidate)
+                except FileNotFoundError:
+                    pass
+            return
+        try:
+            os.replace(path, path + TOMBSTONED_SUFFIX)
+        except FileNotFoundError:
+            pass
+
+    def _sweep_tombstoned(self) -> None:
+        """Remove .tombstoned files older than the grace period."""
+        import time as _time
+
+        cutoff = _time.time() - max(self.tombstone_grace_seconds, 0)
+        try:
+            names = os.listdir(self.root_dir)
+        except FileNotFoundError:
+            return
+        for name in names:
+            if not name.endswith(TOMBSTONED_SUFFIX):
+                continue
+            path = os.path.join(self.root_dir, name)
             try:
-                os.remove(candidate)
+                if os.stat(path).st_mtime <= cutoff:
+                    os.remove(path)
             except FileNotFoundError:
                 pass
 
@@ -223,7 +263,12 @@ class FileSystemDataStore:
             if not os.path.isfile(path):
                 continue
             stale.discard(path)
-            cached = self._read_file_metadata(path, stat)
+            try:
+                cached = self._read_file_metadata(path, stat)
+            except FileNotFoundError:
+                # Renamed away (metadata-deleted) between stat and open: the
+                # file is no longer part of the dataset — skip it.
+                continue
             # Never mutate the cached object: present a shallow view with the
             # prefiltered block list (meta_store.go:33-41 allows subsetting).
             metadata = FileMetadata(
@@ -253,6 +298,7 @@ class FileSystemDataStore:
         # RENAME out of the scanned namespace (invisible to new queries)
         # rather than unlinking — tombstone_file does the physical removal,
         # which the engine defers past in-flight queries.
+        self._sweep_tombstoned()
         for op in deletes:
             path = op.file_pointer.decode("utf-8")
             try:

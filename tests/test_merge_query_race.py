@@ -44,6 +44,14 @@ class TestMergeDuringQuery:
             time.sleep(0.2)  # query is mid-flight
             stats = engine.merge()  # tombstones must defer, not unlink
             assert stats.files_processed == 4
+            # The race actually happened: the merge deferred behind the
+            # in-flight query and the replaced bytes are still readable.
+            import os as _os
+
+            assert engine._deferred_tombstones, "merge did not defer: query already drained"
+            assert any(
+                name.endswith(".tombstoned") for name in _os.listdir(store.root_dir)
+            )
 
             rows = []
             while True:

@@ -161,9 +161,9 @@ class TestFlushFailureDurability:
         try:
             import pytest
 
+            engine.ingest_rows([{"n": 1}], timeout=TIMEOUT)
             # flush() surfaces the write error from the failed handler.
             with pytest.raises(OSError):
-                engine.ingest_rows([{"n": 1}], timeout=TIMEOUT)
                 engine.flush(timeout=TIMEOUT)
 
             # The store must be clean: no visible files, no stale temp poison.
