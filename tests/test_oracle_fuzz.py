@@ -1,0 +1,179 @@
+"""Oracle fuzz: random engine operation sequences vs a naive reference.
+
+The oracle keeps every ingested row in memory and evaluates queries with the
+exact row-verification semantics (tokenizer.py — the semantic spec). The
+engine, with its bloom pruning, candidate scans, merges, partitions, and
+minmax indexes, must return exactly the oracle's rows: any false negative
+(over-pruning) or false positive (under-verification) fails the fuzz.
+"""
+
+import json
+import random
+import string
+
+import pytest
+
+import bloomsearch_tpu as bs
+from bloomsearch_tpu.query import and_bloom_queries  # noqa: F401 (doc import)
+from bloomsearch_tpu.tokenizer import (
+    basic_whitespace_lower_tokenizer,
+    compile_regex_query,
+    row_matches_query,
+)
+
+TIMEOUT = 20.0
+
+WORDS = [
+    "alpha", "bravo", "Charlie", "delta", "écho", "fox-7", "golf", "42",
+    "true", "hotel india", "x", "",
+]
+FIELDS = ["svc", "msg", "level", "nested", "num", "arr"]
+
+
+def random_row(rng: random.Random, i: int) -> dict:
+    row = {"id": i, "part": f"{rng.randrange(3)}"}
+    for _ in range(rng.randrange(1, 4)):
+        f = rng.choice(FIELDS)
+        r = rng.random()
+        if f == "nested" or r < 0.15:
+            row["nested"] = {"inner": rng.choice(WORDS)}
+        elif f == "arr" or r < 0.3:
+            row["arr"] = [rng.choice(WORDS) for _ in range(rng.randrange(1, 3))]
+        elif f == "num" or r < 0.45:
+            row["num"] = rng.choice([rng.randrange(-50, 50), rng.uniform(-5, 5), 1e16])
+        else:
+            row[f] = " ".join(rng.choice(WORDS) for _ in range(rng.randrange(1, 3)))
+    return row
+
+
+def random_query(rng: random.Random):
+    builder = bs.new_query()
+    kind = rng.random()
+    def _random_token():
+        tokens = rng.choice(WORDS).lower().split()
+        return bs.token(tokens[0] if tokens else "alpha")
+
+    leaf_makers = [
+        _random_token,
+        lambda: bs.field(rng.choice(["svc", "msg", "nested.inner", "arr", "num", "absent"])),
+        lambda: bs.field_token(rng.choice(["svc", "msg", "nested.inner"]), rng.choice(["alpha", "bravo", "charlie", "zzz"])),
+    ]
+
+    def leaf():
+        return rng.choice(leaf_makers)()
+
+    if kind < 0.4:
+        builder.token(rng.choice(["alpha", "bravo", "charlie", "écho", "42", "true", "zzz"]))
+    elif kind < 0.6:
+        builder.match(bs.or_(leaf(), bs.and_(leaf(), leaf())))
+    elif kind < 0.8:
+        builder.field_token("svc", rng.choice(["alpha", "bravo", "x"]))
+        builder.token(rng.choice(["alpha", "delta", "golf"]))
+    else:
+        builder.match(bs.or_(leaf(), leaf(), leaf()))
+    if rng.random() < 0.3:
+        builder.field_regex(rng.choice(["msg", "svc", "nested.inner"]), rng.choice(["^al", "a.*a", "7$", "zzz"]))
+    if rng.random() < 0.25:
+        builder.match_prefilter(bs.partition(bs.partition_in("0", "1")))
+    if rng.random() < 0.25:
+        builder.match_prefilter(bs.min_max("num", bs.numeric_between(-10, 20)))
+    return builder.build()
+
+
+def _has_minmax_condition(expr) -> bool:
+    from bloomsearch_tpu.query import PrefilterConditionType, PrefilterExprType
+
+    if expr is None:
+        return False
+    if expr.expression_type == PrefilterExprType.CONDITION:
+        return (
+            expr.condition is not None
+            and expr.condition.condition_type == PrefilterConditionType.MINMAX
+        )
+    return any(_has_minmax_condition(c) for c in expr.children)
+
+
+def oracle_results(all_rows, q, apply_prefilter=True):
+    """Rows matching bloom+regex, optionally with the per-row prefilter.
+
+    Minmax prefilters prune at BLOCK granularity in the engine (reference
+    semantics — a passing block returns all its bloom-matching rows, even
+    ones whose own value is outside the range), so for queries with minmax
+    conditions the engine's exact result set depends on physical block
+    boundaries. The fuzz asserts subset bounds in that case:
+    oracle(with per-row prefilter)  ⊆  engine  ⊆  oracle(no prefilter).
+    Partition prefilters ARE row-exact (a block's partition is its rows').
+    """
+    compiled = compile_regex_query(q.regex)
+    out = []
+    for row in all_rows:
+        parsed = json.loads(json.dumps(row))
+        if apply_prefilter and not _row_passes_prefilter(row, q.prefilter):
+            continue
+        if row_matches_query(parsed, q.bloom, compiled, ".", basic_whitespace_lower_tokenizer):
+            out.append(row)
+    return out
+
+
+def _row_passes_prefilter(row, prefilter):
+    from bloomsearch_tpu.minmax import MinMaxIndex, convert_to_min_max_int64
+    from bloomsearch_tpu.query import evaluate_data_block_metadata
+
+    class _Meta:
+        partition_id = row.get("part", "")
+        min_max_indexes = {}
+
+    bounds = convert_to_min_max_int64(row.get("num")) if "num" in row else None
+    if bounds is not None:
+        _Meta.min_max_indexes = {"num": MinMaxIndex(*bounds)}
+    return evaluate_data_block_metadata(_Meta, prefilter)
+
+
+def _check(engine, all_rows, q, label):
+    got = sorted(r["id"] for r in engine.query_sync(q, timeout=TIMEOUT))
+    if _has_minmax_condition(q.prefilter.expression if q.prefilter else None):
+        lower = sorted(r["id"] for r in oracle_results(all_rows, q, apply_prefilter=True))
+        upper = sorted(r["id"] for r in oracle_results(all_rows, q, apply_prefilter=False))
+        assert set(lower) <= set(got), f"{label}: FALSE NEGATIVES {set(lower)-set(got)}\nquery={q}"
+        assert set(got) <= set(upper), f"{label}: impossible rows {set(got)-set(upper)}\nquery={q}"
+    else:
+        expected = sorted(r["id"] for r in oracle_results(all_rows, q))
+        assert got == expected, f"{label}: engine {got} != oracle {expected}\nquery={q}"
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_engine_matches_oracle(tmp_path, seed):
+    rng = random.Random(seed)
+    store = bs.FileSystemDataStore(str(tmp_path / "data"))
+    config = bs.BloomSearchEngineConfig(
+        row_data_compression=rng.choice(["none", "zstd", "snappy"]),
+        partition_func=lambda r: r["part"],
+        min_max_indexes=["num"],
+        probe_backend="host",
+        max_buffered_rows=rng.choice([50, 1000]),
+    )
+    engine = bs.BloomSearchEngine(config, store, store)
+    engine.start()
+    all_rows: list[dict] = []
+    next_id = 0
+    try:
+        for step in range(12):
+            op = rng.random()
+            if op < 0.5 or not all_rows:
+                batch = [random_row(rng, next_id + j) for j in range(rng.randrange(5, 40))]
+                next_id += len(batch)
+                all_rows.extend(batch)
+                engine.ingest_rows(batch, timeout=TIMEOUT)
+                engine.flush(timeout=TIMEOUT)
+            elif op < 0.65:
+                engine.merge()
+            else:
+                q = random_query(rng)
+                _check(engine, all_rows, q, f"seed={seed} step={step}")
+        # Final sweep: several queries against the final state.
+        engine.merge()
+        for _ in range(8):
+            q = random_query(rng)
+            _check(engine, all_rows, q, f"seed={seed} final")
+    finally:
+        engine.stop(timeout=TIMEOUT)
