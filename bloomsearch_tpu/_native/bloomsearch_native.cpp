@@ -941,4 +941,96 @@ BS_EXPORT int64_t bs_ingest_tokenize(
   return rc;
 }
 
+// ---------------------------------------------------------------------------
+// One-call block pipeline: CRC verify -> decompress -> row split -> needle
+// scan, entirely native (the ctypes call releases the GIL, so the query
+// worker pool scales on multicore hosts). The bloom AST still evaluates in
+// Python over the returned per-needle bitmasks.
+// ---------------------------------------------------------------------------
+
+#include <zstd.h>
+
+static int64_t decompress_zstd_stream(const uint8_t* comp, int64_t comp_len,
+                                      uint8_t* out, int64_t out_cap) {
+  ZSTD_DCtx* dctx = ZSTD_createDCtx();
+  if (!dctx) return -2;
+  ZSTD_inBuffer in{comp, (size_t)comp_len, 0};
+  ZSTD_outBuffer ob{out, (size_t)out_cap, 0};
+  while (in.pos < in.size) {
+    const size_t rc = ZSTD_decompressStream(dctx, &ob, &in);
+    if (ZSTD_isError(rc)) {
+      ZSTD_freeDCtx(dctx);
+      return -2;
+    }
+    if (ob.pos == ob.size && in.pos < in.size) {
+      ZSTD_freeDCtx(dctx);
+      return -4;  // output capacity too small
+    }
+  }
+  ZSTD_freeDCtx(dctx);
+  return (int64_t)ob.pos;
+}
+
+static int64_t decompress_snappy_stream(const uint8_t* comp, int64_t comp_len,
+                                        uint8_t* out, int64_t out_cap) {
+  int64_t ipos = 0;
+  int64_t opos = 0;
+  while (ipos < comp_len) {
+    if (ipos + 4 > comp_len) return -2;
+    uint32_t clen;
+    std::memcpy(&clen, comp + ipos, 4);
+    ipos += 4;
+    if (ipos + (int64_t)clen > comp_len) return -2;
+    const int64_t expected =
+        bs_snappy_uncompressed_length(comp + ipos, (int64_t)clen);
+    if (expected < 0 || opos + expected > out_cap) return -4;
+    const int64_t written = bs_snappy_decompress_block(comp + ipos, (int64_t)clen,
+                                                       out + opos, out_cap - opos);
+    if (written != expected) return -2;
+    opos += written;
+    ipos += (int64_t)clen;
+  }
+  return opos;
+}
+
+// Returns decompressed length >= 0, or: -1 CRC mismatch, -2 malformed
+// compressed data, -3 malformed row stream, -4 capacity exceeded,
+// -5 unsupported codec. codec: 0 none, 1 snappy (chunked framing), 2 zstd.
+BS_EXPORT int64_t bs_process_block(
+    const uint8_t* comp, int64_t comp_len, int32_t codec,
+    uint32_t expected_crc, int32_t verify_crc,
+    uint8_t* out, int64_t out_cap,
+    int64_t* row_offsets, int64_t* row_lengths, int64_t max_rows,
+    int64_t* n_rows,
+    const uint8_t* needles, const int64_t* needle_offsets, int64_t n_needles,
+    uint8_t* scan_out) {
+  if (verify_crc && bs_crc32c(comp, comp_len, 0) != expected_crc) return -1;
+
+  int64_t dlen;
+  if (codec == 0) {
+    if (comp_len > out_cap) return -4;
+    std::memcpy(out, comp, (size_t)comp_len);
+    dlen = comp_len;
+  } else if (codec == 1) {
+    dlen = decompress_snappy_stream(comp, comp_len, out, out_cap);
+  } else if (codec == 2) {
+    dlen = decompress_zstd_stream(comp, comp_len, out, out_cap);
+  } else {
+    return -5;
+  }
+  if (dlen < 0) return dlen;
+
+  const int64_t count = bs_split_rows(out, dlen, max_rows, row_offsets, row_lengths);
+  if (count < 0) return -3;
+  *n_rows = count;
+
+  if (n_needles > 0 && count > 0) {
+    const int64_t rc = bs_scan_candidates(out, dlen, needles, needle_offsets,
+                                          n_needles, row_offsets, row_lengths,
+                                          count, scan_out);
+    if (rc != 0) return -2;
+  }
+  return dlen;
+}
+
 BS_EXPORT int64_t bs_version() { return 1; }

@@ -1046,17 +1046,42 @@ class BloomSearchEngine:
         try:
             cache_key = (job.file_pointer, job.block.offset)
             pinned = self._row_cache.get(cache_key) if self._row_cache is not None else None
+            mask = None
+            scanned_inline = None
             if pinned is not None:
                 data = pinned.data
                 offsets, lengths = pinned.row_offsets, pinned.row_lengths
             else:
                 with self.data_store.open_file(job.file_pointer) as fh:
-                    compressed = read_block_rows_compressed(fh, job.block)
-                data = decompress_block(
-                    compressed, job.block.compression, job.block.uncompressed_size
-                )
-                buf, offsets, lengths = split_rows_arrays(data)
+                    compressed = read_block_rows_compressed(fh, job.block, verify=False)
+                # Hot path: one GIL-free native call does CRC verify,
+                # decompress, row split, and the needle scan together.
+                from . import native as _native
+
+                processed = _native.process_block(
+                    compressed,
+                    job.block.compression,
+                    job.block.row_data_hash,
+                    job.block.uncompressed_size,
+                    scan_plan.needles if scan_plan is not None else [],
+                ) if _native.available() else None
+                if processed is not None:
+                    data_arr, offsets, lengths, scanned_inline = processed
+                    data = data_arr.tobytes() if self._row_cache is not None else data_arr
+                else:
+                    from .checksum import crc32c as _crc32c
+
+                    if _crc32c(compressed) != job.block.row_data_hash:
+                        from .file_format import InvalidHashError
+
+                        raise InvalidHashError("row data CRC mismatch")
+                    data = decompress_block(
+                        compressed, job.block.compression, job.block.uncompressed_size
+                    )
+                    _, offsets, lengths = split_rows_arrays(data)
                 if self._row_cache is not None:
+                    if not isinstance(data, bytes):
+                        data = bytes(data)
                     pinned = self._row_cache.pin(cache_key, data, offsets, lengths)
             num_rows = offsets.shape[0]
             stats.rows_processed = num_rows
@@ -1064,13 +1089,15 @@ class BloomSearchEngine:
 
             candidate_idx = None
             if scan_plan is not None:
-                if pinned is not None:
+                if scanned_inline is not None:
+                    mask = evaluate_plan(scan_plan, scanned_inline, num_rows)
+                elif pinned is not None:
                     # Serving mode: the needle scan runs on-device over the
                     # HBM-pinned row matrix; host CPU never touches the bytes.
                     scanned = self._row_cache.scan(pinned, scan_plan.needles)
                     mask = evaluate_plan(scan_plan, scanned, num_rows)
                 else:
-                    buf = np.frombuffer(data, dtype=np.uint8)
+                    buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, bytes) else data
                     mask = candidate_rows(scan_plan, buf, offsets, lengths)
                 if mask is not None:
                     candidate_idx = np.nonzero(mask)[0]
@@ -1079,10 +1106,13 @@ class BloomSearchEngine:
 
             tokenizer = self.config.tokenizer
             delimiter = self.config.delimiter
+            data_is_bytes = isinstance(data, (bytes, bytearray))
             for i in candidate_idx:
                 if cancel_event is not None and cancel_event.is_set():
                     return
                 payload = data[offsets[i] : offsets[i] + lengths[i]]
+                if not data_is_bytes:
+                    payload = payload.tobytes()
                 parsed = json.loads(payload)
                 if row_matches_query(parsed, q.bloom, compiled_regex, delimiter, tokenizer):
                     result_queue.put(parsed)

@@ -28,7 +28,7 @@ _load_failed = False
 def _compile() -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-fvisibility=hidden", "-o", _SO, _SRC,
+        "-fvisibility=hidden", "-o", _SO, _SRC, "-lzstd",
     ]
     try:
         result = subprocess.run(cmd, capture_output=True, timeout=120)
@@ -119,6 +119,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
         ]
         lib.bs_ingest_tokenize.restype = ctypes.c_int64
+        lib.bs_process_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_uint32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.bs_process_block.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -287,6 +296,81 @@ def ingest_tokenize(
             continue
         return None
     return None
+
+
+_CODEC_IDS = {"none": 0, "snappy": 1, "zstd": 2}
+
+
+def process_block(
+    compressed: bytes,
+    codec: str,
+    expected_crc: int,
+    uncompressed_size: int,
+    needles: list[bytes],
+    verify_crc: bool = True,
+):
+    """Full native block pipeline: CRC -> decompress -> split -> scan.
+
+    Returns (data bytes-like, row_offsets, row_lengths, scan bool[needles,
+    rows]) or None when the native library / codec is unavailable. Raises
+    ValueError on integrity failures (CRC/malformed data).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    codec_id = _CODEC_IDS.get(codec or "none")
+    if codec_id is None:
+        return None
+    comp = np.frombuffer(compressed, dtype=np.uint8) if compressed else np.empty(0, dtype=np.uint8)
+    out_cap = max(uncompressed_size, len(compressed), 16)
+    out = np.empty(out_cap, dtype=np.uint8)
+    max_rows = out_cap // 4 + 1
+    row_offsets = np.empty(max_rows, dtype=np.int64)
+    row_lengths = np.empty(max_rows, dtype=np.int64)
+    n_rows = ctypes.c_int64()
+
+    n_needles = len(needles)
+    if n_needles:
+        nlens = np.fromiter((len(b) for b in needles), dtype=np.int64, count=n_needles)
+        noffs = np.zeros(n_needles + 1, dtype=np.int64)
+        np.cumsum(nlens, out=noffs[1:])
+        nblob = b"".join(needles)
+        nbuf = np.frombuffer(nblob, dtype=np.uint8) if nblob else np.empty(0, dtype=np.uint8)
+        # The native scan writes compactly at stride = actual row count
+        # (known only after splitting), so hand it a flat buffer and reshape
+        # with the returned count.
+        scan_out = np.zeros(n_needles * max_rows, dtype=np.uint8)
+        nbuf_p, noffs_p, scan_p = _ptr(nbuf), _ptr(noffs), _ptr(scan_out)
+    else:
+        scan_out = None
+        nbuf_p = noffs_p = scan_p = None
+
+    dlen = lib.bs_process_block(
+        _ptr(comp), comp.size, codec_id,
+        ctypes.c_uint32(expected_crc), 1 if verify_crc else 0,
+        _ptr(out), out_cap,
+        _ptr(row_offsets), _ptr(row_lengths), max_rows, ctypes.byref(n_rows),
+        nbuf_p, noffs_p, n_needles,
+        scan_p,
+    )
+    if dlen == -1:
+        raise ValueError("block CRC mismatch")
+    if dlen in (-2, -3):
+        raise ValueError("malformed block data")
+    if dlen < 0:
+        return None  # capacity/codec issue: fall back to the Python path
+    rows = int(n_rows.value)
+    scan = (
+        scan_out[: n_needles * rows].reshape(n_needles, rows).astype(bool)
+        if scan_out is not None
+        else None
+    )
+    return (
+        out[:dlen],
+        row_offsets[:rows].copy(),
+        row_lengths[:rows].copy(),
+        scan,
+    )
 
 
 SNAPPY_MAX_BLOCK_INPUT = 65536
