@@ -169,6 +169,11 @@ class BloomSearchEngineConfig:
     # (README.md:283-287 — designed but unimplemented in the reference).
     ttl_seconds: Optional[float] = None
 
+    # Background compaction: run merge() on this interval (None = manual
+    # merges only, the reference's model). Lease-aware when the MetaStore
+    # coordinates.
+    merge_interval_seconds: Optional[float] = None
+
     # TPU probe backend: "auto" uses the device when JAX has one, "device"
     # forces it, "host" forces numpy probing.
     probe_backend: str = "auto"
@@ -352,6 +357,7 @@ class BloomSearchEngine:
         self._ingest_done = threading.Event()
         self._ingest_thread: Optional[threading.Thread] = None
         self._flush_thread: Optional[threading.Thread] = None
+        self._merge_thread: Optional[threading.Thread] = None
         self._started = False
 
         # Global cross-query bound on concurrently processed blocks
@@ -423,6 +429,11 @@ class BloomSearchEngine:
         )
         self._ingest_thread.start()
         self._flush_thread.start()
+        if self.config.merge_interval_seconds is not None:
+            self._merge_thread = threading.Thread(
+                target=self._merge_loop, name="bloomsearch-merge", daemon=True
+            )
+            self._merge_thread.start()
 
     def stop(self, timeout: Optional[float] = None) -> None:
         """Graceful shutdown: buffered rows are flushed to a complete file
@@ -444,6 +455,9 @@ class BloomSearchEngine:
             thread.join(remaining)
             if thread.is_alive():
                 raise TimeoutError("shutdown timeout exceeded")
+        if self._merge_thread is not None:
+            remaining = None if deadline is None else max(0.0, deadline - time.monotonic())
+            self._merge_thread.join(remaining)
         # Apply any tombstones still deferred behind in-flight queries; the
         # store's grace window (if configured) keeps the bytes readable for
         # stragglers, and the startup sweep collects crash leftovers.
@@ -639,6 +653,14 @@ class BloomSearchEngine:
     # Merge / compaction (reference Merge :1206-1372)
     # ------------------------------------------------------------------
 
+    def _merge_loop(self) -> None:
+        interval = self.config.merge_interval_seconds
+        while not self._stop_event.wait(interval):
+            try:
+                self.merge()
+            except Exception:
+                logger.exception("background merge failed")
+
     def merge(self) -> MergeStats:
         """Merge small files (and drop TTL-expired blocks); safe to run in
 
@@ -686,6 +708,24 @@ class BloomSearchEngine:
             daemon=True,
         )
         thread.start()
+
+    def query_iter(self, q: Optional[Query], timeout: Optional[float] = None):
+        """Generator over streaming results (raises the first worker error
+        at the end if any occurred)."""
+        result_queue: queue.Queue = queue.Queue()
+        error_queue: queue.Queue = queue.Queue()
+        self.query(q, result_queue, error_queue)
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            remaining = None if deadline is None else max(0.0, deadline - time.monotonic())
+            row = result_queue.get(timeout=remaining)
+            if row is None:
+                break
+            yield row
+        try:
+            raise error_queue.get_nowait()
+        except queue.Empty:
+            pass
 
     def query_sync(
         self, q: Optional[Query], timeout: Optional[float] = None
@@ -1161,6 +1201,14 @@ class _Merger:
     def __init__(self, engine: "BloomSearchEngine"):
         self.engine = engine
         self.config = engine.config
+
+    def _merge_loop(self) -> None:
+        interval = self.config.merge_interval_seconds
+        while not self._stop_event.wait(interval):
+            try:
+                self.merge()
+            except Exception:
+                logger.exception("background merge failed")
 
     def merge(self) -> MergeStats:
         start = time.monotonic()

@@ -66,6 +66,8 @@ def _engine(args, **overrides) -> tuple[BloomSearchEngine, FileSystemDataStore]:
         partition_func=lambda row: row.get("part", ""),
         max_query_concurrency=args.concurrency,
         probe_backend=args.probe_backend,
+        bloom_layout=args.layout,
+        block_bloom_expected_items=args.block_items,
         **overrides,
     )
     engine = BloomSearchEngine(config, store, store)
@@ -254,6 +256,11 @@ def main(argv=None) -> None:
         p.add_argument("--compression", default=None)
         p.add_argument("--concurrency", type=int, default=100)
         p.add_argument("--probe-backend", default="auto")
+        p.add_argument("--layout", default="classic", choices=["classic", "blocked256"])
+        p.add_argument(
+            "--block-items", type=int, default=None,
+            help="block bloom expected items (default: rows-based reference sizing)",
+        )
 
     g = sub.add_parser("generate")
     common(g)

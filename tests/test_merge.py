@@ -211,6 +211,35 @@ class TestMergeEndToEnd:
             engine.stop(timeout=TIMEOUT)
 
 
+class TestBackgroundMerge:
+    def test_merge_loop_compacts_automatically(self, tmp_path):
+        engine, store = make_engine(tmp_path, merge_interval_seconds=0.2)
+        try:
+            for i in range(3):
+                ingest_flush(engine, [{"n": i, "tag": "auto"}])
+            deadline = time.time() + TIMEOUT
+            while time.time() < deadline:
+                if len(store.get_maybe_files_for_query(None)) == 1:
+                    break
+                time.sleep(0.1)
+            assert len(store.get_maybe_files_for_query(None)) == 1
+            rows = engine.query_sync(bs.new_query().token("auto").build(), timeout=TIMEOUT)
+            assert sorted(r["n"] for r in rows) == [0, 1, 2]
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+
+class TestQueryIter:
+    def test_query_iter_streams(self, tmp_path):
+        engine, _ = make_engine(tmp_path)
+        try:
+            ingest_flush(engine, [{"n": i, "tag": "it"} for i in range(5)])
+            rows = list(engine.query_iter(bs.new_query().token("it").build(), timeout=TIMEOUT))
+            assert sorted(r["n"] for r in rows) == [0, 1, 2, 3, 4]
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+
 class TestTTLExpiry:
     def test_expired_blocks_dropped_during_merge(self, tmp_path):
         engine, store = make_engine(tmp_path, ttl_seconds=3600.0)

@@ -151,6 +151,7 @@ def test_engine_matches_oracle(tmp_path, seed):
         min_max_indexes=["num"],
         probe_backend="host",
         max_buffered_rows=rng.choice([50, 1000]),
+        bloom_layout=rng.choice(["classic", "blocked256"]),
     )
     engine = bs.BloomSearchEngine(config, store, store)
     engine.start()
