@@ -224,6 +224,37 @@ def _run_one_query(engine, store, label: str, built_query) -> dict:
     return out
 
 
+def cmd_ingest(args) -> None:
+    """Ingest throughput with flushes landing concurrently — the reference's
+    'ingest during flush' metric (PERFORMANCE.md:105-126: zero flush impact
+    because flushing happens on its own pipeline stage)."""
+    engine, store = _engine(
+        args,
+        max_buffered_rows=20_000,  # frequent flushes while ingest continues
+        max_buffered_bytes=16 * 1024 * 1024,
+    )
+    rng = random.Random(args.seed)
+    t0 = time.perf_counter()
+    rows_written = 0
+    nbytes = 0
+    try:
+        while rows_written < args.rows:
+            batch = [_random_row(rng) for _ in range(1000)]
+            engine.ingest_rows(batch, timeout=60)
+            rows_written += len(batch)
+            nbytes += sum(len(json.dumps(r)) for r in batch)
+        engine.flush(timeout=300)
+    finally:
+        engine.stop(timeout=300)
+    elapsed = time.perf_counter() - t0
+    files = len(store.get_maybe_files_for_query(None))
+    print(
+        f"ingested {rows_written} rows / {nbytes / 1e6:.0f} MB across {files} "
+        f"flushed files in {elapsed:.1f}s ({format_rate(rows_written / elapsed)} rows/s, "
+        f"{format_bytes_per_second(nbytes / elapsed)})"
+    )
+
+
 def cmd_query(args) -> None:
     engine, store = _engine(args)
     try:
@@ -278,6 +309,12 @@ def main(argv=None) -> None:
     qq.add_argument("--repeat", type=int, default=2)
     qq.add_argument("--json-out", default=None)
     qq.set_defaults(func=cmd_query)
+
+    ing = sub.add_parser("ingest")
+    common(ing)
+    ing.add_argument("--rows", type=int, default=100_000)
+    ing.add_argument("--seed", type=int, default=0)
+    ing.set_defaults(func=cmd_ingest)
 
     args = parser.parse_args(argv)
     if args.compression is None:
