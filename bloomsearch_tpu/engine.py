@@ -626,13 +626,34 @@ class BloomSearchEngine:
             _resolve(flush_req.done_futures, exc)
             return
 
-        self._on_file_written(file_pointer, metadata)
+        self._on_file_written(file_pointer, metadata, writer.bank_arrays)
         _resolve(flush_req.done_futures, None)
 
-    def _on_file_written(self, file_pointer: bytes, metadata: FileMetadata) -> None:
-        """Hook for the device bank cache: new immutable file published."""
-        if self._device_backend is not None:
-            self._device_backend.invalidate(file_pointer)
+    def _on_file_written(
+        self, file_pointer: bytes, metadata: FileMetadata, bank_arrays=None
+    ) -> None:
+        """New immutable file published: warm the device bank cache with the
+
+        banks still in memory (first queries then never touch disk for
+        filters)."""
+        if self._device_backend is None:
+            return
+        self._device_backend.invalidate(file_pointer)
+        if not bank_arrays:
+            return
+        try:
+            for group_idx, (group, bank) in enumerate(
+                zip(metadata.bank_groups, bank_arrays)
+            ):
+                seg_key = self._device_backend.segment_key(file_pointer, group_idx)
+                self._device_backend._ensure_resident(
+                    file_pointer,
+                    (group.m_bits, group.k, group.params.layout),
+                    seg_key,
+                    lambda bank=bank: bank,
+                )
+        except Exception:
+            logger.exception("bank warm-on-flush failed (queries will reload)")
 
     # ------------------------------------------------------------------
     # Observability

@@ -328,6 +328,9 @@ class DataFileWriter:
         self._file_params = file_bloom_params
         self._blocks: list[DataBlockMetadata] = []
         self._block_filters: list[BloomFilters] = []
+        # Banks built by finish(), keyed by group index — lets the engine
+        # warm its device cache without re-reading what it just wrote.
+        self.bank_arrays: list[np.ndarray] = []
 
     @property
     def bytes_written(self) -> int:
@@ -388,6 +391,7 @@ class DataFileWriter:
                     bank[ks, :, col] = filt.words
                 self._blocks[bi].bank_group = group_idx
                 self._blocks[bi].bank_col = col
+            self.bank_arrays.append(bank)
             payload = bank.astype("<u4", copy=False).tobytes()
             group = BankGroupMetadata(
                 params=self._blocks[block_indices[0]].bloom_params,

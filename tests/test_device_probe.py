@@ -203,6 +203,32 @@ class TestDeviceProbeBackend:
         assert loads["a"] == 2, "A should have been evicted and reloaded"
 
 
+class TestWarmOnFlush:
+    def test_flush_preloads_device_banks(self, tmp_path):
+        store = bs.FileSystemDataStore(str(tmp_path / "data"))
+        config = bs.BloomSearchEngineConfig(
+            row_data_compression="none", probe_backend="device"
+        )
+        engine = bs.BloomSearchEngine(config, store, store)
+        engine.start()
+        try:
+            engine.ingest_rows([{"w": "warmed"}], timeout=10)
+            engine.flush(timeout=10)
+            # The freshly flushed file's bank is already resident.
+            assert engine._device_backend.total_bytes() > 0
+            pointer = store.get_maybe_files_for_query(None)[0].pointer
+            seg_key = engine._device_backend.segment_key(pointer, 0)
+            resident = any(
+                seg_key in sb.segments
+                for sb in engine._device_backend._superbanks.values()
+            )
+            assert resident, "flush should have warmed the superbank"
+            rows = engine.query_sync(bs.new_query().token("warmed").build(), timeout=30)
+            assert len(rows) == 1
+        finally:
+            engine.stop(timeout=10)
+
+
 class TestEngineWithDeviceBackend:
     def test_end_to_end_device_probe(self, tmp_path):
         store = bs.FileSystemDataStore(str(tmp_path / "data"))
