@@ -297,8 +297,12 @@ class FileSystemDataStore:
         # Writes are no-ops: metadata lives in the file footers. Deletes
         # RENAME out of the scanned namespace (invisible to new queries)
         # rather than unlinking — tombstone_file does the physical removal,
-        # which the engine defers past in-flight queries.
-        self._sweep_tombstoned()
+        # which the engine defers past in-flight queries. Sweeping here is
+        # only safe with a real grace window: at grace 0 the engine's
+        # deferral alone decides when renamed files die (an immediate sweep
+        # would delete files still held by in-flight queries).
+        if self.tombstone_grace_seconds > 0:
+            self._sweep_tombstoned()
         for op in deletes:
             path = op.file_pointer.decode("utf-8")
             try:

@@ -1,0 +1,73 @@
+"""Concurrency chaos: ingest + queries + merges all at once, then exactness.
+
+Guards the interacting machinery (flush pipeline, deferred tombstones, bank
+caches, lease-less merges) against deadlocks and corruption under load.
+"""
+
+import queue
+import random
+import threading
+
+import bloomsearch_tpu as bs
+
+TIMEOUT = 30.0
+
+
+def test_concurrent_ingest_query_merge(tmp_path):
+    store = bs.FileSystemDataStore(str(tmp_path / "data"))
+    config = bs.BloomSearchEngineConfig(
+        row_data_compression="snappy",
+        probe_backend="host",
+        max_buffered_rows=200,
+        merge_interval_seconds=0.1,  # background compaction churning
+    )
+    engine = bs.BloomSearchEngine(config, store, store)
+    engine.start()
+    errors: list[BaseException] = []
+    total_rows = 3000
+    try:
+        def ingester():
+            rng = random.Random(1)
+            try:
+                for i in range(0, total_rows, 100):
+                    engine.ingest_rows(
+                        [
+                            {"n": i + j, "w": f"w{(i + j) % 97}", "tag": "chaos"}
+                            for j in range(100)
+                        ],
+                        timeout=TIMEOUT,
+                    )
+            except BaseException as exc:
+                errors.append(exc)
+
+        def querier():
+            rng = random.Random(2)
+            try:
+                for _ in range(25):
+                    q = bs.new_query().token(f"w{rng.randrange(97)}").build()
+                    result_q: queue.Queue = queue.Queue()
+                    error_q: queue.Queue = queue.Queue()
+                    engine.query(q, result_q, error_q)
+                    while result_q.get(timeout=TIMEOUT) is not None:
+                        pass
+                    if not error_q.empty():
+                        errors.append(error_q.get_nowait())
+            except BaseException as exc:
+                errors.append(exc)
+
+        threads = [threading.Thread(target=ingester, daemon=True)] + [
+            threading.Thread(target=querier, daemon=True) for _ in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(TIMEOUT)
+            assert not t.is_alive(), "chaos thread deadlocked"
+        assert not errors, f"chaos errors: {errors[:3]}"
+
+        engine.flush(timeout=TIMEOUT)
+        # Exactness after the dust settles: every row present exactly once.
+        rows = engine.query_sync(bs.new_query().token("chaos").build(), timeout=TIMEOUT)
+        assert sorted(r["n"] for r in rows) == list(range(total_rows))
+    finally:
+        engine.stop(timeout=TIMEOUT)
