@@ -531,6 +531,42 @@ BS_EXPORT int64_t bs_scan_candidates(
     lower[i] = (c >= 'A' && c <= 'Z') ? (uint8_t)(c + 32) : c;
   }
 
+  // Rows whose stored bytes cannot PROVE a needle's absence are forced to
+  // candidates for every needle (zero-false-negative invariant; exact row
+  // verification upstream rejects the false positives):
+  // - any byte >= 0x80: raw UTF-8 whose Unicode lowercase may be pure ASCII
+  //   (e.g. U+212A KELVIN SIGN lowercases to 'k'), so an ASCII needle can
+  //   match a row containing no ASCII needle bytes;
+  // - a \uXXXX escape: may encode printable ASCII (serialized ingest can
+  //   carry "<" for '<') or a non-ASCII char with an ASCII lowercase;
+  // - a \/ escape: legal JSON spelling of '/' that hides the literal byte.
+  // Other escapes (\" \\ \b \f \n \r \t) only encode characters that make a
+  // needle unusable upstream or split tokens, so they can't hide a match.
+  for (int64_t r = 0; r < n_rows; r++) {
+    const int64_t row_end = row_offsets[r] + row_lengths[r];
+    bool unprovable = false;
+    for (int64_t i = row_offsets[r]; i < row_end;) {
+      const uint8_t c = data[i];
+      if (c >= 0x80) {
+        unprovable = true;
+        break;
+      }
+      if (c == '\\' && i + 1 < row_end) {
+        const uint8_t nxt = data[i + 1];
+        if (nxt == 'u' || nxt == 'U' || nxt == '/') {
+          unprovable = true;
+          break;
+        }
+        i += 2;  // step over the escaped char (handles literal "\\u")
+      } else {
+        i += 1;
+      }
+    }
+    if (unprovable) {
+      for (int64_t q = 0; q < n_needles; q++) out[q * n_rows + r] = 1;
+    }
+  }
+
   for (int64_t q = 0; q < n_needles; q++) {
     const uint8_t* needle = needles + needle_offsets[q];
     const int64_t nlen = needle_offsets[q + 1] - needle_offsets[q];

@@ -1223,14 +1223,6 @@ class _Merger:
         self.engine = engine
         self.config = engine.config
 
-    def _merge_loop(self) -> None:
-        interval = self.config.merge_interval_seconds
-        while not self._stop_event.wait(interval):
-            try:
-                self.merge()
-            except Exception:
-                logger.exception("background merge failed")
-
     def merge(self) -> MergeStats:
         start = time.monotonic()
         stats = MergeStats()
@@ -1337,7 +1329,6 @@ class _Merger:
     def _execute_merge_group(self, group: list[MaybeFile], stats: MergeStats) -> None:
         """(reference executeMergeGroup, :1606-1702)"""
         engine = self.engine
-        config = self.config
 
         # OR-merge file-level filters (identical params by grouping).
         file_filters = group[0].metadata.bloom_filters.copy()
@@ -1394,8 +1385,10 @@ class _Merger:
             raise
 
         metadata = self._reread_metadata(new_pointer)
+        # file_size lets metadata-backed stores report MaybeFile.size (merge
+        # grouping sorts/caps on it; size 0 would re-merge forever).
         engine.meta_store.update(
-            [WriteOperation(metadata, new_pointer)],
+            [WriteOperation(metadata, new_pointer, file_size=writer.bytes_written)],
             [DeleteOperation(mf.pointer) for mf in group],
         )
         for mf in group:

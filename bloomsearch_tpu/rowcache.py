@@ -136,8 +136,21 @@ class DeviceRowCache:
         upper = (matrix >= ord("A")) & (matrix <= ord("Z"))
         matrix = np.where(upper, matrix + 32, matrix).astype(np.uint8)
 
+        # Rows whose stored bytes cannot PROVE a needle's absence join the
+        # always-candidate mask (mirrors the native scanner's rule): raw
+        # non-ASCII bytes (Unicode lowercase may be pure ASCII, e.g. U+212A
+        # -> 'k') and \uXXXX / \/ escapes (may hide printable-ASCII needle
+        # bytes). A vectorized pair test over-approximates the escape-aware
+        # walk (a literal "\\u" also flags) — conservative is correct here.
+        nonascii = (matrix >= 0x80).any(axis=1)
+        backslash = matrix[:, :-1] == ord("\\")
+        nxt = matrix[:, 1:]
+        escapes = (backslash & ((nxt == ord("u")) | (nxt == ord("/")))).any(axis=1)
+        always_candidate = np.asarray(overlong).copy()
+        always_candidate |= (nonascii | escapes)[: always_candidate.shape[0]]
+
         block = _PinnedBlock(
-            jnp.asarray(matrix), num_rows, np.asarray(overlong),
+            jnp.asarray(matrix), num_rows, always_candidate,
             data, row_offsets, row_lengths,
         )
         with self._lock:

@@ -20,6 +20,10 @@ exactly verified. Zero false negatives by construction:
 - needles that could be altered by JSON string escaping (containing ``"``,
   ``\\``, control bytes, or any non-ASCII — json.dumps escapes non-ASCII)
   are declared unusable and their condition conservatively matches all rows;
+- rows whose stored bytes can't prove a needle's absence — any byte >= 0x80
+  (Unicode lowercase may be pure ASCII: U+212A -> 'k') or a ``\\uXXXX`` /
+  ``\\/`` escape (may hide printable-ASCII needle bytes, e.g. serialized
+  ingest carrying ``\\u003c`` for '<') — are candidates for every needle;
 - hits spanning row boundaries mark both rows;
 - regex conditions never pre-filter (their field guard already pruned blocks).
 

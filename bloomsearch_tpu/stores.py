@@ -153,6 +153,16 @@ class FileSystemDataStore:
     Files are ``bloom-*.dat`` in ``root_dir``; pointers are utf-8 paths;
     ``get_maybe_files_for_query`` scans the dir, parses footers, and applies
     the prefilter (testing_file_system_store.go:13-192).
+
+    **Known limitation (shared with the reference's testing store): publish
+    is not atomic when this store serves as the MetaStore.** A merged file
+    becomes visible at rename-on-close, before ``update()`` renames the
+    replaced files away, so a concurrent query that scans the directory in
+    that window can plan both old and new files and return duplicate rows.
+    Metadata-backed MetaStores (``MemoryMetaStore``, the object-store
+    manifest) don't have this window — their ``update`` applies writes and
+    deletes in one atomic step. Use one of those when exactly-once results
+    under concurrent merges matter.
     """
 
     def __init__(self, root_dir: str, tombstone_grace_seconds: float = 0.0):

@@ -153,3 +153,91 @@ class TestEngineScanParity:
             assert got2 == expected
         finally:
             engine.stop(timeout=10)
+
+
+class TestUnprovableRows:
+    """Zero-false-negative regressions: rows whose stored bytes hide needle
+    bytes (non-ASCII with ASCII lowercase; \\uXXXX / \\/ escapes of printable
+    ASCII) must still reach exact verification."""
+
+    def test_kelvin_sign_lowercases_to_ascii_k(self):
+        # U+212A KELVIN SIGN: .lower() == 'k', but the stored bytes are the
+        # K escape — a byte scan for b'k' finds nothing.
+        rows = [{"f": "K"}, {"f": "other"}]
+        q = bs.new_query().token("k").build()
+        mask = scan_mask(q.bloom, rows)
+        assert mask is not None and mask[0], "Kelvin-sign row must stay a candidate"
+
+    def test_raw_utf8_kelvin_sign(self):
+        # Same char as raw UTF-8 bytes (serialized-ingest style).
+        serialized = ['{"f":"K"}'.encode("utf-8"), b'{"f":"other"}']
+        data = b"".join(encode_row(r) for r in serialized)
+        buf, offsets, lengths = split_rows_arrays(data)
+        q = bs.new_query().token("k").build()
+        plan = compile_scan_plan(q.bloom)
+        mask = candidate_rows(plan, buf, offsets, lengths)
+        assert mask is not None and mask[0]
+
+    def test_escaped_printable_ascii(self):
+        # Go's encoder writes < for '<' and allows \/ for '/': the
+        # needle bytes never appear literally in the row.
+        serialized = [b'{"f":"a\\u003cb"}', b'{"f":"a\\/b"}', b'{"f":"plain"}']
+        data = b"".join(encode_row(r) for r in serialized)
+        buf, offsets, lengths = split_rows_arrays(data)
+        for token, row_idx in (("a<b", 0), ("a/b", 1)):
+            plan = compile_scan_plan(bs.new_query().token(token).build().bloom)
+            mask = candidate_rows(plan, buf, offsets, lengths)
+            assert mask is not None and mask[row_idx], token
+        # Provably-absent rows still prune.
+        plan = compile_scan_plan(bs.new_query().token("zebra").build().bloom)
+        mask = candidate_rows(plan, buf, offsets, lengths)
+        assert not mask[2]
+
+    def test_engine_end_to_end_kelvin(self, tmp_path):
+        from bloomsearch_tpu import BloomSearchEngine, BloomSearchEngineConfig, FileSystemDataStore
+
+        store = FileSystemDataStore(str(tmp_path / "data"))
+        engine = BloomSearchEngine(
+            BloomSearchEngineConfig(row_data_compression="none"), store, store
+        )
+        engine.start()
+        try:
+            engine.ingest_rows([{"f": "K"}, {"f": "zz"}], timeout=10)
+            engine.flush(timeout=10)
+            got = engine.query_sync(bs.new_query().token("k").build(), timeout=10)
+            assert got == [{"f": "K"}]
+        finally:
+            engine.stop(timeout=10)
+
+    def test_engine_end_to_end_serialized_escape(self, tmp_path):
+        from bloomsearch_tpu import BloomSearchEngine, BloomSearchEngineConfig, FileSystemDataStore
+
+        store = FileSystemDataStore(str(tmp_path / "data"))
+        engine = BloomSearchEngine(
+            BloomSearchEngineConfig(row_data_compression="none"), store, store
+        )
+        engine.start()
+        try:
+            engine.ingest_serialized([b'{"f":"a\\u003cb"}', b'{"f":"zz"}'], timeout=10)
+            engine.flush(timeout=10)
+            got = engine.query_sync(bs.new_query().token("a<b").build(), timeout=10)
+            assert got == [{"f": "a<b"}]
+        finally:
+            engine.stop(timeout=10)
+
+    def test_rowcache_flags_unprovable_rows(self):
+        from bloomsearch_tpu.rowcache import DeviceRowCache
+
+        serialized = [
+            '{"f":"K"}'.encode("utf-8"),  # raw UTF-8
+            b'{"f":"a\\u003cb"}',  # \u escape of ASCII
+            b'{"f":"a\\/b"}',  # \/ escape
+            b'{"f":"plain"}',
+        ]
+        data = b"".join(encode_row(r) for r in serialized)
+        buf, offsets, lengths = split_rows_arrays(data)
+        cache = DeviceRowCache(16 << 20)
+        pinned = cache.pin((b"f", 0), data, offsets, lengths)
+        scan = cache.scan(pinned, [b"k", b"a<b", b"a/b"])
+        assert scan[:, 0].all() and scan[:, 1].all() and scan[:, 2].all()
+        assert not scan[:, 3].any()
