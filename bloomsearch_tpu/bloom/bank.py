@@ -50,9 +50,16 @@ class Superbank:
     Layout is the kernel's 2D probe layout: ``bank2d uint32[rows, capacity]``
     with row = keyspace*num_words + word, rows padded to a multiple of 8
     (TPU sublane tiling) and capacity padded to a multiple of 128 (lanes).
+
+    With a ``mesh``, ``bank2d`` shards over the block axis
+    (``P(None, "blocks")``): capacity pads to 128 × mesh size so shards split
+    evenly, every maintenance op preserves the sharding
+    (parallel/mesh.py), and filter capacity scales linearly in chips — the
+    engine's answer to banks larger than one chip's HBM (SURVEY.md §5
+    "long-context analog").
     """
 
-    def __init__(self, m_bits: int, k: int, layout: str, jnp, jax):
+    def __init__(self, m_bits: int, k: int, layout: str, jnp, jax, mesh=None):
         from .pallas_kernels import round_up_rows
 
         self.m_bits = m_bits
@@ -62,6 +69,9 @@ class Superbank:
         self.num_rows = round_up_rows(3 * self.num_words)
         self._jnp = jnp
         self._jax = jax
+        self.mesh = mesh
+        # Shards must split the 128-lane tiles evenly across devices.
+        self.col_unit = LANE * (mesh.shape["blocks"] if mesh is not None else 1)
         self.capacity = 0
         self.used = 0
         self.dead = 0
@@ -74,18 +84,21 @@ class Superbank:
         return self.num_rows * self.capacity * 4
 
     def _grow(self, min_capacity: int) -> None:
-        jnp = self._jnp
-        new_cap = max(_round_up(min_capacity, LANE), max(LANE, self.capacity * 2))
-        new_bank = jnp.zeros((self.num_rows, new_cap), dtype=jnp.uint32)
-        if self.bank2d is not None and self.used > 0:
-            new_bank = self._jax.lax.dynamic_update_slice(
-                new_bank, self.bank2d[:, : self.used], (0, 0)
-            )
-        self.bank2d = new_bank
+        from ..parallel.mesh import sharded_pad_columns, sharded_zeros
+
+        new_cap = max(
+            _round_up(min_capacity, self.col_unit), max(self.col_unit, self.capacity * 2)
+        )
+        if self.bank2d is None:
+            self.bank2d = sharded_zeros(self.mesh, self.num_rows, new_cap)
+        else:
+            self.bank2d = sharded_pad_columns(self.mesh, self.bank2d, new_cap)
         self.capacity = new_cap
 
     def insert(self, key: bytes, host_bank: np.ndarray) -> tuple[int, int]:
         """Append a file-group's bank uint32[3, num_words, B] -> (start, B)."""
+        from ..parallel.mesh import sharded_update_columns
+
         assert key not in self.segments
         _, w, num_cols = host_bank.shape
         assert w == self.num_words, (w, self.num_words)
@@ -93,8 +106,11 @@ class Superbank:
             self._grow(self.used + num_cols)
         jnp = self._jnp
         flat = host_bank.reshape(3 * self.num_words, num_cols)
-        self.bank2d = self._jax.lax.dynamic_update_slice(
-            self.bank2d, jnp.asarray(flat, dtype=jnp.uint32), (0, self.used)
+        self.bank2d = sharded_update_columns(
+            self.mesh,
+            self.bank2d,
+            jnp.asarray(flat, dtype=jnp.uint32),
+            jnp.int32(self.used),
         )
         segment = (self.used, num_cols)
         self.segments[key] = segment
@@ -108,6 +124,8 @@ class Superbank:
 
     def maybe_compact(self) -> None:
         """Rebuild without dead columns once they dominate."""
+        from ..parallel.mesh import sharded_take_columns, sharded_zeros
+
         if self.dead == 0 or self.dead * 2 < self.used:
             return
         jnp = self._jnp
@@ -120,15 +138,12 @@ class Superbank:
             cols.extend(range(start, start + n))
             new_segments[key] = (cursor, n)
             cursor += n
+        new_cap = max(self.col_unit, _round_up(max(cursor, 1), self.col_unit))
         if cols:
             idx = jnp.asarray(np.asarray(cols, dtype=np.int32))
-            live = jnp.take(self.bank2d, idx, axis=1)
+            new_bank = sharded_take_columns(self.mesh, self.bank2d, idx, new_cap)
         else:
-            live = None
-        new_cap = max(LANE, _round_up(max(cursor, 1), LANE))
-        new_bank = jnp.zeros((self.num_rows, new_cap), dtype=jnp.uint32)
-        if live is not None:
-            new_bank = self._jax.lax.dynamic_update_slice(new_bank, live, (0, 0))
+            new_bank = sharded_zeros(self.mesh, self.num_rows, new_cap)
         self.bank2d = new_bank
         self.capacity = new_cap
         self.segments = new_segments
@@ -145,7 +160,12 @@ class DeviceProbeBackend:
     term-match slice.
     """
 
-    def __init__(self, cache_bytes: int = 2 << 30, require_device: bool = False):
+    def __init__(
+        self,
+        cache_bytes: int = 2 << 30,
+        require_device: bool = False,
+        mesh_devices: int | None = None,
+    ):
         import jax
         import jax.numpy as jnp
 
@@ -155,7 +175,28 @@ class DeviceProbeBackend:
         if require_device and self.platform not in ("tpu", "gpu", "cpu"):
             raise RuntimeError(f"no usable JAX backend (got {self.platform})")
         self.use_pallas = self.platform == "tpu"
+        # Pallas interpret mode lets CPU runs exercise the production kernel
+        # inside shard_map (tests, the multichip dryrun).
+        self.pallas_interpret = False
         self.cache_bytes = cache_bytes
+
+        # Multi-chip: shard every superbank's block axis over a 1-D mesh.
+        # mesh_devices=None is auto (all visible devices when >1); 1 forces
+        # single-device. This is the engine-integrated form of the
+        # reference's data-parallel block worker pool
+        # (bloom_tree_engine.go:1019-1054) mapped onto ICI.
+        n_visible = len(jax.devices())
+        want = n_visible if mesh_devices is None else mesh_devices
+        if want > n_visible:
+            raise RuntimeError(
+                f"mesh_devices={want} but only {n_visible} device(s) visible"
+            )
+        if want > 1:
+            from ..parallel.mesh import default_mesh
+
+            self.mesh = default_mesh(n_devices=want)
+        else:
+            self.mesh = None
         self._lock = threading.RLock()
         self._superbanks: dict[tuple, Superbank] = {}
         # LRU order of inserted (superbank key, segment key) for eviction.
@@ -195,7 +236,7 @@ class DeviceProbeBackend:
         with self._lock:
             sb = self._superbanks.get(mk)
             if sb is None:
-                sb = Superbank(mk[0], mk[1], mk[2], self._jnp, self._jax)
+                sb = Superbank(mk[0], mk[1], mk[2], self._jnp, self._jax, mesh=self.mesh)
                 self._superbanks[mk] = sb
             resident = seg_key in sb.segments
         if not resident:
@@ -206,7 +247,9 @@ class DeviceProbeBackend:
             with self._lock:
                 sb = self._superbanks.get(mk)
                 if sb is None:
-                    sb = Superbank(mk[0], mk[1], mk[2], self._jnp, self._jax)
+                    sb = Superbank(
+                        mk[0], mk[1], mk[2], self._jnp, self._jax, mesh=self.mesh
+                    )
                     self._superbanks[mk] = sb
                 if seg_key not in sb.segments:
                     sb.insert(seg_key, host_bank)
@@ -292,15 +335,32 @@ class DeviceProbeBackend:
                 flat_rows = (
                     ks_idx[:, None].astype(np.int32) * num_words + word_idx
                 ).reshape(-1)
-                use_pallas = self.use_pallas and Tp * k <= MAX_UNROLLED_PROBES
-                packed = probe_and_pack(
-                    bank2d,
-                    jnp.asarray(flat_rows),
-                    jnp.asarray(bit_idx.reshape(-1)),
-                    Tp,
-                    k,
-                    use_pallas=use_pallas,
-                )
+                use_pallas = (
+                    self.use_pallas or self.pallas_interpret
+                ) and Tp * k <= MAX_UNROLLED_PROBES
+                if self.mesh is not None:
+                    from ..parallel.mesh import sharded_probe_packed
+
+                    packed = sharded_probe_packed(
+                        self.mesh,
+                        bank2d,
+                        jnp.asarray(flat_rows),
+                        jnp.asarray(bit_idx.reshape(-1)),
+                        Tp,
+                        k,
+                        use_pallas=use_pallas,
+                        interpret=self.pallas_interpret,
+                    )
+                else:
+                    packed = probe_and_pack(
+                        bank2d,
+                        jnp.asarray(flat_rows),
+                        jnp.asarray(bit_idx.reshape(-1)),
+                        Tp,
+                        k,
+                        use_pallas=use_pallas,
+                        interpret=self.pallas_interpret,
+                    )
                 packed_host = np.asarray(packed)[:T]
                 bits = np.unpackbits(packed_host.view(np.uint8), axis=1, bitorder="little")
                 matches[mk] = bits[:, :capacity].astype(bool)

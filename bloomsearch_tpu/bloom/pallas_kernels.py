@@ -122,7 +122,7 @@ def probe_bank_pallas_tk(
     )(row_idx, shift, bank2d)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "K", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("T", "K", "use_pallas", "interpret"))
 def probe_and_pack(
     bank2d: jax.Array,
     row_idx: jax.Array,
@@ -131,6 +131,7 @@ def probe_and_pack(
     K: int,
     *,
     use_pallas: bool,
+    interpret: bool = False,
 ) -> jax.Array:
     """Probe then pack the [T, C] match matrix into uint32 bitmap words.
 
@@ -139,7 +140,7 @@ def probe_and_pack(
     planner needs back from the device).
     """
     if use_pallas:
-        match = probe_bank_pallas_tk(bank2d, row_idx, shift, T, K) != 0
+        match = probe_bank_pallas_tk(bank2d, row_idx, shift, T, K, interpret=interpret) != 0
     else:
         match = probe_bank_xla(bank2d, row_idx, shift, K)
     C = match.shape[1]

@@ -179,6 +179,13 @@ class BloomSearchEngineConfig:
     probe_backend: str = "auto"
     bank_cache_bytes: int = 2 * 1024 * 1024 * 1024
 
+    # Devices for the sharded device probe: superbanks shard their block
+    # axis over a 1-D jax mesh, so filter capacity and probe bandwidth scale
+    # linearly in chips (the reference's data-parallel block pool mapped to
+    # ICI; bloom_tree_engine.go:1019-1054). None = all visible devices when
+    # more than one; 1 = single-device.
+    mesh_devices: Optional[int] = None
+
     # Bloom filter bit layout: "classic" = reference-parity KM positions;
     # "blocked256" = split-block layout where a key's k bits share one
     # 256-bit aligned block — the device probe then fetches one row-group
@@ -346,6 +353,8 @@ class BloomSearchEngine:
             raise InvalidConfigError("probe_backend must be auto|device|host")
         if config.bloom_layout not in ("classic", "blocked256"):
             raise InvalidConfigError("bloom_layout must be classic|blocked256")
+        if config.mesh_devices is not None and config.mesh_devices < 1:
+            raise InvalidConfigError("mesh_devices must be >= 1 (or None for auto)")
 
         self.config = config
         self.meta_store = meta_store
@@ -372,6 +381,7 @@ class BloomSearchEngine:
                 backend = DeviceProbeBackend(
                     cache_bytes=config.bank_cache_bytes,
                     require_device=(config.probe_backend == "device"),
+                    mesh_devices=config.mesh_devices,
                 )
                 # "auto" only routes probes through JAX when an accelerator is
                 # attached; on CPU-only hosts the numpy path is faster.

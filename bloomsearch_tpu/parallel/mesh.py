@@ -44,6 +44,52 @@ def pad_columns_for_mesh(c: int, mesh: Mesh) -> int:
     return ((c + unit - 1) // unit) * unit
 
 
+def bank_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(None, BLOCK_AXIS))
+
+
+def _constrain(x: jax.Array, mesh: Optional[Mesh]) -> jax.Array:
+    return x if mesh is None else jax.lax.with_sharding_constraint(x, bank_sharding(mesh))
+
+
+# --- Sharding-preserving superbank maintenance ops -------------------------
+#
+# The engine's Superbank (bloom/bank.py) mutates its device array on flush
+# (append columns), tombstone (compaction), and growth. Each op below keeps
+# the block axis sharded across the mesh so a bank larger than one chip's HBM
+# stays usable; with mesh=None they lower to the plain single-device ops.
+# None are on the query hot path — probes dominate; these run once per
+# flush/merge.
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "rows", "cols"))
+def sharded_zeros(mesh: Optional[Mesh], rows: int, cols: int) -> jax.Array:
+    return _constrain(jnp.zeros((rows, cols), jnp.uint32), mesh)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "new_cols"))
+def sharded_pad_columns(mesh: Optional[Mesh], bank: jax.Array, new_cols: int) -> jax.Array:
+    return _constrain(jnp.pad(bank, ((0, 0), (0, new_cols - bank.shape[1]))), mesh)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def sharded_update_columns(
+    mesh: Optional[Mesh], bank: jax.Array, chunk: jax.Array, start: jax.Array
+) -> jax.Array:
+    out = jax.lax.dynamic_update_slice(bank, chunk, (jnp.int32(0), start))
+    return _constrain(out, mesh)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "new_cols"))
+def sharded_take_columns(
+    mesh: Optional[Mesh], bank: jax.Array, idx: jax.Array, new_cols: int
+) -> jax.Array:
+    live = jnp.take(bank, idx, axis=1)
+    out = jnp.zeros((bank.shape[0], new_cols), jnp.uint32)
+    out = jax.lax.dynamic_update_slice(out, live, (0, 0))
+    return _constrain(out, mesh)
+
+
 def shard_bank(mesh: Mesh, bank2d: np.ndarray) -> jax.Array:
     """Place a host bank [rows, C] onto the mesh, block axis sharded.
 
@@ -69,7 +115,7 @@ def _pack_bitmap(match: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "T", "K", "use_pallas", "gather")
+    jax.jit, static_argnames=("mesh", "T", "K", "use_pallas", "gather", "interpret")
 )
 def sharded_probe_packed(
     mesh: Mesh,
@@ -80,18 +126,20 @@ def sharded_probe_packed(
     K: int,
     use_pallas: bool = False,
     gather: bool = True,
+    interpret: bool = False,
 ) -> jax.Array:
     """Probe every shard's blocks -> packed uint32[T, C/32] match bitmap.
 
     Each device runs the identical probe kernel on its local block shard;
     the packed bitmaps concatenate along the block axis. With ``gather`` the
     result is replicated (XLA all-gathers the shards over ICI); otherwise it
-    stays sharded for downstream sharded consumption.
+    stays sharded for downstream sharded consumption. ``interpret`` runs the
+    Pallas kernel in interpret mode (CPU validation of the production path).
     """
 
     def local(bank_local: jax.Array, fr: jax.Array, sh: jax.Array) -> jax.Array:
         if use_pallas:
-            match = probe_bank_pallas_tk(bank_local, fr, sh, T, K) != 0
+            match = probe_bank_pallas_tk(bank_local, fr, sh, T, K, interpret=interpret) != 0
         else:
             match = probe_bank_xla(bank_local, fr, sh, K)
         return _pack_bitmap(match)
@@ -102,6 +150,9 @@ def sharded_probe_packed(
         mesh=mesh,
         in_specs=(P(None, BLOCK_AXIS), P(), P()),
         out_specs=out_spec,
+        # Pallas out_shapes carry no vma metadata; the body is purely
+        # shard-local so the varying-across-mesh check adds nothing here.
+        check_vma=False,
     )
     packed = shmapped(bank2d, row_idx, shift)
     if gather:
@@ -111,7 +162,7 @@ def sharded_probe_packed(
     return packed
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "T", "K", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("mesh", "T", "K", "use_pallas", "interpret"))
 def sharded_query_step(
     mesh: Mesh,
     bank2d: jax.Array,  # [rows, C] sharded P(None, "blocks")
@@ -121,6 +172,7 @@ def sharded_query_step(
     T: int,
     K: int,
     use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """The full sharded query step: probe + expression reduce + global stats.
 
@@ -136,7 +188,7 @@ def sharded_query_step(
 
     def local(bank_local, fr, sh, mask):
         if use_pallas:
-            match = probe_bank_pallas_tk(bank_local, fr, sh, T, K) != 0
+            match = probe_bank_pallas_tk(bank_local, fr, sh, T, K, interpret=interpret) != 0
         else:
             match = probe_bank_xla(bank_local, fr, sh, K)
         # AND over active terms; inactive terms contribute True.
@@ -151,6 +203,7 @@ def sharded_query_step(
         mesh=mesh,
         in_specs=(P(None, BLOCK_AXIS), P(), P(), P()),
         out_specs=(P(BLOCK_AXIS), P()),
+        check_vma=False,
     )
     packed, total = shmapped(bank2d, row_idx, shift, and_mask)
     packed = jax.lax.with_sharding_constraint(packed, NamedSharding(mesh, P()))

@@ -182,8 +182,11 @@ class TestDeviceProbeBackend:
         # pushes capacity past the budget. Two 128-column files at a budget of
         # ~1.5 banks: inserting the second grows to 256 cols, evicting the
         # first (LRU) and compacting back under budget.
+        # mesh_devices=1: the column allocation unit is 128*mesh_size, so the
+        # byte math here assumes single-device granularity (LRU mechanics are
+        # mesh-independent).
         one_bank_bytes = 3 * PARAMS.num_words * 128 * 4
-        backend = DeviceProbeBackend(cache_bytes=int(one_bank_bytes * 1.5))
+        backend = DeviceProbeBackend(cache_bytes=int(one_bank_bytes * 1.5), mesh_devices=1)
         bank = make_bank(PARAMS, [(["x"], ["y"], ["z"])] * 128)
         mk = (PARAMS.m_bits, PARAMS.k, "classic")
         _, terms = make_terms(("token", "error"))
