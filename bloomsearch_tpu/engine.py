@@ -33,7 +33,7 @@ import struct
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor, wait as futures_wait
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Callable, Optional
 
@@ -373,6 +373,20 @@ class BloomSearchEngine:
         # (reference querySemaphore :134, :269).
         self._query_semaphore = threading.BoundedSemaphore(config.max_query_concurrency)
 
+        # Shared bounded executor for block decode work across ALL queries
+        # (the reference's goroutine pool under the global semaphore; Go
+        # goroutines are free, Python threads are not — per-query thread
+        # spawning meant ~9 threads per concurrent query). Threads spawn
+        # lazily up to the cap.
+        import os as _os
+
+        self._block_pool = ThreadPoolExecutor(
+            max_workers=min(
+                config.max_query_concurrency, max(8, 4 * (_os.cpu_count() or 1))
+            ),
+            thread_name_prefix="bloomsearch-block",
+        )
+
         self._device_backend = None
         if config.probe_backend in ("auto", "device"):
             try:
@@ -422,6 +436,9 @@ class BloomSearchEngine:
         self._active_query_ids: set[int] = set()
         self._deferred_tombstones: list[tuple[bytes, set[int]]] = []
         self._query_track_lock = threading.Lock()
+        # Signaled whenever a query finishes; stop() waits on it so deferred
+        # tombstones never force-apply under an in-flight query.
+        self._queries_drained = threading.Condition(self._query_track_lock)
 
     # ------------------------------------------------------------------
     # Lifecycle (reference Start/Stop :281-307)
@@ -460,18 +477,25 @@ class BloomSearchEngine:
             self._ingest_queue.put_nowait(_STOP)
         except queue.Full:
             pass
-        for thread in (self._ingest_thread, self._flush_thread):
+        threads = [self._ingest_thread, self._flush_thread]
+        if self._merge_thread is not None:
+            threads.append(self._merge_thread)
+        for thread in threads:
             remaining = None if deadline is None else max(0.0, deadline - time.monotonic())
             thread.join(remaining)
             if thread.is_alive():
                 raise TimeoutError("shutdown timeout exceeded")
-        if self._merge_thread is not None:
-            remaining = None if deadline is None else max(0.0, deadline - time.monotonic())
-            self._merge_thread.join(remaining)
-        # Apply any tombstones still deferred behind in-flight queries; the
-        # store's grace window (if configured) keeps the bytes readable for
-        # stragglers, and the startup sweep collects crash leftovers.
-        with self._query_track_lock:
+        # Wait for in-flight queries to drain BEFORE applying deferred
+        # tombstones — at tombstone_grace_seconds=0 a force-apply would
+        # unlink a file a query worker is still reading.
+        with self._queries_drained:
+            while self._active_query_ids:
+                remaining = None if deadline is None else deadline - time.monotonic()
+                if remaining is not None and remaining <= 0:
+                    raise TimeoutError(
+                        "shutdown timeout exceeded waiting for in-flight queries"
+                    )
+                self._queries_drained.wait(remaining)
             drain = [pointer for pointer, _ in self._deferred_tombstones]
             self._deferred_tombstones = []
         for pointer in drain:
@@ -798,7 +822,7 @@ class BloomSearchEngine:
             )
         finally:
             drain: list[bytes] = []
-            with self._query_track_lock:
+            with self._queries_drained:
                 self._active_query_ids.discard(query_id)
                 remaining: list[tuple[bytes, set[int]]] = []
                 for pointer, waiting_on in self._deferred_tombstones:
@@ -808,6 +832,7 @@ class BloomSearchEngine:
                     else:
                         drain.append(pointer)
                 self._deferred_tombstones = remaining
+                self._queries_drained.notify_all()
             for pointer in drain:
                 self._tombstone_everywhere(pointer)
 
@@ -865,32 +890,20 @@ class BloomSearchEngine:
 
         scan_plan = compile_scan_plan(prune_query, self.config.delimiter)
 
-        job_queue: queue.Queue = queue.Queue()
-        for job in jobs:
-            job_queue.put(job)
-        import os as _os
-
-        # The global semaphore bounds cross-query block work; the per-query
-        # thread pool only needs enough threads to keep IO/decode busy.
-        num_workers = min(
-            self.config.max_query_concurrency,
-            len(jobs),
-            max(8, 4 * (_os.cpu_count() or 1)),
-        )
-        workers = []
-        for _ in range(num_workers):
-            w = threading.Thread(
-                target=self._query_worker,
-                args=(
-                    q, compiled_regex, scan_plan, job_queue, result_queue,
-                    error_queue, stats_queue, cancel_event,
-                ),
-                daemon=True,
+        # Block work runs on the SHARED executor (bounded across all
+        # queries); the global semaphore still bounds in-flight blocks. Each
+        # job is an independent future, so one failing block reports to
+        # error_queue while every other block still completes — the
+        # reference's per-worker error semantics, minus the lost worker.
+        futures = [
+            self._block_pool.submit(
+                self._block_task,
+                q, compiled_regex, scan_plan, job, result_queue,
+                error_queue, stats_queue, cancel_event,
             )
-            w.start()
-            workers.append(w)
-        for w in workers:
-            w.join()
+            for job in jobs
+        ]
+        futures_wait(futures)
         result_queue.put(None)
 
     def _plan_query_jobs(
@@ -1062,32 +1075,26 @@ class BloomSearchEngine:
             for key in [k for k in self._host_bank_cache if k[0] == pointer]:
                 self._host_bank_bytes -= self._host_bank_cache.pop(key).nbytes
 
-    def _query_worker(
+    def _block_task(
         self,
         q: Query,
         compiled_regex,
         scan_plan,
-        job_queue: queue.Queue,
+        job: _DataBlockJob,
         result_queue: queue.Queue,
         error_queue: Optional[queue.Queue],
         stats_queue: Optional[queue.Queue],
         cancel_event: Optional[threading.Event],
     ) -> None:
-        while True:
-            if cancel_event is not None and cancel_event.is_set():
-                return
+        if cancel_event is not None and cancel_event.is_set():
+            return
+        with self._query_semaphore:
             try:
-                job = job_queue.get_nowait()
-            except queue.Empty:
-                return
-            with self._query_semaphore:
-                try:
-                    self._process_data_block(
-                        q, compiled_regex, scan_plan, job, result_queue, stats_queue, cancel_event
-                    )
-                except Exception as exc:
-                    try_put(error_queue, exc)
-                    return  # this worker stops; others continue (reference doc :914)
+                self._process_data_block(
+                    q, compiled_regex, scan_plan, job, result_queue, stats_queue, cancel_event
+                )
+            except Exception as exc:
+                try_put(error_queue, exc)  # this block fails; others continue
 
     def _process_data_block(
         self,
