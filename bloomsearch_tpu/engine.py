@@ -46,7 +46,6 @@ from .bloom.probe import (
     compile_bloom_terms,
     evaluate_match_expression,
     probe_bank_host,
-    stack_filter_bank,
 )
 from .compression import (
     COMPRESSION_ZSTD,
@@ -324,6 +323,62 @@ class _DataBlockJob:
     block: DataBlockMetadata
 
 
+class _HostFileBank:
+    """Incremental file-level filter bank for one (m, k, layout) group.
+
+    Files are immutable, so each file's filter triple occupies a fixed
+    column: new files append into free columns, tombstoned files free
+    theirs, and a query probes the whole bank once then selects its
+    candidates' columns. This replaces restacking EVERY candidate file's
+    filters whenever the file set changes (at 100k-item file filters that
+    was ~0.5 MB of memcpy per file per flush/merge).
+
+    Not thread-safe; the engine serializes access with a lock.
+    """
+
+    __slots__ = ("num_words", "bank", "cols", "free")
+
+    def __init__(self, num_words: int):
+        self.num_words = num_words
+        self.bank = np.zeros((3, num_words, 0), dtype=np.uint32)
+        self.cols: dict[bytes, int] = {}
+        self.free: list[int] = []
+
+    def ensure(self, group_files) -> tuple[np.ndarray, np.ndarray]:
+        """-> (bank snapshot, per-file column indices aligned to group_files)."""
+        missing = [mf for mf in group_files if mf.pointer not in self.cols]
+        if missing:
+            deficit = len(missing) - len(self.free)
+            if deficit > 0:
+                old_cap = self.bank.shape[2]
+                grow = max(deficit, old_cap, 16)
+                self.bank = np.concatenate(
+                    [self.bank, np.zeros((3, self.num_words, grow), dtype=np.uint32)],
+                    axis=2,
+                )
+                self.free.extend(range(old_cap, old_cap + grow))
+            for mf in missing:
+                col = self.free.pop()
+                triple = mf.metadata.bloom_filters
+                self.bank[0, :, col] = triple.field.words
+                self.bank[1, :, col] = triple.token.words
+                self.bank[2, :, col] = triple.field_token.words
+                self.cols[mf.pointer] = col
+        idx = np.fromiter(
+            (self.cols[mf.pointer] for mf in group_files),
+            dtype=np.int64,
+            count=len(group_files),
+        )
+        return self.bank, idx
+
+    def remove(self, pointer: bytes) -> None:
+        col = self.cols.pop(pointer, None)
+        if col is not None:
+            # Zero so a freed column can never probe true before reuse.
+            self.bank[:, :, col] = 0
+            self.free.append(col)
+
+
 class BloomSearchEngine:
     """The engine (reference BloomSearchEngine, bloom_tree_engine.go:121-135)."""
 
@@ -412,11 +467,11 @@ class BloomSearchEngine:
 
             self._row_cache = DeviceRowCache(config.row_cache_bytes)
 
-        # File-level filter banks, cached per param group keyed by the exact
-        # candidate file list (files are immutable; the set only changes on
-        # flush/merge). Without this every query re-stacks every file's
-        # filters — hundreds of MB of memcpy once files accumulate.
-        self._file_bank_cache: dict[tuple, tuple[tuple, np.ndarray]] = {}
+        # Incremental file-level filter banks per (m, k, layout) group:
+        # columns append on first sight of a file and free on tombstone, so
+        # file-set churn (flush/merge) never restacks surviving files'
+        # filters.
+        self._file_bank_cache: dict[tuple, _HostFileBank] = {}
         self._file_bank_lock = threading.Lock()
 
         # Host-side block-bank cache for the host probe path (the device
@@ -432,6 +487,7 @@ class BloomSearchEngine:
         # (the reference errors those workers; we drain instead). Each defer
         # snapshots the queries active at that moment, so under continuous
         # query traffic entries still drain as those specific queries finish.
+        self._saturation_warned = False
         self._next_query_id = 0
         self._active_query_ids: set[int] = set()
         self._deferred_tombstones: list[tuple[bytes, set[int]]] = []
@@ -619,6 +675,7 @@ class BloomSearchEngine:
         try:
             writer = DataFileWriter(writer_fh, self.config.file_bloom_params)
             for buf in flush_req.partition_buffers.values():
+                self._warn_if_saturated(buf)
                 compressed = buf.encoder.finish()
                 writer.add_block(
                     compressed,
@@ -662,6 +719,35 @@ class BloomSearchEngine:
 
         self._on_file_written(file_pointer, metadata, writer.bank_arrays)
         _resolve(flush_req.done_futures, None)
+
+    def _warn_if_saturated(self, buf: "_PartitionBuffer") -> None:
+        """Surface saturating block-filter sizing at flush time.
+
+        Reference-parity sizing counts ROWS, but each row inserts many
+        distinct keys, so high-cardinality data silently saturates block
+        filters and queries degrade to full scans (the reference's own
+        benchmark suffers this; docs/PERFORMANCE.md "Known bottlenecks").
+        One warning per engine, pointing at block_bloom_expected_items.
+        """
+        if self._saturation_warned:
+            return
+        p = self.config.bloom_false_positive_rate
+        for name in ("field", "token", "field_token"):
+            flt = getattr(buf.filters, name)
+            ones = int(np.unpackbits(flt.words.view(np.uint8)).sum())
+            fill = ones / max(flt.m_bits, 1)
+            est_fpr = fill ** flt.k
+            if est_fpr > max(10 * p, 1e-6):
+                self._saturation_warned = True
+                logger.warning(
+                    "block %s filter saturating: fill %.0f%% -> est. FPR %.2g "
+                    "(configured %.2g). Filters are sized by max_row_group_rows "
+                    "(%d) but each row inserts several distinct keys; set "
+                    "block_bloom_expected_items to the expected distinct keys "
+                    "per block to keep the FPR honest.",
+                    name, 100 * fill, est_fpr, p, self.config.max_row_group_rows,
+                )
+                return
 
     def _on_file_written(
         self, file_pointer: bytes, metadata: FileMetadata, bank_arrays=None
@@ -821,9 +907,12 @@ class BloomSearchEngine:
                 q, compiled_regex, result_queue, error_queue, stats_queue, cancel_event
             )
         finally:
+            # Claim ripe tombstones FIRST, apply them, and only then mark
+            # this query drained — so stop() (which waits on active ids
+            # before its own drain) never returns while physical
+            # tombstoning is still in flight.
             drain: list[bytes] = []
-            with self._queries_drained:
-                self._active_query_ids.discard(query_id)
+            with self._query_track_lock:
                 remaining: list[tuple[bytes, set[int]]] = []
                 for pointer, waiting_on in self._deferred_tombstones:
                     waiting_on.discard(query_id)
@@ -832,9 +921,11 @@ class BloomSearchEngine:
                     else:
                         drain.append(pointer)
                 self._deferred_tombstones = remaining
-                self._queries_drained.notify_all()
             for pointer in drain:
                 self._tombstone_everywhere(pointer)
+            with self._queries_drained:
+                self._active_query_ids.discard(query_id)
+                self._queries_drained.notify_all()
 
     def _tombstone_everywhere(self, pointer: bytes) -> None:
         try:
@@ -846,6 +937,9 @@ class BloomSearchEngine:
         if self._row_cache is not None:
             self._row_cache.invalidate_file(pointer)
         self._invalidate_host_bank(pointer)
+        with self._file_bank_lock:
+            for bank in self._file_bank_cache.values():
+                bank.remove(pointer)
 
     def _tombstone_or_defer(self, pointer: bytes) -> None:
         """Physically tombstone now, or defer until in-flight queries drain.
@@ -927,12 +1021,20 @@ class BloomSearchEngine:
             groups: dict[tuple, list] = {}
             for mf in maybe_files:
                 triple = mf.metadata.bloom_filters
+                if triple is None:
+                    # Warn-and-pass: a file without filters can't be pruned
+                    # but must stay searchable (reference :885-905).
+                    logger.warning(
+                        "file %r has no file-level filters; passing through", mf.pointer
+                    )
+                    surviving.append(mf)
+                    continue
                 groups.setdefault(
                     (triple.field.m_bits, triple.field.k, triple.field.layout), []
                 ).append(mf)
             for (m_bits, k, layout), group_files in groups.items():
-                bank = self._file_level_bank((m_bits, k, layout), group_files)
-                match = probe_bank_host(bank, terms, m_bits, k, layout)
+                bank, col_idx = self._file_level_bank((m_bits, k, layout), group_files)
+                match = probe_bank_host(bank, terms, m_bits, k, layout)[:, col_idx]
                 ok = evaluate_match_expression(
                     prune_query.expression, terms, match, len(group_files)
                 )
@@ -950,7 +1052,20 @@ class BloomSearchEngine:
 
         group_ok = self._probe_blocks(maybe_files, terms, prune_query)
         for mf in maybe_files:
+            num_groups = len(mf.metadata.bank_groups)
             for blk in mf.metadata.data_blocks:
+                if not (0 <= blk.bank_group < num_groups) or not (
+                    0 <= blk.bank_col
+                ):
+                    # Invalid bank coordinates (foreign/corrupt metadata):
+                    # blocks without testable filters decode unconditionally
+                    # (warn-and-pass, reference :885-905).
+                    logger.warning(
+                        "block at %r+%d has no probeable filters; decoding",
+                        mf.pointer, blk.offset,
+                    )
+                    jobs.append(_DataBlockJob(mf.pointer, blk))
+                    continue
                 ok_vector = group_ok.get((mf.pointer, blk.bank_group))
                 if ok_vector is not None and bool(ok_vector[blk.bank_col]):
                     jobs.append(_DataBlockJob(mf.pointer, blk))
@@ -967,19 +1082,14 @@ class BloomSearchEngine:
                     )
         return jobs
 
-    def _file_level_bank(self, key: tuple, group_files) -> np.ndarray:
-        """Stacked file-level filter bank for a param group, cached by the
-
-        exact (ordered) candidate file list."""
-        pointers = tuple(mf.pointer for mf in group_files)
+    def _file_level_bank(self, key: tuple, group_files) -> tuple[np.ndarray, np.ndarray]:
+        """Incremental file-level bank for a param group -> (bank, columns)."""
         with self._file_bank_lock:
             cached = self._file_bank_cache.get(key)
-            if cached is not None and cached[0] == pointers:
-                return cached[1]
-        bank = stack_filter_bank([mf.metadata.bloom_filters for mf in group_files])
-        with self._file_bank_lock:
-            self._file_bank_cache[key] = (pointers, bank)
-        return bank
+            if cached is None:
+                cached = _HostFileBank((key[0] + 31) // 32)
+                self._file_bank_cache[key] = cached
+            return cached.ensure(group_files)
 
     def _probe_blocks(
         self, maybe_files, terms: CompiledBloomTerms, prune_query: BloomQuery
@@ -1002,6 +1112,8 @@ class BloomSearchEngine:
         needed: list[tuple] = []
         for mf in maybe_files:
             for gi in sorted({blk.bank_group for blk in mf.metadata.data_blocks}):
+                if not (0 <= gi < len(mf.metadata.bank_groups)):
+                    continue  # invalid coords: the block passes unprobed
                 group = mf.metadata.bank_groups[gi]
                 needed.append((mf.pointer, gi, group))
 
@@ -1298,6 +1410,8 @@ class _Merger:
         """(reference identifyFileMergeGroups, :1491-1603)"""
         by_params: dict[tuple, list[MaybeFile]] = {}
         for mf in files:
+            if mf.metadata.bloom_filters is None:
+                continue  # filter-less (foreign) files are never merged
             key = (
                 mf.metadata.bloom_expected_items,
                 mf.metadata.bloom_false_positive_rate,

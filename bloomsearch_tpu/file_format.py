@@ -260,7 +260,7 @@ class FileMetadata:
     metadata, and the bank-group directory.
     """
 
-    bloom_filters: BloomFilters
+    bloom_filters: Optional[BloomFilters]  # None: foreign/trimmed footer — pass through
     bloom_expected_items: int
     bloom_false_positive_rate: float
     data_blocks: list[DataBlockMetadata] = dc_field(default_factory=list)
@@ -275,7 +275,9 @@ class FileMetadata:
         return {
             "Version": FILE_VERSION,
             "HashName": self.hash_name,
-            "BloomFilters": self.bloom_filters.to_json(),
+            "BloomFilters": (
+                self.bloom_filters.to_json() if self.bloom_filters is not None else None
+            ),
             "BloomExpectedItems": self.bloom_expected_items,
             "BloomFalsePositiveRate": self.bloom_false_positive_rate,
             "DataBlocks": [b.to_json() for b in self.data_blocks],
@@ -284,10 +286,16 @@ class FileMetadata:
 
     @classmethod
     def from_json(cls, obj: dict) -> "FileMetadata":
+        # Tolerate absent file-level filters: the engine warns and passes
+        # the file through unprobed rather than failing the scan (the
+        # reference's nil-filter stance, bloom_tree_engine.go:885-905).
+        filters_obj = obj.get("BloomFilters")
         return cls(
-            bloom_filters=BloomFilters.from_json(obj["BloomFilters"]),
-            bloom_expected_items=int(obj["BloomExpectedItems"]),
-            bloom_false_positive_rate=float(obj["BloomFalsePositiveRate"]),
+            bloom_filters=(
+                BloomFilters.from_json(filters_obj) if filters_obj is not None else None
+            ),
+            bloom_expected_items=int(obj.get("BloomExpectedItems", 0)),
+            bloom_false_positive_rate=float(obj.get("BloomFalsePositiveRate", 0.0)),
             data_blocks=[DataBlockMetadata.from_json(b) for b in obj.get("DataBlocks", [])],
             bank_groups=[BankGroupMetadata.from_json(g) for g in obj.get("BankGroups", [])],
             hash_name=obj.get("HashName", HASH_NAME),

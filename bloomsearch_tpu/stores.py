@@ -15,6 +15,7 @@ Contracts mirror the reference (data_store.go:12-22, meta_store.go:8-41):
 
 from __future__ import annotations
 
+import logging
 import os
 import tempfile
 import threading
@@ -23,6 +24,8 @@ from typing import BinaryIO, Optional, Protocol, runtime_checkable
 
 from .file_format import FileMetadata, read_file_metadata
 from .query import QueryPrefilter, filter_data_blocks
+
+logger = logging.getLogger("bloomsearch_tpu.stores")
 
 
 # Metadata-deleted files rename to this suffix until physically tombstoned.
@@ -278,6 +281,13 @@ class FileSystemDataStore:
             except FileNotFoundError:
                 # Renamed away (metadata-deleted) between stat and open: the
                 # file is no longer part of the dataset — skip it.
+                continue
+            except Exception as exc:
+                # Corrupt / truncated / unknown-version footer: one bad file
+                # must not fail the whole directory scan (the reference's
+                # tolerant stance, bloom_tree_engine.go:885-905). Skip and
+                # warn; the file stays on disk for forensics.
+                logger.warning("skipping unreadable file %s: %s", path, exc)
                 continue
             # Never mutate the cached object: present a shallow view with the
             # prefiltered block list (meta_store.go:33-41 allows subsetting).

@@ -473,3 +473,80 @@ class TestBlockStatsSkip:
             assert len(processed) == 1
         finally:
             engine.stop(timeout=TIMEOUT)
+
+
+class TestIncrementalFileBank:
+    def test_columns_persist_across_file_churn(self, tmp_path):
+        engine, store = make_engine(tmp_path)
+        try:
+            for i in range(3):
+                ingest_and_flush(engine, [{"n": i, "tag": f"t{i}"}])
+            assert engine.query_sync(bs.new_query().token("t1").build(), timeout=TIMEOUT)
+
+            banks = list(engine._file_bank_cache.values())
+            assert len(banks) == 1
+            cols_before = dict(banks[0].cols)
+            assert len(cols_before) == 3
+
+            # A new flush must only APPEND a column; existing columns stay.
+            ingest_and_flush(engine, [{"n": 3, "tag": "t3"}])
+            rows = engine.query_sync(bs.new_query().token("t3").build(), timeout=TIMEOUT)
+            assert [r["n"] for r in rows] == [3]
+            cols_after = dict(banks[0].cols)
+            for pointer, col in cols_before.items():
+                assert cols_after[pointer] == col
+            assert len(cols_after) == 4
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_tombstoned_file_frees_column(self, tmp_path):
+        engine, store = make_engine(tmp_path)
+        try:
+            for i in range(3):
+                ingest_and_flush(engine, [{"n": i, "tag": "common"}])
+            assert len(engine.query_sync(bs.new_query().token("common").build(), timeout=TIMEOUT)) == 3
+            bank = next(iter(engine._file_bank_cache.values()))
+            assert len(bank.cols) == 3
+            engine.merge()
+            # Old columns freed; post-merge queries stay exact.
+            assert len(bank.cols) == 0 and len(bank.free) >= 3
+            rows = engine.query_sync(bs.new_query().token("common").build(), timeout=TIMEOUT)
+            assert sorted(r["n"] for r in rows) == [0, 1, 2]
+            assert len(bank.cols) == 1
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+
+class TestSaturationWarning:
+    def test_flush_warns_on_saturating_block_filters(self, tmp_path, caplog):
+        import logging as _logging
+
+        # 600 rows x ~12 distinct keys each >> filters sized for 200 "rows".
+        engine, _ = make_engine(tmp_path, max_row_group_rows=200, max_buffered_rows=10_000)
+        try:
+            rows = [
+                {"a": f"u{i}", "b": f"v{i}", "c": f"w{i}", "d": f"x{i}"}
+                for i in range(199)
+            ]
+            with caplog.at_level(_logging.WARNING, logger="bloomsearch_tpu.engine"):
+                ingest_and_flush(engine, rows)
+            assert any("saturating" in r.message for r in caplog.records)
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_no_warning_with_honest_sizing(self, tmp_path, caplog):
+        import logging as _logging
+
+        engine, _ = make_engine(
+            tmp_path, max_row_group_rows=200, block_bloom_expected_items=5_000
+        )
+        try:
+            rows = [
+                {"a": f"u{i}", "b": f"v{i}", "c": f"w{i}", "d": f"x{i}"}
+                for i in range(199)
+            ]
+            with caplog.at_level(_logging.WARNING, logger="bloomsearch_tpu.engine"):
+                ingest_and_flush(engine, rows)
+            assert not any("saturating" in r.message for r in caplog.records)
+        finally:
+            engine.stop(timeout=TIMEOUT)

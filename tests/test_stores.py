@@ -114,3 +114,87 @@ class TestNullStores:
         assert meta.get_maybe_files_for_query(None) == []
         meta.update([], [])
         data.tombstone_file(b"x")
+
+
+class TestTolerantMetadataReads:
+    """One unreadable file must not fail the whole scan; filter-less
+    metadata passes through unprobed (reference's nil-filter stance,
+    bloom_tree_engine.go:885-905)."""
+
+    def _engine(self, tmp_path, store=None, meta=None):
+        import bloomsearch_tpu as bs
+
+        data = store or bs.FileSystemDataStore(str(tmp_path / "data"))
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"),
+            meta or data,
+            data,
+        )
+        engine.start()
+        return engine, data
+
+    def test_corrupt_file_skipped_not_fatal(self, tmp_path):
+        import bloomsearch_tpu as bs
+
+        engine, store = self._engine(tmp_path)
+        try:
+            engine.ingest_rows([{"msg": "hello world"}], timeout=10)
+            engine.flush(timeout=10)
+            # Drop garbage .dat files into the scanned directory.
+            with open(os.path.join(store.root_dir, "bloom-junk.dat"), "wb") as fh:
+                fh.write(b"not a bloomsearch file")
+            with open(os.path.join(store.root_dir, "bloom-empty.dat"), "wb"):
+                pass
+            files = store.get_maybe_files_for_query(None)
+            assert len(files) == 1
+            got = engine.query_sync(bs.new_query().token("hello").build(), timeout=10)
+            assert got == [{"msg": "hello world"}]
+        finally:
+            engine.stop(timeout=10)
+
+    def test_nil_filters_and_bad_bank_coords_pass_through(self, tmp_path):
+        import dataclasses
+
+        import bloomsearch_tpu as bs
+        from bloomsearch_tpu.file_format import FileMetadata
+        from bloomsearch_tpu.stores import MemoryMetaStore, WriteOperation
+
+        # Write a real file, then republish its metadata with the filters
+        # stripped and block bank coords broken (a "foreign" footer).
+        fs_engine, data_store = self._engine(tmp_path)
+        try:
+            fs_engine.ingest_rows([{"msg": "needle in file"}], timeout=10)
+            fs_engine.flush(timeout=10)
+        finally:
+            fs_engine.stop(timeout=10)
+        mf = data_store.get_maybe_files_for_query(None)[0]
+
+        stripped = FileMetadata(
+            bloom_filters=None,
+            bloom_expected_items=mf.metadata.bloom_expected_items,
+            bloom_false_positive_rate=mf.metadata.bloom_false_positive_rate,
+            data_blocks=[
+                dataclasses.replace(b, bank_group=99) for b in mf.metadata.data_blocks
+            ],
+            bank_groups=mf.metadata.bank_groups,
+        )
+        meta = MemoryMetaStore()
+        meta.update([WriteOperation(stripped, mf.pointer, file_size=mf.size)], [])
+
+        engine, _ = self._engine(tmp_path, store=data_store, meta=meta)
+        try:
+            got = engine.query_sync(bs.new_query().token("needle").build(), timeout=10)
+            assert got == [{"msg": "needle in file"}]
+            # Still exact: non-matching needles return nothing.
+            got = engine.query_sync(bs.new_query().token("absent").build(), timeout=10)
+            assert got == []
+        finally:
+            engine.stop(timeout=10)
+
+    def test_from_json_tolerates_missing_filters(self):
+        from bloomsearch_tpu.file_format import FileMetadata
+
+        md = FileMetadata.from_json({"DataBlocks": [], "BankGroups": []})
+        assert md.bloom_filters is None
+        # Round-trips without crashing.
+        assert md.to_json()["BloomFilters"] is None
