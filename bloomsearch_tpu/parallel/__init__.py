@@ -7,6 +7,8 @@ from .mesh import (
     sharded_query_step,
     unpack_bitmap,
 )
+from .distributed import QueryPeer, ScatterGatherCoordinator
+from .remote import QueryServer, RemoteQueryPeer
 
 __all__ = [
     "BLOCK_AXIS",
@@ -16,4 +18,8 @@ __all__ = [
     "sharded_probe_packed",
     "sharded_query_step",
     "unpack_bitmap",
+    "QueryPeer",
+    "ScatterGatherCoordinator",
+    "QueryServer",
+    "RemoteQueryPeer",
 ]

@@ -18,6 +18,7 @@ Pure data + pure functions, no JAX. Mirrors the reference's query.go surface:
 
 from __future__ import annotations
 
+import dataclasses
 import enum
 from dataclasses import dataclass, field as dc_field
 from typing import Optional
@@ -651,3 +652,118 @@ def bloom_query_conditions(expression: Optional[BloomExpression]) -> list[BloomC
 
     visit(expression)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Query (de)serialization — the wire format for remote scatter/gather
+# (README.md:397-418 sketches per-query task scattering; the ASTs are plain
+# dataclasses over str-enums, so compact JSON round-trips exactly).
+# ---------------------------------------------------------------------------
+
+
+def query_to_json(q: Optional[Query]) -> Optional[dict]:
+    """Query -> JSON-serializable dict (enums as their string values)."""
+    if q is None:
+        return None
+    return dataclasses.asdict(q)
+
+
+def _string_condition_from_json(o: Optional[dict]) -> Optional[StringCondition]:
+    if o is None:
+        return None
+    return StringCondition(
+        operator=Operator(o["operator"]),
+        value=o.get("value", ""),
+        values=tuple(o.get("values") or ()),
+        min=o.get("min", ""),
+        max=o.get("max", ""),
+    )
+
+
+def _numeric_condition_from_json(o: Optional[dict]) -> Optional[NumericCondition]:
+    if o is None:
+        return None
+    return NumericCondition(
+        operator=Operator(o["operator"]),
+        value=int(o.get("value", 0)),
+        values=tuple(int(v) for v in (o.get("values") or ())),
+        min=int(o.get("min", 0)),
+        max=int(o.get("max", 0)),
+    )
+
+
+def _prefilter_expression_from_json(o: Optional[dict]) -> Optional[PrefilterExpression]:
+    if o is None:
+        return None
+    cond = o.get("condition")
+    return PrefilterExpression(
+        expression_type=PrefilterExprType(o["expression_type"]),
+        condition=(
+            PrefilterCondition(
+                condition_type=PrefilterConditionType(cond["condition_type"]),
+                partition_condition=_string_condition_from_json(
+                    cond.get("partition_condition")
+                ),
+                min_max_field_name=cond.get("min_max_field_name", ""),
+                min_max_condition=_numeric_condition_from_json(
+                    cond.get("min_max_condition")
+                ),
+            )
+            if cond is not None
+            else None
+        ),
+        children=[
+            _prefilter_expression_from_json(c) for c in (o.get("children") or [])
+        ],
+    )
+
+
+def _bloom_expression_from_json(o: Optional[dict]) -> Optional[BloomExpression]:
+    if o is None:
+        return None
+    cond = o.get("condition")
+    return BloomExpression(
+        expression_type=BloomExprType(o["expression_type"]),
+        condition=(
+            BloomCondition(
+                type=BloomConditionType(cond["type"]),
+                field=cond.get("field", ""),
+                token=cond.get("token", ""),
+            )
+            if cond is not None
+            else None
+        ),
+        children=[_bloom_expression_from_json(c) for c in (o.get("children") or [])],
+    )
+
+
+def _regex_expression_from_json(o: Optional[dict]) -> Optional[RegexExpression]:
+    if o is None:
+        return None
+    cond = o.get("condition")
+    return RegexExpression(
+        expression_type=RegexExprType(o["expression_type"]),
+        condition=(
+            RegexCondition(field=cond["field"], pattern=cond["pattern"])
+            if cond is not None
+            else None
+        ),
+        children=[_regex_expression_from_json(c) for c in (o.get("children") or [])],
+    )
+
+
+def query_from_json(obj: Optional[dict]) -> Optional[Query]:
+    """Inverse of :func:`query_to_json`."""
+    if obj is None:
+        return None
+    return Query(
+        prefilter=QueryPrefilter(
+            _prefilter_expression_from_json((obj.get("prefilter") or {}).get("expression"))
+        ),
+        bloom=BloomQuery(
+            _bloom_expression_from_json((obj.get("bloom") or {}).get("expression"))
+        ),
+        regex=RegexQuery(
+            _regex_expression_from_json((obj.get("regex") or {}).get("expression"))
+        ),
+    )
