@@ -97,6 +97,12 @@ from .stores import (
     WriteOperation,
     new_simple_meta_store,
 )
+from .objectstore import (
+    InMemoryObjectStore,
+    ObjectStoreClient,
+    ObjectStoreDataStore,
+    ObjectStoreMetaStore,
+)
 from .engine import (
     BlockStats,
     BloomSearchEngine,

@@ -1,0 +1,361 @@
+"""Object-store (S3-compatible) DataStore + MetaStore.
+
+The storage abstraction exists exactly so backends like this can plug in
+(reference data_store.go:12-22; README.md:289-315: "file path, S3
+bucket/key, etc."). Everything here targets a minimal
+:class:`ObjectStoreClient` surface — GET / ranged GET / conditional PUT /
+conditional DELETE / LIST — which S3, GCS, and R2 all provide.
+:class:`InMemoryObjectStore` implements that surface for tests and
+embedding.
+
+- :class:`ObjectStoreDataStore`: immutable data objects under
+  ``data/bloom-<uuid>.dat``; ``create_file`` buffers and uploads on close
+  (single-pass write, never visible until complete — object PUT is atomic),
+  ``open_file`` reads lazily via ranged GETs so block decodes never download
+  whole files.
+- :class:`ObjectStoreMetaStore`: one ``meta/manifest.json`` object updated
+  with compare-and-swap (``if_match`` etag). Writes and deletes land in ONE
+  CAS, so metadata publishes truly atomically — concurrent queries can
+  never observe a merge's new file alongside its replaced sources (the
+  window the FileSystemDataStore-as-MetaStore combination documents).
+- Merge lease via conditional PUT on ``meta/merge.lease`` with expiry steal
+  — the ``CoordinatedMetaStore`` design README.md:279-281 sketches —
+  implementing :class:`coordination.MergeCoordinator`, so
+  ``BloomSearchEngine.merge`` coordinates automatically.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import threading
+import time
+import uuid
+from typing import BinaryIO, Optional, Protocol, runtime_checkable
+
+from .coordination import Lease
+from .file_format import FileMetadata
+from .query import QueryPrefilter, filter_data_blocks
+from .stores import DeleteOperation, MaybeFile, WriteOperation
+
+logger = logging.getLogger("bloomsearch_tpu.objectstore")
+
+
+class PreconditionFailed(Exception):
+    """Conditional PUT/DELETE lost the race (HTTP 412 analog)."""
+
+
+@runtime_checkable
+class ObjectStoreClient(Protocol):
+    """Minimal S3-compatible surface. etags are opaque version strings."""
+
+    def get(self, key: str) -> tuple[bytes, str]:
+        """-> (data, etag); raises KeyError when absent."""
+        ...
+
+    def get_range(self, key: str, start: int, length: int) -> bytes:
+        """Ranged read (clamped at object end); raises KeyError when absent."""
+        ...
+
+    def head(self, key: str) -> tuple[int, str]:
+        """-> (size, etag); raises KeyError when absent."""
+        ...
+
+    def put(
+        self, key: str, data: bytes, *, if_match: Optional[str] = None,
+        if_none_match: bool = False,
+    ) -> str:
+        """-> new etag. if_match: CAS on current etag; if_none_match: only
+        create. Raises PreconditionFailed on condition failure."""
+        ...
+
+    def delete(self, key: str, *, if_match: Optional[str] = None) -> None:
+        """Idempotent; with if_match raises PreconditionFailed on mismatch."""
+        ...
+
+    def list(self, prefix: str) -> list[str]: ...
+
+
+class InMemoryObjectStore:
+    """Thread-safe in-memory ObjectStoreClient (the test/embedding fake)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._objects: dict[str, tuple[bytes, str]] = {}
+
+    def _new_etag(self) -> str:
+        return uuid.uuid4().hex
+
+    def get(self, key: str) -> tuple[bytes, str]:
+        with self._lock:
+            data, etag = self._objects[key]
+            return data, etag
+
+    def get_range(self, key: str, start: int, length: int) -> bytes:
+        with self._lock:
+            data, _ = self._objects[key]
+        return data[start : start + length]
+
+    def head(self, key: str) -> tuple[int, str]:
+        with self._lock:
+            data, etag = self._objects[key]
+            return len(data), etag
+
+    def put(self, key, data, *, if_match=None, if_none_match=False) -> str:
+        with self._lock:
+            current = self._objects.get(key)
+            if if_none_match and current is not None:
+                raise PreconditionFailed(key)
+            if if_match is not None and (current is None or current[1] != if_match):
+                raise PreconditionFailed(key)
+            etag = self._new_etag()
+            self._objects[key] = (bytes(data), etag)
+            return etag
+
+    def delete(self, key, *, if_match=None) -> None:
+        with self._lock:
+            current = self._objects.get(key)
+            if if_match is not None and (current is None or current[1] != if_match):
+                raise PreconditionFailed(key)
+            self._objects.pop(key, None)
+
+    def list(self, prefix: str) -> list[str]:
+        with self._lock:
+            return sorted(k for k in self._objects if k.startswith(prefix))
+
+
+class _UploadOnCloseFile:
+    """Single-pass write buffer; PUT on close (atomic object visibility)."""
+
+    def __init__(self, client: ObjectStoreClient, key: str):
+        self._client = client
+        self._key = key
+        self._buf = io.BytesIO()
+        self._closed = False
+
+    def write(self, data) -> int:
+        return self._buf.write(data)
+
+    def flush(self) -> None:
+        pass
+
+    def tell(self) -> int:
+        return self._buf.tell()
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        self._client.put(self._key, self._buf.getvalue())
+
+    def abort(self) -> None:
+        """Discard without uploading (failed flushes never publish)."""
+        self._closed = True
+        self._buf = io.BytesIO()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class _RangedReadFile:
+    """Seekable read-only file over ranged GETs with block readahead."""
+
+    READAHEAD = 256 * 1024
+
+    def __init__(self, client: ObjectStoreClient, key: str, size: int):
+        self._client = client
+        self._key = key
+        self._size = size
+        self._pos = 0
+        self._cache_start = 0
+        self._cache = b""
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        elif whence == 2:
+            self._pos = self._size + offset
+        else:
+            raise ValueError(f"bad whence {whence}")
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n < 0:
+            n = self._size - self._pos
+        n = max(0, min(n, self._size - self._pos))
+        if n == 0:
+            return b""
+        start, end = self._pos, self._pos + n
+        cache_end = self._cache_start + len(self._cache)
+        if not (self._cache_start <= start and end <= cache_end):
+            fetch_len = max(n, self.READAHEAD)
+            self._cache = self._client.get_range(self._key, start, fetch_len)
+            self._cache_start = start
+        rel = start - self._cache_start
+        out = self._cache[rel : rel + n]
+        self._pos += len(out)
+        return out
+
+    def close(self) -> None:
+        self._cache = b""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class ObjectStoreDataStore:
+    """DataStore over an ObjectStoreClient (data_store.go:12-22 contract)."""
+
+    def __init__(self, client: ObjectStoreClient, prefix: str = "data/"):
+        self.client = client
+        self.prefix = prefix
+
+    def create_file(self) -> tuple[BinaryIO, bytes]:
+        key = f"{self.prefix}bloom-{uuid.uuid4().hex}.dat"
+        return _UploadOnCloseFile(self.client, key), key.encode("utf-8")
+
+    def open_file(self, file_pointer: bytes) -> BinaryIO:
+        key = file_pointer.decode("utf-8")
+        try:
+            size, _ = self.client.head(key)
+        except KeyError:
+            raise FileNotFoundError(key)
+        return _RangedReadFile(self.client, key, size)
+
+    def tombstone_file(self, file_pointer: bytes) -> None:
+        self.client.delete(file_pointer.decode("utf-8"))
+
+
+class ObjectStoreMetaStore:
+    """MetaStore + MergeCoordinator over one CAS-updated manifest object."""
+
+    def __init__(
+        self,
+        client: ObjectStoreClient,
+        manifest_key: str = "meta/manifest.json",
+        lease_key: str = "meta/merge.lease",
+    ):
+        self.client = client
+        self.manifest_key = manifest_key
+        self.lease_key = lease_key
+        # Parsed-manifest cache keyed by etag (metadata objects are reused
+        # across queries; FileMetadata.from_json dominates otherwise).
+        self._cache_lock = threading.Lock()
+        self._cached_etag: Optional[str] = None
+        self._cached_files: dict[str, tuple[FileMetadata, int]] = {}
+
+    # -- manifest ---------------------------------------------------------
+
+    def _load(self) -> tuple[dict, Optional[str]]:
+        try:
+            data, etag = self.client.get(self.manifest_key)
+        except KeyError:
+            return {"files": {}}, None
+        return json.loads(data), etag
+
+    def _parsed_files(self) -> dict[str, tuple[FileMetadata, int]]:
+        manifest, etag = self._load()
+        with self._cache_lock:
+            if etag is not None and etag == self._cached_etag:
+                return self._cached_files
+        files = {
+            key: (FileMetadata.from_json(entry["metadata"]), int(entry.get("size", 0)))
+            for key, entry in manifest["files"].items()
+        }
+        with self._cache_lock:
+            self._cached_etag = etag
+            self._cached_files = files
+        return files
+
+    def get_maybe_files_for_query(
+        self, prefilter: Optional[QueryPrefilter]
+    ) -> list[MaybeFile]:
+        out: list[MaybeFile] = []
+        for key, (metadata, size) in self._parsed_files().items():
+            blocks = filter_data_blocks(metadata.data_blocks, prefilter)
+            if prefilter is not None and not blocks:
+                continue
+            filtered = FileMetadata(
+                bloom_filters=metadata.bloom_filters,
+                bloom_expected_items=metadata.bloom_expected_items,
+                bloom_false_positive_rate=metadata.bloom_false_positive_rate,
+                data_blocks=blocks,
+                bank_groups=metadata.bank_groups,
+                hash_name=metadata.hash_name,
+            )
+            out.append(MaybeFile(pointer=key.encode("utf-8"), metadata=filtered, size=size))
+        return out
+
+    def update(
+        self, writes: list[WriteOperation], deletes: list[DeleteOperation]
+    ) -> None:
+        """Atomic batch via CAS: retry on concurrent manifest updates."""
+        for _ in range(64):
+            manifest, etag = self._load()
+            files = manifest.setdefault("files", {})
+            for w in writes:
+                files[w.file_pointer.decode("utf-8")] = {
+                    "metadata": w.file_metadata.to_json(),
+                    "size": w.file_size,
+                }
+            for d in deletes:
+                files.pop(d.file_pointer.decode("utf-8"), None)
+            payload = json.dumps(manifest, separators=(",", ":")).encode("utf-8")
+            try:
+                if etag is None:
+                    self.client.put(self.manifest_key, payload, if_none_match=True)
+                else:
+                    self.client.put(self.manifest_key, payload, if_match=etag)
+                return
+            except PreconditionFailed:
+                continue  # lost the CAS; re-read and re-apply
+        raise RuntimeError("manifest CAS kept failing; too much contention")
+
+    # -- merge lease (CoordinatedMetaStore, README.md:279-281) -------------
+
+    def acquire_merge_lease(self, ttl_seconds: float = 300.0) -> Optional[Lease]:
+        lease_id = uuid.uuid4().hex
+        expires_at = time.time() + ttl_seconds
+        payload = json.dumps({"id": lease_id, "expires_at": expires_at}).encode()
+        try:
+            etag = self.client.put(self.lease_key, payload, if_none_match=True)
+        except PreconditionFailed:
+            stale_etag = self._expired_lease_etag()
+            if stale_etag is None:
+                return None
+            try:
+                etag = self.client.put(self.lease_key, payload, if_match=stale_etag)
+            except PreconditionFailed:
+                return None  # someone else won the steal race
+
+        def release(held_etag=etag):
+            try:
+                self.client.delete(self.lease_key, if_match=held_etag)
+            except PreconditionFailed:
+                pass  # expired and stolen; nothing to release
+
+        return Lease(release, lease_id, expires_at)
+
+    def _expired_lease_etag(self) -> Optional[str]:
+        try:
+            data, etag = self.client.get(self.lease_key)
+        except KeyError:
+            return None
+        try:
+            if time.time() > float(json.loads(data)["expires_at"]):
+                return etag
+        except (ValueError, KeyError, TypeError):
+            return etag  # malformed lease: stealable
+        return None

@@ -1,0 +1,192 @@
+"""Object-store backend: client fake semantics, stores, CAS manifest, lease."""
+
+import json
+import queue
+import threading
+
+import pytest
+
+import bloomsearch_tpu as bs
+from bloomsearch_tpu.objectstore import (
+    InMemoryObjectStore,
+    ObjectStoreDataStore,
+    ObjectStoreMetaStore,
+    PreconditionFailed,
+)
+
+TIMEOUT = 15.0
+
+
+def make_engine(client=None, **overrides):
+    client = client or InMemoryObjectStore()
+    data = ObjectStoreDataStore(client)
+    meta = ObjectStoreMetaStore(client)
+    config = bs.BloomSearchEngineConfig(row_data_compression="none", **overrides)
+    engine = bs.BloomSearchEngine(config, meta, data)
+    engine.start()
+    return engine, client, data, meta
+
+
+class TestInMemoryObjectStore:
+    def test_conditional_put_semantics(self):
+        c = InMemoryObjectStore()
+        etag1 = c.put("k", b"v1")
+        with pytest.raises(PreconditionFailed):
+            c.put("k", b"x", if_none_match=True)
+        with pytest.raises(PreconditionFailed):
+            c.put("k", b"x", if_match="wrong")
+        etag2 = c.put("k", b"v2", if_match=etag1)
+        assert etag2 != etag1
+        assert c.get("k") == (b"v2", etag2)
+        with pytest.raises(PreconditionFailed):
+            c.delete("k", if_match=etag1)
+        c.delete("k", if_match=etag2)
+        with pytest.raises(KeyError):
+            c.get("k")
+        c.delete("k")  # idempotent
+
+    def test_ranged_reads(self):
+        c = InMemoryObjectStore()
+        c.put("k", bytes(range(100)))
+        assert c.get_range("k", 10, 5) == bytes(range(10, 15))
+        assert c.get_range("k", 95, 50) == bytes(range(95, 100))  # clamped
+
+
+class TestDataStore:
+    def test_write_read_tombstone_roundtrip(self):
+        c = InMemoryObjectStore()
+        ds = ObjectStoreDataStore(c)
+        fh, pointer = ds.create_file()
+        fh.write(b"hello ")
+        fh.write(b"world")
+        # Not visible until close (single-pass upload).
+        assert c.list("data/") == []
+        fh.close()
+        with ds.open_file(pointer) as rd:
+            rd.seek(6)
+            assert rd.read(5) == b"world"
+            rd.seek(0)
+            assert rd.read() == b"hello world"
+        ds.tombstone_file(pointer)
+        with pytest.raises(FileNotFoundError):
+            ds.open_file(pointer)
+
+    def test_abort_never_publishes(self):
+        c = InMemoryObjectStore()
+        ds = ObjectStoreDataStore(c)
+        fh, pointer = ds.create_file()
+        fh.write(b"partial")
+        fh.abort()
+        assert c.list("data/") == []
+
+
+class TestMetaStoreCAS:
+    def test_update_is_one_atomic_step(self):
+        """Writes + deletes land in a single manifest version: a reader can
+        never see the new file alongside the replaced ones."""
+        from test_file_format import write_sample_file
+        import io
+
+        c = InMemoryObjectStore()
+        meta = ObjectStoreMetaStore(c)
+        md, _ = write_sample_file(io.BytesIO())
+        from bloomsearch_tpu.stores import DeleteOperation, WriteOperation
+
+        meta.update([WriteOperation(md, b"old1", 10), WriteOperation(md, b"old2", 10)], [])
+        meta.update(
+            [WriteOperation(md, b"merged", 20)],
+            [DeleteOperation(b"old1"), DeleteOperation(b"old2")],
+        )
+        pointers = {mf.pointer for mf in meta.get_maybe_files_for_query(None)}
+        assert pointers == {b"merged"}
+        # Every historical manifest version was either {old1,old2} or
+        # {merged} — never a mix (single CAS put).
+        data, _ = c.get("meta/manifest.json")
+        assert set(json.loads(data)["files"]) == {"merged"}
+
+    def test_concurrent_updates_all_land(self):
+        from test_file_format import write_sample_file
+        from bloomsearch_tpu.stores import WriteOperation
+        import io
+
+        c = InMemoryObjectStore()
+        md, _ = write_sample_file(io.BytesIO())
+        metas = [ObjectStoreMetaStore(c) for _ in range(4)]
+        threads = [
+            threading.Thread(
+                target=lambda m=m, i=i: m.update(
+                    [WriteOperation(md, f"f{i}-{j}".encode(), 1) for j in range(5)], []
+                )
+            )
+            for i, m in enumerate(metas)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        files = ObjectStoreMetaStore(c).get_maybe_files_for_query(None)
+        assert len(files) == 20  # no lost updates under CAS contention
+
+    def test_merge_lease_acquire_steal_release(self):
+        c = InMemoryObjectStore()
+        meta = ObjectStoreMetaStore(c)
+        lease = meta.acquire_merge_lease(ttl_seconds=300)
+        assert lease is not None and lease.valid()
+        assert meta.acquire_merge_lease(ttl_seconds=300) is None  # held
+        lease.release()
+        lease2 = meta.acquire_merge_lease(ttl_seconds=-1)  # born expired
+        assert lease2 is not None
+        stolen = meta.acquire_merge_lease(ttl_seconds=300)  # steals expired
+        assert stolen is not None
+        lease2.release()  # releasing a stolen lease is a no-op (etag CAS)
+        assert meta.acquire_merge_lease() is None  # stolen one still held
+        stolen.release()
+
+
+class TestEngineOverObjectStore:
+    def test_e2e_ingest_flush_query_merge(self):
+        engine, client, data, meta = make_engine()
+        try:
+            for i in range(4):
+                engine.ingest_rows([{"n": i, "tag": "common"}], timeout=TIMEOUT)
+                engine.flush(timeout=TIMEOUT)
+            assert len(client.list("data/")) == 4
+            got = engine.query_sync(bs.new_query().token("common").build(), timeout=TIMEOUT)
+            assert sorted(r["n"] for r in got) == [0, 1, 2, 3]
+
+            stats = engine.merge()  # lease-coordinated automatically
+            assert stats.files_processed == 4
+            got = engine.query_sync(bs.new_query().token("common").build(), timeout=TIMEOUT)
+            assert sorted(r["n"] for r in got) == [0, 1, 2, 3]
+            assert len(meta.get_maybe_files_for_query(None)) == 1
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_resume_against_same_bucket(self):
+        client = InMemoryObjectStore()
+        engine, _, _, _ = make_engine(client)
+        engine.ingest_rows([{"msg": "persisted"}], timeout=TIMEOUT)
+        engine.stop(timeout=TIMEOUT)  # stop flushes buffered rows
+
+        engine2, _, _, _ = make_engine(client)
+        try:
+            got = engine2.query_sync(bs.new_query().token("persisted").build(), timeout=TIMEOUT)
+            assert got == [{"msg": "persisted"}]
+        finally:
+            engine2.stop(timeout=TIMEOUT)
+
+    def test_merge_skipped_while_lease_held(self):
+        engine, client, data, meta = make_engine()
+        try:
+            for i in range(2):
+                engine.ingest_rows([{"n": i, "tag": "x"}], timeout=TIMEOUT)
+                engine.flush(timeout=TIMEOUT)
+            foreign = ObjectStoreMetaStore(client).acquire_merge_lease()
+            assert foreign is not None
+            stats = engine.merge()
+            assert stats.files_processed == 0  # lease held elsewhere: no-op
+            foreign.release()
+            stats = engine.merge()
+            assert stats.files_processed == 2
+        finally:
+            engine.stop(timeout=TIMEOUT)

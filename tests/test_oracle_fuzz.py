@@ -141,10 +141,25 @@ def _check(engine, all_rows, q, label):
         assert got == expected, f"{label}: engine {got} != oracle {expected}\nquery={q}"
 
 
-@pytest.mark.parametrize("seed", [7, 23, 99])
-def test_engine_matches_oracle(tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,store_kind",
+    [(7, "fs"), (23, "fs"), (99, "fs"), (7, "object"), (42, "object")],
+)
+def test_engine_matches_oracle(tmp_path, seed, store_kind):
     rng = random.Random(seed)
-    store = bs.FileSystemDataStore(str(tmp_path / "data"))
+    if store_kind == "fs":
+        store = bs.FileSystemDataStore(str(tmp_path / "data"))
+        meta_store = data_store = store
+    else:
+        from bloomsearch_tpu.objectstore import (
+            InMemoryObjectStore,
+            ObjectStoreDataStore,
+            ObjectStoreMetaStore,
+        )
+
+        client = InMemoryObjectStore()
+        data_store = ObjectStoreDataStore(client)
+        meta_store = ObjectStoreMetaStore(client)
     config = bs.BloomSearchEngineConfig(
         row_data_compression=rng.choice(["none", "zstd", "snappy"]),
         partition_func=lambda r: r["part"],
@@ -153,7 +168,7 @@ def test_engine_matches_oracle(tmp_path, seed):
         max_buffered_rows=rng.choice([50, 1000]),
         bloom_layout=rng.choice(["classic", "blocked256"]),
     )
-    engine = bs.BloomSearchEngine(config, store, store)
+    engine = bs.BloomSearchEngine(config, meta_store, data_store)
     engine.start()
     all_rows: list[dict] = []
     next_id = 0
