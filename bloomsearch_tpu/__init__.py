@@ -110,6 +110,7 @@ from .engine import (
     InvalidConfigError,
     MergeStats,
     default_config,
+    prefilter_expiry,
 )
 from .utils import format_bytes_per_second, format_rate
 

@@ -168,6 +168,14 @@ class BloomSearchEngineConfig:
     # (README.md:283-287 — designed but unimplemented in the reference).
     ttl_seconds: Optional[float] = None
 
+    # Conditioned expiry (README.md:285: "based on partition ID, minmax
+    # indexes, or row group age"): a predicate over DataBlockMetadata; any
+    # block it returns True for is dropped during merge, in addition to
+    # age expiry. Build one from a prefilter with
+    # ``prefilter_expiry(partition(...) / min_max(...))`` or pass any
+    # callable (it's a code hook like tokenizer/partition_func).
+    ttl_predicate: Optional[Callable[[DataBlockMetadata], bool]] = None
+
     # Background compaction: run merge() on this interval (None = manual
     # merges only, the reference's model). Lease-aware when the MetaStore
     # coordinates.
@@ -242,6 +250,90 @@ class MergeStats:
     duration: float = 0.0
     rows_per_second: float = 0.0
     bytes_per_second: float = 0.0
+
+
+def prefilter_expiry(expression) -> Callable[[DataBlockMetadata], bool]:
+    """Build a conditioned-TTL predicate from a prefilter expression.
+
+    A block expires when the partition/minmax prefilter matches its
+    metadata (README.md:285's "based on partition ID [or] minmax indexes")
+    — but with **whole-block** semantics, NOT the query path's
+    block-overlap semantics: a minmax condition must hold for the block's
+    ENTIRE [min, max] range (e.g. ``numeric_less_than(cutoff)`` expires
+    only blocks whose max is below the cutoff). Overlap semantics would
+    delete blocks still containing live rows; deletion must only ever
+    under-approximate. Blocks missing the referenced metadata never expire.
+
+    Example: drop everything in partition "2024-01" whose ``ts`` range is
+    entirely below a cutoff::
+
+        config.ttl_predicate = prefilter_expiry(prefilter_and(
+            partition(partition_equals("2024-01")),
+            min_max("ts", numeric_less_than(CUTOFF)),
+        ))
+    """
+    from .query import (
+        NumericCondition,
+        Operator,
+        PrefilterConditionType,
+        PrefilterExpression,
+        PrefilterExprType,
+        QueryPrefilter,
+        evaluate_string_condition,
+    )
+
+    expr = (
+        expression.expression
+        if isinstance(expression, QueryPrefilter)
+        else expression
+    )
+
+    def whole_range_holds(lo: int, hi: int, cond: NumericCondition) -> bool:
+        """Does the condition hold for EVERY value in [lo, hi]?"""
+        op = cond.operator
+        if op == Operator.EQ:
+            return lo == hi == cond.value
+        if op == Operator.NE:
+            return cond.value < lo or cond.value > hi
+        if op == Operator.GT:
+            return lo > cond.value
+        if op == Operator.GTE:
+            return lo >= cond.value
+        if op == Operator.LT:
+            return hi < cond.value
+        if op == Operator.LTE:
+            return hi <= cond.value
+        if op == Operator.IN:
+            return lo == hi and lo in cond.values
+        if op == Operator.NOT_IN:
+            return all(v < lo or v > hi for v in cond.values)
+        if op == Operator.BETWEEN:
+            return cond.min <= lo and hi <= cond.max
+        if op == Operator.NOT_BETWEEN:
+            return hi < cond.min or lo > cond.max
+        return False
+
+    def visit(e: Optional[PrefilterExpression], block: DataBlockMetadata) -> bool:
+        if e is None:
+            return False  # no condition: nothing expires
+        if e.expression_type == PrefilterExprType.AND:
+            return all(visit(c, block) for c in e.children) if e.children else True
+        if e.expression_type == PrefilterExprType.OR:
+            return any(visit(c, block) for c in e.children)
+        cond = e.condition
+        if cond is None:
+            return False
+        if cond.condition_type == PrefilterConditionType.PARTITION:
+            return evaluate_string_condition(block.partition_id, cond.partition_condition)
+        index = (block.min_max_indexes or {}).get(cond.min_max_field_name)
+        if index is None:
+            return False  # unprovable: never expire
+        return whole_range_holds(index.min, index.max, cond.min_max_condition)
+
+    def expired(block: DataBlockMetadata) -> bool:
+        return visit(expr, block)
+
+    return expired
 
 
 def try_put(q: Optional[queue.Queue], item) -> bool:
@@ -1375,6 +1467,9 @@ class _Merger:
         return int(time.time() * 1000)
 
     def _is_expired(self, block: DataBlockMetadata) -> bool:
+        predicate = self.config.ttl_predicate
+        if predicate is not None and predicate(block):
+            return True
         ttl = self.config.ttl_seconds
         if ttl is None or block.created_at_ms <= 0:
             return False
@@ -1447,7 +1542,10 @@ class _Merger:
                 if len(group) >= 2:
                     used.add(i)
                     groups.append(group)
-                elif self.config.ttl_seconds is not None and any(
+                elif (
+                    self.config.ttl_seconds is not None
+                    or self.config.ttl_predicate is not None
+                ) and any(
                     self._is_expired(blk) for blk in seed.metadata.data_blocks
                 ):
                     # Solo rewrite purely to drop expired blocks.

@@ -289,3 +289,90 @@ class TestTTLExpiry:
             assert len(engine.query_sync(None, timeout=TIMEOUT)) == 2
         finally:
             engine.stop(timeout=TIMEOUT)
+
+
+class TestConditionedTTL:
+    """README.md:285: expiry 'based on partition ID, minmax indexes, or row
+    group age' — the conditioned half, via prefilter_expiry predicates."""
+
+    def test_partition_based_expiry(self, tmp_path):
+        pred = bs.prefilter_expiry(bs.partition(bs.partition_equals("cold")))
+        engine, store = make_engine(
+            tmp_path,
+            partition_func=lambda r: r["part"],
+            ttl_predicate=pred,
+        )
+        try:
+            ingest_flush(engine, [{"n": 1, "part": "cold"}, {"n": 2, "part": "hot"}])
+            ingest_flush(engine, [{"n": 3, "part": "cold"}, {"n": 4, "part": "hot"}])
+            engine.merge()
+            rows = engine.query_sync(None, timeout=TIMEOUT)
+            assert sorted(r["n"] for r in rows) == [2, 4]
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_minmax_expiry_is_whole_block(self, tmp_path):
+        # Expire blocks whose ts range lies ENTIRELY below 100. A block
+        # straddling the cutoff must survive (deletion under-approximates).
+        pred = bs.prefilter_expiry(bs.min_max("ts", bs.numeric_less_than(100)))
+        engine, store = make_engine(
+            tmp_path, min_max_indexes=["ts"], ttl_predicate=pred
+        )
+        try:
+            ingest_flush(engine, [{"n": 1, "ts": 10}, {"n": 2, "ts": 50}])   # all < 100
+            ingest_flush(engine, [{"n": 3, "ts": 90}, {"n": 4, "ts": 150}])  # straddles
+            ingest_flush(engine, [{"n": 5, "ts": 200}])                      # all >= 100
+            engine.merge()
+            rows = engine.query_sync(None, timeout=TIMEOUT)
+            assert sorted(r["n"] for r in rows) == [3, 4, 5]
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_combined_partition_and_minmax(self, tmp_path):
+        pred = bs.prefilter_expiry(
+            bs.prefilter_and(
+                bs.partition(bs.partition_equals("a")),
+                bs.min_max("ts", bs.numeric_less_than_equal(10)),
+            )
+        )
+        engine, store = make_engine(
+            tmp_path,
+            partition_func=lambda r: r["part"],
+            min_max_indexes=["ts"],
+            ttl_predicate=pred,
+        )
+        try:
+            ingest_flush(engine, [{"n": 1, "part": "a", "ts": 5}])   # expires
+            ingest_flush(engine, [{"n": 2, "part": "a", "ts": 50}])  # wrong range
+            ingest_flush(engine, [{"n": 3, "part": "b", "ts": 5}])   # wrong partition
+            engine.merge()
+            rows = engine.query_sync(None, timeout=TIMEOUT)
+            assert sorted(r["n"] for r in rows) == [2, 3]
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_missing_minmax_metadata_never_expires(self, tmp_path):
+        pred = bs.prefilter_expiry(bs.min_max("absent", bs.numeric_less_than(100)))
+        engine, store = make_engine(tmp_path, ttl_predicate=pred)
+        try:
+            ingest_flush(engine, [{"n": 1}])
+            ingest_flush(engine, [{"n": 2}])
+            engine.merge()
+            assert len(engine.query_sync(None, timeout=TIMEOUT)) == 2
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_solo_file_rewritten_purely_for_predicate_expiry(self, tmp_path):
+        # A file with no merge partner still gets rewritten when the
+        # predicate expires one of its blocks.
+        pred = bs.prefilter_expiry(bs.partition(bs.partition_equals("cold")))
+        engine, store = make_engine(
+            tmp_path, partition_func=lambda r: r["part"], ttl_predicate=pred
+        )
+        try:
+            ingest_flush(engine, [{"n": 1, "part": "cold"}, {"n": 2, "part": "hot"}])
+            engine.merge()
+            rows = engine.query_sync(None, timeout=TIMEOUT)
+            assert sorted(r["n"] for r in rows) == [2]
+        finally:
+            engine.stop(timeout=TIMEOUT)
