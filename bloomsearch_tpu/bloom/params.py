@@ -22,8 +22,10 @@ WORD_BITS = 32
 # - "blocked256": each key selects ONE 256-bit (8-word) aligned block and
 #   its k bits live inside it (split-block bloom filter, cf. Parquet/Impala).
 #   The device probe then fetches a single aligned 8-row group per term
-#   instead of per probe — ~k× less HBM traffic — at a small FPR penalty
-#   (empirically ~2-3x at default params; validated in tests).
+#   instead of per probe — ~k× less HBM traffic — at a measured FPR penalty
+#   of ~1.6x at p=0.01, ~5x at p=0.001 and ~30x at p=0.0001 (the 256-bit
+#   block floors achievable FPR near 3e-3; see docs/BLOCKED256.md for the
+#   full sweep and why classic stays the default).
 LAYOUT_CLASSIC = "classic"
 LAYOUT_BLOCKED256 = "blocked256"
 BLOCK_BITS = 256

@@ -33,14 +33,26 @@ class TestBlockedFilter:
         assert f.test_keys(keys).all()
         assert f.m_bits % 256 == 0
 
-    def test_empirical_fpr_acceptable(self):
+    def test_empirical_fpr_matches_measured_curve(self):
+        # Bounds from the measured sweep in docs/BLOCKED256.md: penalty is
+        # ~1.6x at p=0.01 and ~5x at p=0.001 (scale-invariant in n). The
+        # asserted ceilings leave ~40% headroom over the measurements.
+        for n, p, ceiling in ((5000, 0.01, 2.5), (5000, 0.001, 8.0)):
+            f = BloomFilter.new_with_estimates(n, p, layout=LAYOUT_BLOCKED256)
+            f.add_keys([f"present-{i}" for i in range(n)])
+            absent = [f"absent-{i}" for i in range(200_000)]
+            fpr = f.test_keys(absent).mean()
+            assert fpr <= ceiling * p, f"blocked FPR {fpr} vs configured {p} (n={n})"
+
+    def test_classic_fpr_matches_configured_rate(self):
+        # The reference-parity layout must deliver the configured rate
+        # (zero-false-negative is tested elsewhere; this pins FPR honesty).
         p = 0.001
-        f = BloomFilter.new_with_estimates(5000, p, layout=LAYOUT_BLOCKED256)
+        f = BloomFilter.new_with_estimates(5000, p)
         f.add_keys([f"present-{i}" for i in range(5000)])
-        absent = [f"absent-{i}" for i in range(100_000)]
+        absent = [f"absent-{i}" for i in range(200_000)]
         fpr = f.test_keys(absent).mean()
-        # Blocked filters pay an FPR penalty vs classic; keep it bounded.
-        assert fpr <= 10 * p, f"blocked FPR {fpr} too high vs configured {p}"
+        assert fpr <= 2 * p, f"classic FPR {fpr} vs configured {p}"
 
     @pytest.mark.skipif(not native.available(), reason="native lib unavailable")
     def test_native_matches_numpy(self):
