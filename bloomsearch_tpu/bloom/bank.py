@@ -283,12 +283,18 @@ class DeviceProbeBackend:
         self,
         requests: list[tuple[bytes, int, tuple[int, int], Callable[[], np.ndarray]]],
         terms,
+        reduce_and: bool = False,
     ) -> dict[tuple[bytes, int], np.ndarray]:
         """Batched probe across files.
 
         ``requests``: (file_pointer, group_idx, (m_bits, k, layout), loader)
         where ``loader()`` reads the host bank uint32[3, W, B] if not yet
         resident. Returns {(file_pointer, group_idx): bool[T, B] match slice}.
+
+        With ``reduce_and`` (flat-AND queries — the dominant shape), the
+        AND over terms fuses into the probe program on-device and the
+        returned slices are bool[1, B] survivor vectors: a T× smaller
+        device→host transfer and no host expression evaluation.
 
         Concurrency: residency may race with invalidation/compaction, so the
         bank array and all segment placements snapshot atomically under the
@@ -338,30 +344,45 @@ class DeviceProbeBackend:
                 use_pallas = (
                     self.use_pallas or self.pallas_interpret
                 ) and Tp * k <= MAX_UNROLLED_PROBES
+                rows_dev = jnp.asarray(flat_rows)
+                shifts_dev = jnp.asarray(bit_idx.reshape(-1))
+                if reduce_and:
+                    and_mask = jnp.asarray(
+                        np.arange(Tp) < T
+                    )  # padding terms contribute True
                 if self.mesh is not None:
-                    from ..parallel.mesh import sharded_probe_packed
+                    if reduce_and:
+                        from ..parallel.mesh import sharded_query_step
 
-                    packed = sharded_probe_packed(
-                        self.mesh,
-                        bank2d,
-                        jnp.asarray(flat_rows),
-                        jnp.asarray(bit_idx.reshape(-1)),
-                        Tp,
-                        k,
-                        use_pallas=use_pallas,
-                        interpret=self.pallas_interpret,
-                    )
+                        packed, _total = sharded_query_step(
+                            self.mesh, bank2d, rows_dev, shifts_dev, and_mask,
+                            Tp, k,
+                            use_pallas=use_pallas, interpret=self.pallas_interpret,
+                        )
+                        packed = packed[None, :]
+                    else:
+                        from ..parallel.mesh import sharded_probe_packed
+
+                        packed = sharded_probe_packed(
+                            self.mesh, bank2d, rows_dev, shifts_dev, Tp, k,
+                            use_pallas=use_pallas, interpret=self.pallas_interpret,
+                        )
                 else:
-                    packed = probe_and_pack(
-                        bank2d,
-                        jnp.asarray(flat_rows),
-                        jnp.asarray(bit_idx.reshape(-1)),
-                        Tp,
-                        k,
-                        use_pallas=use_pallas,
-                        interpret=self.pallas_interpret,
-                    )
-                packed_host = np.asarray(packed)[:T]
+                    if reduce_and:
+                        from .pallas_kernels import probe_reduce_and_pack
+
+                        packed = probe_reduce_and_pack(
+                            bank2d, rows_dev, shifts_dev, Tp, k, and_mask,
+                            use_pallas=use_pallas, interpret=self.pallas_interpret,
+                        )
+                    else:
+                        packed = probe_and_pack(
+                            bank2d, rows_dev, shifts_dev, Tp, k,
+                            use_pallas=use_pallas, interpret=self.pallas_interpret,
+                        )
+                packed_host = np.asarray(packed)
+                if not reduce_and:
+                    packed_host = packed_host[:T]
                 bits = np.unpackbits(packed_host.view(np.uint8), axis=1, bitorder="little")
                 matches[mk] = bits[:, :capacity].astype(bool)
 

@@ -149,6 +149,37 @@ def probe_and_pack(
     return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
 
 
+@functools.partial(jax.jit, static_argnames=("T", "K", "use_pallas", "interpret"))
+def probe_reduce_and_pack(
+    bank2d: jax.Array,
+    row_idx: jax.Array,
+    shift: jax.Array,
+    T: int,
+    K: int,
+    and_mask: jax.Array,  # bool[T]: terms participating in the AND
+    *,
+    use_pallas: bool,
+    interpret: bool = False,
+) -> jax.Array:
+    """Probe + fused flat-AND reduction -> packed uint32[1, C/32] survivors.
+
+    The single-device form of mesh.sharded_query_step's body: for the
+    dominant query shape (every term AND-ed), the [T, C] match matrix never
+    leaves the device — the AND over active terms happens on-chip and only
+    a [C/32] survivor bitmap transfers (T× less than probe_and_pack).
+    Inactive (padding) terms contribute True.
+    """
+    if use_pallas:
+        match = probe_bank_pallas_tk(bank2d, row_idx, shift, T, K, interpret=interpret) != 0
+    else:
+        match = probe_bank_xla(bank2d, row_idx, shift, K)
+    survives = jnp.all(match | ~and_mask[:, None], axis=0)  # bool[C]
+    C = survives.shape[0]
+    groups = survives.reshape(1, C // 32, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("K",))
 def probe_bank_xla(bank2d: jax.Array, row_idx: jax.Array, shift: jax.Array, K: int) -> jax.Array:
     """Pure-XLA probe on the same 2D layout -> bool[T, C].

@@ -99,6 +99,23 @@ def compile_bloom_terms(query: Optional[BloomQuery]) -> Optional[CompiledBloomTe
     return CompiledBloomTerms(conditions)
 
 
+def is_flat_and_expression(expression: Optional[BloomExpression]) -> bool:
+    """True when the expression is a single condition or a flat AND of
+    conditions — the dominant query shape (builder's implicit AND), which
+    the device backend can reduce on-chip (probe + AND fused, only a [C]
+    survivor bitmap transferred)."""
+    if expression is None:
+        return False
+    if expression.expression_type == BloomExprType.CONDITION:
+        return expression.condition is not None
+    if expression.expression_type == BloomExprType.AND:
+        return bool(expression.children) and all(
+            c.expression_type == BloomExprType.CONDITION and c.condition is not None
+            for c in expression.children
+        )
+    return False
+
+
 def probe_bank_host(
     bank: np.ndarray,
     terms: CompiledBloomTerms,

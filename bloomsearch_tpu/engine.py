@@ -1211,6 +1211,11 @@ class BloomSearchEngine:
 
         result: dict[tuple[bytes, int], np.ndarray] = {}
         if self._device_backend is not None:
+            from .bloom.probe import is_flat_and_expression
+
+            # Flat-AND queries (the dominant shape) fuse the expression into
+            # the device program: only a [B] survivor bitmap comes back.
+            flat_and = is_flat_and_expression(prune_query.expression)
             requests = [
                 (
                     pointer, gi,
@@ -1219,14 +1224,19 @@ class BloomSearchEngine:
                 )
                 for pointer, gi, group in needed
             ]
-            matches = self._device_backend.probe_groups(requests, terms)
+            matches = self._device_backend.probe_groups(
+                requests, terms, reduce_and=flat_and
+            )
             for pointer, gi, group in needed:
                 match = matches[(pointer, gi)]
-                result[(pointer, gi)] = np.asarray(
-                    evaluate_match_expression(
-                        prune_query.expression, terms, match, group.num_blocks
+                if flat_and:
+                    result[(pointer, gi)] = np.asarray(match[0])
+                else:
+                    result[(pointer, gi)] = np.asarray(
+                        evaluate_match_expression(
+                            prune_query.expression, terms, match, group.num_blocks
+                        )
                     )
-                )
         else:
             by_pointer: dict[bytes, list[tuple[int, Any]]] = {}
             for pointer, gi, group in needed:

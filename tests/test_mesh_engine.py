@@ -208,3 +208,53 @@ class TestShardMapPallasParity:
         match = unpack_bitmap(np.asarray(packed), num_blocks)
         expected = probe_bank_host(bank, terms, params.m_bits, params.k)
         np.testing.assert_array_equal(match, expected)
+
+
+class TestFusedFlatAnd:
+    def test_flat_and_reduces_on_device_and_stays_exact(self, tmp_path):
+        engine, _ = make_engine(tmp_path)
+        try:
+            backend = engine._device_backend
+            calls = []
+            orig = backend.probe_groups
+
+            def spy(requests, terms, reduce_and=False):
+                calls.append(reduce_and)
+                return orig(requests, terms, reduce_and=reduce_and)
+
+            backend.probe_groups = spy
+            files = dataset(n_files=2, rows_per_file=15)
+            for rows in files:
+                engine.ingest_rows(rows, timeout=TIMEOUT)
+                engine.flush(timeout=TIMEOUT)
+
+            # Implicit-AND builder query: fused on-device reduction.
+            q = bs.new_query().token("common").field_token("svc", "svc1").build()
+            got = sorted(
+                r["n"] for r in engine.query_sync(q, timeout=TIMEOUT)
+            )
+            assert got == [r["n"] for f in files for r in f if r["svc"] == "svc1"]
+            assert calls and calls[-1] is True
+
+            # OR tree: falls back to host expression evaluation.
+            q = bs.new_query().match(bs.or_(bs.token("w0_1"), bs.token("w1_2"))).build()
+            got = sorted(r["n"] for r in engine.query_sync(q, timeout=TIMEOUT))
+            expected = sorted(
+                r["n"] for f in files for r in f
+                if "w0_1" in r["msg"].split() or "w1_2" in r["msg"].split()
+            )
+            assert got == expected
+            assert calls[-1] is False
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_is_flat_and_detection(self):
+        from bloomsearch_tpu.bloom.probe import is_flat_and_expression
+
+        assert is_flat_and_expression(bs.token("x"))
+        assert is_flat_and_expression(bs.and_(bs.token("x"), bs.field("f")))
+        assert not is_flat_and_expression(bs.or_(bs.token("x"), bs.field("f")))
+        assert not is_flat_and_expression(
+            bs.and_(bs.token("x"), bs.or_(bs.field("f"), bs.token("y")))
+        )
+        assert not is_flat_and_expression(None)
