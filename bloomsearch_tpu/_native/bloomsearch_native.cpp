@@ -445,11 +445,31 @@ BS_EXPORT int64_t bs_snappy_decompress_block(const uint8_t* in, int64_t n,
 
   uint8_t* op = out;
   uint8_t* op_end = out + out_cap;
+  // Fast-path limits: whenever the cursor is at least 32/16 bytes from the
+  // end, short literals and copies move as FIXED-size 16/32-byte chunks
+  // (two/four 8-byte loads+stores, no variable-length memcpy dispatch) with
+  // the extra slop bytes overwritten by later ops. Tags within the tail
+  // margin take the exact, fully-checked slow path. JSON rows compress to
+  // short literals + short small-offset copies, so these paths dominate.
+  // Strict (<) comparisons: when the buffer is smaller than the slop the
+  // sentinel equals the base pointer and the fast paths are unreachable
+  // (op < out is always false) — a <= comparison would let the FIRST op
+  // write 32 slop bytes into a tiny output buffer (heap overflow; caught
+  // by the malformed-input fuzz).
+  const uint8_t* const in_fast = (n >= 33) ? in + n - 32 : in;
+  uint8_t* const out_fast = (out_cap >= 33) ? op_end - 32 : out;
   while (i < n) {
     const uint8_t tag = in[i++];
     const uint32_t kind = tag & 3;
     if (kind == 0) {  // literal
       int64_t len = (tag >> 2) + 1;
+      if (len <= 32 && in + i < in_fast && op < out_fast) {
+        std::memcpy(op, in + i, 16);
+        if (len > 16) std::memcpy(op + 16, in + i + 16, 16);
+        i += len;
+        op += len;
+        continue;
+      }
       if (len > 60) {
         const int extra = (int)(len - 60);
         if (i + extra > n) return -1;
@@ -480,8 +500,14 @@ BS_EXPORT int64_t bs_snappy_decompress_block(const uint8_t* in, int64_t n,
                  ((int64_t)in[i + 2] << 16) | ((int64_t)in[i + 3] << 24);
         i += 4;
       }
-      if (offset <= 0 || op - out < offset || op + len > op_end) return -1;
+      if (offset <= 0 || op - out < offset) return -1;
       const uint8_t* src = op - offset;
+      if (len <= 16 && offset >= 16 && op < out_fast) {
+        std::memcpy(op, src, 16);  // fixed-size, non-overlapping
+        op += len;
+        continue;
+      }
+      if (op + len > op_end) return -1;
       if (offset >= len) {
         // Non-overlapping: bulk copy (the common case for text).
         std::memcpy(op, src, (size_t)len);
