@@ -924,19 +924,27 @@ class BloomSearchEngine:
         error_queue: Optional[queue.Queue] = None,
         stats_queue: Optional[queue.Queue] = None,
         cancel_event: Optional[threading.Event] = None,
+        file_pointers: Optional[set] = None,
     ) -> None:
         """Execute asynchronously; rows stream to ``result_queue`` (unordered),
 
         then a ``None`` sentinel signals completion. Per-worker errors go to
         ``error_queue`` (that worker stops; others continue). Invalid regex
         raises here, synchronously (fail-fast, reference :944).
+
+        ``file_pointers`` restricts the scan to those files — the
+        shared-storage scatter/gather seam (a coordinator assigns each peer
+        a disjoint file subset; parallel/discovery.py).
         """
         if q is None:
             q = new_query().build()
         compiled_regex = compile_regex_query(q.regex)
         thread = threading.Thread(
             target=self._run_query,
-            args=(q, compiled_regex, result_queue, error_queue, stats_queue, cancel_event),
+            args=(
+                q, compiled_regex, result_queue, error_queue, stats_queue,
+                cancel_event, file_pointers,
+            ),
             name="bloomsearch-query",
             daemon=True,
         )
@@ -989,6 +997,7 @@ class BloomSearchEngine:
         error_queue: Optional[queue.Queue],
         stats_queue: Optional[queue.Queue],
         cancel_event: Optional[threading.Event],
+        file_pointers: Optional[set] = None,
     ) -> None:
         with self._query_track_lock:
             query_id = self._next_query_id
@@ -996,7 +1005,8 @@ class BloomSearchEngine:
             self._active_query_ids.add(query_id)
         try:
             self._run_query_inner(
-                q, compiled_regex, result_queue, error_queue, stats_queue, cancel_event
+                q, compiled_regex, result_queue, error_queue, stats_queue,
+                cancel_event, file_pointers,
             )
         finally:
             # Claim ripe tombstones FIRST, apply them, and only then mark
@@ -1056,11 +1066,12 @@ class BloomSearchEngine:
         error_queue: Optional[queue.Queue],
         stats_queue: Optional[queue.Queue],
         cancel_event: Optional[threading.Event],
+        file_pointers: Optional[set] = None,
     ) -> None:
         # Row bloom AND the regex field guard prune together (reference :949).
         prune_query = and_bloom_queries(q.bloom, regex_field_guard_bloom_query(q.regex))
         try:
-            jobs = self._plan_query_jobs(q, prune_query, stats_queue)
+            jobs = self._plan_query_jobs(q, prune_query, stats_queue, file_pointers)
         except Exception as exc:
             try_put(error_queue, exc)
             result_queue.put(None)
@@ -1093,7 +1104,11 @@ class BloomSearchEngine:
         result_queue.put(None)
 
     def _plan_query_jobs(
-        self, q: Query, prune_query: Optional[BloomQuery], stats_queue: Optional[queue.Queue]
+        self,
+        q: Query,
+        prune_query: Optional[BloomQuery],
+        stats_queue: Optional[queue.Queue],
+        file_pointers: Optional[set] = None,
     ) -> list[_DataBlockJob]:
         """Hierarchical prune: prefilter → file bloom → block bloom.
 
@@ -1103,6 +1118,8 @@ class BloomSearchEngine:
         terms = compile_bloom_terms(prune_query)
 
         maybe_files = self.meta_store.get_maybe_files_for_query(q.prefilter)
+        if file_pointers is not None:
+            maybe_files = [mf for mf in maybe_files if mf.pointer in file_pointers]
         if not maybe_files:
             return []
 

@@ -9,6 +9,13 @@ from .mesh import (
 )
 from .distributed import QueryPeer, ScatterGatherCoordinator
 from .remote import QueryServer, RemoteQueryPeer
+from .discovery import (
+    CapacityScatterCoordinator,
+    Heartbeat,
+    PeerInfo,
+    PeerRegistry,
+    assign_files_by_capacity,
+)
 
 __all__ = [
     "BLOCK_AXIS",
@@ -22,4 +29,9 @@ __all__ = [
     "ScatterGatherCoordinator",
     "QueryServer",
     "RemoteQueryPeer",
+    "CapacityScatterCoordinator",
+    "Heartbeat",
+    "PeerInfo",
+    "PeerRegistry",
+    "assign_files_by_capacity",
 ]

@@ -1,0 +1,260 @@
+"""Peer discovery + capacity-aware shared-storage scatter/gather.
+
+Completes the reference's distributed design sketch (README.md:397-418):
+"query coordinator gets and prefilters file metadata", "scatters row group
+processing among peers (with some intelligence about data size and load)",
+peers "discovered via gossip", results "streamed back". Implemented here
+the object-store way instead of gossip — peers heartbeat tiny records into
+the SAME storage the dataset lives in (any :class:`ObjectStoreClient`), so
+discovery needs no extra infrastructure and expired peers age out:
+
+- :class:`PeerRegistry`: announce/heartbeat ``peers/<id>`` records
+  ``{host, port, capacity, updated_at}``; ``live_peers()`` filters by TTL.
+- :class:`CapacityScatterCoordinator`: prefilters the file list via its own
+  MetaStore, assigns files to peers **proportionally to advertised
+  capacity** (largest files first onto the least-loaded peer — greedy LPT),
+  and fans each peer its disjoint subset over the
+  :class:`RemoteQueryPeer` protocol's ``file_pointers`` restriction. Every
+  file is scanned exactly once, so gathered rows are exact with no
+  cross-peer dedup.
+
+For data-partitioned deployments (each peer owns its own store) use the
+plain :class:`ScatterGatherCoordinator` (distributed.py) — no assignment
+needed.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from ..query import Query
+from .remote import RemoteQueryPeer
+
+logger = logging.getLogger("bloomsearch_tpu.discovery")
+
+
+@dataclass(frozen=True)
+class PeerInfo:
+    peer_id: str
+    host: str
+    port: int
+    capacity: float
+    updated_at: float
+
+    def remote(self, connect_timeout: float = 10.0) -> RemoteQueryPeer:
+        return RemoteQueryPeer(self.host, self.port, connect_timeout)
+
+
+class PeerRegistry:
+    """Peer records in object storage; liveness = heartbeat recency."""
+
+    def __init__(self, client, prefix: str = "peers/", ttl_seconds: float = 30.0):
+        self.client = client
+        self.prefix = prefix
+        self.ttl_seconds = ttl_seconds
+
+    def announce(
+        self, peer_id: str, host: str, port: int, capacity: float = 1.0
+    ) -> None:
+        record = {
+            "host": host,
+            "port": port,
+            "capacity": capacity,
+            "updated_at": time.time(),
+        }
+        self.client.put(
+            f"{self.prefix}{peer_id}", json.dumps(record).encode("utf-8")
+        )
+
+    def withdraw(self, peer_id: str) -> None:
+        self.client.delete(f"{self.prefix}{peer_id}")
+
+    def live_peers(self) -> list[PeerInfo]:
+        cutoff = time.time() - self.ttl_seconds
+        peers: list[PeerInfo] = []
+        for key in self.client.list(self.prefix):
+            try:
+                data, _ = self.client.get(key)
+                record = json.loads(data)
+                if float(record["updated_at"]) < cutoff:
+                    continue
+                peers.append(
+                    PeerInfo(
+                        peer_id=key[len(self.prefix):],
+                        host=record["host"],
+                        port=int(record["port"]),
+                        capacity=float(record.get("capacity", 1.0)),
+                        updated_at=float(record["updated_at"]),
+                    )
+                )
+            except (KeyError, ValueError, TypeError) as exc:
+                logger.warning("skipping malformed peer record %s: %s", key, exc)
+        return peers
+
+    def heartbeat(
+        self, peer_id: str, host: str, port: int, capacity: float = 1.0,
+        interval: Optional[float] = None,
+    ) -> "Heartbeat":
+        """Announce now and keep re-announcing on a background thread."""
+        hb = Heartbeat(
+            self, peer_id, host, port, capacity,
+            interval if interval is not None else self.ttl_seconds / 3,
+        )
+        hb.start()
+        return hb
+
+
+class Heartbeat:
+    def __init__(self, registry: PeerRegistry, peer_id, host, port, capacity, interval):
+        self.registry = registry
+        self.peer_id = peer_id
+        self.host, self.port, self.capacity = host, port, capacity
+        self.interval = interval
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> None:
+        self.registry.announce(self.peer_id, self.host, self.port, self.capacity)
+        self._thread = threading.Thread(
+            target=self._loop, name=f"bloomsearch-heartbeat-{self.peer_id}", daemon=True
+        )
+        self._thread.start()
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.interval):
+            try:
+                self.registry.announce(self.peer_id, self.host, self.port, self.capacity)
+            except Exception:
+                logger.exception("peer heartbeat failed")
+
+    def stop(self, withdraw: bool = True) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        if withdraw:
+            try:
+                self.registry.withdraw(self.peer_id)
+            except Exception:
+                logger.exception("peer withdraw failed")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+def assign_files_by_capacity(maybe_files, peers: Sequence[PeerInfo]):
+    """Greedy LPT: largest file onto the relatively least-loaded peer.
+
+    Returns {peer_index: set[file_pointer]}. Load is accumulated bytes
+    normalized by capacity, so a capacity-2 peer receives ~2x the bytes.
+    """
+    if not peers:
+        raise ValueError("no live peers to assign to")
+    loads = [0.0] * len(peers)
+    assignment: dict[int, set[bytes]] = {i: set() for i in range(len(peers))}
+    for mf in sorted(maybe_files, key=lambda m: m.size, reverse=True):
+        best = min(
+            range(len(peers)),
+            key=lambda i: (loads[i] + max(mf.size, 1)) / max(peers[i].capacity, 1e-9),
+        )
+        assignment[best].add(mf.pointer)
+        loads[best] += max(mf.size, 1)
+    return assignment
+
+
+class CapacityScatterCoordinator:
+    """Shared-storage scatter/gather: one dataset, many compute peers.
+
+    The coordinator prefilters the file list through its own MetaStore
+    (the reference sketch's step 1-2), splits candidate files across live
+    peers by capacity, and gathers the disjoint streams. Semantics match
+    the single-engine contract: unordered rows, one ``None`` sentinel,
+    per-peer errors forwarded while others continue.
+    """
+
+    def __init__(self, meta_store, registry: PeerRegistry):
+        self.meta_store = meta_store
+        self.registry = registry
+
+    def query(
+        self,
+        q: Optional[Query],
+        result_queue: queue.Queue,
+        error_queue: Optional[queue.Queue] = None,
+        stats_queue: Optional[queue.Queue] = None,
+    ) -> None:
+        prefilter = q.prefilter if q is not None else None
+        maybe_files = self.meta_store.get_maybe_files_for_query(prefilter)
+        peers = self.registry.live_peers()
+        if not maybe_files or not peers:
+            if maybe_files and not peers and error_queue is not None:
+                try:
+                    error_queue.put_nowait(RuntimeError("no live peers"))
+                except queue.Full:
+                    pass
+            result_queue.put(None)
+            return
+        assignment = assign_files_by_capacity(maybe_files, peers)
+
+        active = [i for i, pointers in assignment.items() if pointers]
+        done_counter = {"remaining": len(active)}
+        lock = threading.Lock()
+
+        def finish() -> None:
+            with lock:
+                done_counter["remaining"] -= 1
+                if done_counter["remaining"] == 0:
+                    result_queue.put(None)
+
+        def funnel(peer: PeerInfo, pointers: set) -> None:
+            peer_results: queue.Queue = queue.Queue()
+            try:
+                peer.remote().query(
+                    q, peer_results, error_queue, stats_queue,
+                    file_pointers=pointers,
+                )
+            except Exception as exc:
+                if error_queue is not None:
+                    try:
+                        error_queue.put_nowait(exc)
+                    except queue.Full:
+                        pass
+                finish()
+                return
+            while True:
+                item = peer_results.get()
+                if item is None:
+                    break
+                result_queue.put(item)
+            finish()
+
+        for i in active:
+            threading.Thread(
+                target=funnel, args=(peers[i], assignment[i]), daemon=True
+            ).start()
+
+    def query_sync(self, q: Optional[Query], timeout: Optional[float] = None) -> list[dict]:
+        result_queue: queue.Queue = queue.Queue()
+        error_queue: queue.Queue = queue.Queue()
+        self.query(q, result_queue, error_queue)
+        rows = []
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            remaining = None if deadline is None else max(0.0, deadline - time.monotonic())
+            item = result_queue.get(timeout=remaining)
+            if item is None:
+                break
+            rows.append(item)
+        try:
+            raise error_queue.get_nowait()
+        except queue.Empty:
+            pass
+        return rows

@@ -168,10 +168,17 @@ class QueryServer:
             if request is None:
                 return
             q = query_from_json(request.get("query"))
+            fps = request.get("file_pointers")
+            file_pointers = (
+                {bytes.fromhex(p) for p in fps} if fps is not None else None
+            )
             result_q: queue.Queue = queue.Queue()
             error_q: queue.Queue = queue.Queue()
             stats_q: queue.Queue = queue.Queue(maxsize=100_000)
-            self.engine.query(q, result_q, error_q, stats_q, cancel_event=cancel)
+            self.engine.query(
+                q, result_q, error_q, stats_q, cancel_event=cancel,
+                file_pointers=file_pointers,
+            )
             while True:
                 item = result_q.get()
                 if item is None:
@@ -239,13 +246,17 @@ class RemoteQueryPeer:
         error_queue: Optional[queue.Queue] = None,
         stats_queue: Optional[queue.Queue] = None,
         cancel_event: Optional[threading.Event] = None,
+        file_pointers: Optional[set] = None,
     ) -> None:
         try:
             sock = socket.create_connection(
                 (self.host, self.port), timeout=self.connect_timeout
             )
             sock.settimeout(None)
-            send_frame(sock, {"query": query_to_json(q)})
+            request: dict = {"query": query_to_json(q)}
+            if file_pointers is not None:
+                request["file_pointers"] = sorted(p.hex() for p in file_pointers)
+            send_frame(sock, request)
         except OSError as exc:
             try_put(error_queue, ConnectionError(f"peer {self.host}:{self.port}: {exc}"))
             result_queue.put(None)

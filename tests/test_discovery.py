@@ -1,0 +1,181 @@
+"""Peer registry + capacity-aware shared-storage scatter/gather."""
+
+import queue
+import time
+
+import pytest
+
+import bloomsearch_tpu as bs
+from bloomsearch_tpu.objectstore import (
+    InMemoryObjectStore,
+    ObjectStoreDataStore,
+    ObjectStoreMetaStore,
+)
+from bloomsearch_tpu.parallel import (
+    CapacityScatterCoordinator,
+    PeerInfo,
+    PeerRegistry,
+    QueryServer,
+    RemoteQueryPeer,
+    assign_files_by_capacity,
+)
+
+TIMEOUT = 15.0
+
+
+class TestPeerRegistry:
+    def test_announce_live_withdraw(self):
+        client = InMemoryObjectStore()
+        reg = PeerRegistry(client, ttl_seconds=30)
+        reg.announce("p1", "127.0.0.1", 1234, capacity=2.0)
+        reg.announce("p2", "127.0.0.1", 1235)
+        peers = {p.peer_id: p for p in reg.live_peers()}
+        assert set(peers) == {"p1", "p2"}
+        assert peers["p1"].capacity == 2.0 and peers["p1"].port == 1234
+        reg.withdraw("p1")
+        assert {p.peer_id for p in reg.live_peers()} == {"p2"}
+
+    def test_stale_peers_age_out(self):
+        client = InMemoryObjectStore()
+        reg = PeerRegistry(client, ttl_seconds=0.05)
+        reg.announce("p1", "h", 1)
+        time.sleep(0.1)
+        assert reg.live_peers() == []
+
+    def test_heartbeat_keeps_peer_alive_and_withdraws_on_stop(self):
+        client = InMemoryObjectStore()
+        reg = PeerRegistry(client, ttl_seconds=0.3)
+        hb = reg.heartbeat("p1", "h", 1, interval=0.05)
+        try:
+            time.sleep(0.5)  # > ttl: only heartbeats keep it live
+            assert {p.peer_id for p in reg.live_peers()} == {"p1"}
+        finally:
+            hb.stop()
+        assert reg.live_peers() == []
+
+    def test_malformed_record_skipped(self):
+        client = InMemoryObjectStore()
+        client.put("peers/bad", b"not json {")
+        reg = PeerRegistry(client)
+        reg.announce("good", "h", 2)
+        assert {p.peer_id for p in reg.live_peers()} == {"good"}
+
+
+class TestCapacityAssignment:
+    class _MF:
+        def __init__(self, pointer, size):
+            self.pointer = pointer
+            self.size = size
+
+    def _peers(self, *capacities):
+        return [
+            PeerInfo(f"p{i}", "h", i, c, time.time()) for i, c in enumerate(capacities)
+        ]
+
+    def test_every_file_assigned_exactly_once(self):
+        files = [self._MF(f"f{i}".encode(), 100 + i) for i in range(20)]
+        assignment = assign_files_by_capacity(files, self._peers(1, 1, 1))
+        all_assigned = [p for s in assignment.values() for p in s]
+        assert sorted(all_assigned) == sorted(mf.pointer for mf in files)
+        assert len(all_assigned) == len(set(all_assigned))
+
+    def test_capacity_proportional_bytes(self):
+        files = [self._MF(f"f{i}".encode(), 1000) for i in range(30)]
+        assignment = assign_files_by_capacity(files, self._peers(2, 1))
+        n0, n1 = len(assignment[0]), len(assignment[1])
+        assert n0 + n1 == 30
+        assert n0 == 20 and n1 == 10  # 2:1 capacity -> 2:1 bytes
+
+    def test_no_peers_raises(self):
+        with pytest.raises(ValueError):
+            assign_files_by_capacity([self._MF(b"f", 1)], [])
+
+
+class TestFilePointerRestriction:
+    def test_engine_query_restricted_to_subset(self, tmp_path):
+        store = bs.FileSystemDataStore(str(tmp_path / "data"))
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"), store, store
+        )
+        engine.start()
+        try:
+            for i in range(3):
+                engine.ingest_rows([{"n": i, "tag": "common"}], timeout=TIMEOUT)
+                engine.flush(timeout=TIMEOUT)
+            files = store.get_maybe_files_for_query(None)
+            subset = {files[0].pointer, files[2].pointer}
+            result_q: queue.Queue = queue.Queue()
+            engine.query(
+                bs.new_query().token("common").build(), result_q,
+                file_pointers=subset,
+            )
+            rows = []
+            while True:
+                item = result_q.get(timeout=TIMEOUT)
+                if item is None:
+                    break
+                rows.append(item)
+            assert len(rows) == 2
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+
+class TestSharedStorageScatterGather:
+    def test_two_compute_peers_one_dataset(self):
+        """One object-store dataset; two engine peers discovered via the
+        registry; the coordinator splits files between them — exact results,
+        no duplicates (each file scanned exactly once)."""
+        client = InMemoryObjectStore()
+        data = ObjectStoreDataStore(client)
+        meta = ObjectStoreMetaStore(client)
+
+        writer = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"), meta, data
+        )
+        writer.start()
+        for i in range(6):
+            writer.ingest_rows([{"n": i, "tag": "common"}], timeout=TIMEOUT)
+            writer.flush(timeout=TIMEOUT)
+        writer.stop(timeout=TIMEOUT)
+
+        reg = PeerRegistry(client, ttl_seconds=60)
+        peers = []
+        try:
+            for pid, capacity in (("a", 1.0), ("b", 1.0)):
+                e = bs.BloomSearchEngine(
+                    bs.BloomSearchEngineConfig(row_data_compression="none"),
+                    ObjectStoreMetaStore(client),
+                    ObjectStoreDataStore(client),
+                )
+                e.start()
+                server = QueryServer(e)
+                server.start()
+                reg.announce(pid, *server.address, capacity=capacity)
+                peers.append((e, server))
+
+            coord = CapacityScatterCoordinator(meta, reg)
+            rows = coord.query_sync(bs.new_query().token("common").build(), timeout=TIMEOUT)
+            assert sorted(r["n"] for r in rows) == list(range(6))  # exact, no dups
+
+            # Needle query across the split.
+            rows = coord.query_sync(bs.new_query().token("common").field_token("n", "3").build(), timeout=TIMEOUT)
+            assert [r["n"] for r in rows] == [3]
+        finally:
+            for e, server in peers:
+                server.stop()
+                e.stop(timeout=TIMEOUT)
+
+    def test_no_live_peers_reports_error(self):
+        client = InMemoryObjectStore()
+        data = ObjectStoreDataStore(client)
+        meta = ObjectStoreMetaStore(client)
+        writer = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"), meta, data
+        )
+        writer.start()
+        writer.ingest_rows([{"x": 1}], timeout=TIMEOUT)
+        writer.stop(timeout=TIMEOUT)
+
+        coord = CapacityScatterCoordinator(meta, PeerRegistry(client))
+        with pytest.raises(RuntimeError):
+            coord.query_sync(None, timeout=TIMEOUT)

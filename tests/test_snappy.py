@@ -97,3 +97,41 @@ class TestEngineWithSnappy:
             assert len(engine.query_sync(bs.new_query().token("all").build(), timeout=10)) == 200
         finally:
             engine.stop(timeout=10)
+
+
+class TestMalformedInputSafety:
+    def test_random_garbage_never_corrupts_memory(self):
+        """Regression: the fixed-size fast-path slop once allowed a 32-byte
+        heap overflow into tiny output buffers on malformed input. Malformed
+        data must only ever raise ValueError (or decode to garbage within
+        bounds) — glibc heap checks catch overflows at process exit."""
+        import random
+
+        rng = random.Random(1)
+        for _ in range(4000):
+            blob = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200)))
+            try:
+                native.snappy_decompress_block(blob)
+            except ValueError:
+                pass
+        # Valid small uvarint headers + garbage bodies (tiny output buffers).
+        for _ in range(4000):
+            body = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 300)))
+            blob = bytes([rng.randrange(1, 128)]) + body
+            try:
+                native.snappy_decompress_block(blob)
+            except ValueError:
+                pass
+
+    def test_truncation_fuzz_round_trip_prefixes(self):
+        import random
+
+        rng = random.Random(2)
+        data = bytes(rng.randrange(32, 127) for _ in range(5000)) * 3
+        comp = native.snappy_compress_block(data[:65536])
+        assert native.snappy_decompress_block(comp) == data[:65536]
+        for cut in range(1, len(comp), 97):
+            try:
+                native.snappy_decompress_block(comp[:cut])
+            except ValueError:
+                pass
