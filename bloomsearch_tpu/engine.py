@@ -1850,15 +1850,9 @@ class _IngestState:
                 )
                 self.partition_buffers[partition_id] = buf
 
-            # Serialize rows, update minmax, feed the compressor (:567-613).
-            # Length prefixes + payloads batch into ONE compressor write per
-            # request (per-row compressor calls dominated ingest profiles).
-            serialized: list[bytes] = []
-            stream_parts: list[bytes] = []
-            batch_bytes = 0
-            dumps = json.dumps
-            for row in partition_rows:
-                for index_field in config.min_max_indexes:
+            # Minmax updates need the parsed dicts (:567-584).
+            for index_field in config.min_max_indexes:
+                for row in partition_rows:
                     if index_field in row:
                         bounds = convert_to_min_max_int64(row[index_field])
                         if bounds is None:
@@ -1870,19 +1864,38 @@ class _IngestState:
                             buf.min_max_indexes[index_field] = update_min_max_index(
                                 existing, *bounds
                             )
-                row_bytes = dumps(row, separators=(",", ":")).encode("utf-8")
-                if len(row_bytes) > MAX_ROW_BYTES:
-                    raise ValueError(
-                        f"row too large: {len(row_bytes)} bytes exceeds maximum"
-                    )
-                serialized.append(row_bytes)
-                stream_parts.append(_LENGTH_PREFIX.pack(len(row_bytes)))
-                stream_parts.append(row_bytes)
-                batch_bytes += len(row_bytes) + 4
-            buf.encoder.write(b"".join(stream_parts))
+
+            # Serialize rows and feed the compressor (:567-613) — the whole
+            # batch lands in ONE native call and ONE compressor write when
+            # the C++ serializer is available (bloomsearch_pyser.cpp; it
+            # falls back to None on any content it can't render exactly).
+            stream: Optional[bytes] = None
+            offsets = lengths = None
+            serialized: Optional[list[bytes]] = None
+            if _native_ingest_available():
+                from . import native as _native_mod
+
+                native_ser = _native_mod.serialize_rows(partition_rows)
+                if native_ser is not None:
+                    stream, offsets, lengths = native_ser
+            if stream is None:
+                serialized = []
+                stream_parts: list[bytes] = []
+                dumps = json.dumps
+                for row in partition_rows:
+                    row_bytes = dumps(row, separators=(",", ":")).encode("utf-8")
+                    if len(row_bytes) > MAX_ROW_BYTES:
+                        raise ValueError(
+                            f"row too large: {len(row_bytes)} bytes exceeds maximum"
+                        )
+                    serialized.append(row_bytes)
+                    stream_parts.append(_LENGTH_PREFIX.pack(len(row_bytes)))
+                    stream_parts.append(row_bytes)
+                stream = b"".join(stream_parts)
+            buf.encoder.write(stream)
             buf.row_count += len(partition_rows)
             self.buffered_row_count += len(partition_rows)
-            self.buffered_bytes += batch_bytes
+            self.buffered_bytes += len(stream)
 
             # Expand the three keyspaces and feed both block + file filters.
             # Hot path: the native tokenizer parses the serialized batch,
@@ -1890,8 +1903,15 @@ class _IngestState:
             # reference's per-key AddString loop :547-565); rows it flags
             # (unicode content) fall back to the Python semantic spec.
             fallback_rows = partition_rows
-            if use_native_tokenizer and serialized:
-                native_result = _native_tokenize(serialized, config.delimiter)
+            if use_native_tokenizer and partition_rows:
+                from . import native as _native_mod
+
+                if offsets is not None:
+                    native_result = _native_mod.ingest_tokenize(
+                        stream, offsets, lengths, config.delimiter
+                    )
+                else:
+                    native_result = _native_tokenize(serialized, config.delimiter)
                 if native_result is not None:
                     field_h, token_h, ft_h, fallback_mask = native_result
                     for hashes, selector in (

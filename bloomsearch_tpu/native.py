@@ -136,6 +136,91 @@ def available() -> bool:
     return _load() is not None
 
 
+# --- CPython-API row serializer (separate .so; needs Python headers and a
+# resolvable libpython at load, so it degrades independently of the compute
+# library) -------------------------------------------------------------------
+
+_PYSER_SRC = os.path.join(_NATIVE_DIR, "bloomsearch_pyser.cpp")
+_PYSER_SO = os.path.join(_NATIVE_DIR, "libbloomsearch_pyser.so")
+_pyser_lock = threading.Lock()
+_pyser_fn = None
+_pyser_failed = False
+
+
+def _load_pyser():
+    global _pyser_fn, _pyser_failed
+    if _pyser_fn is not None or _pyser_failed:
+        return _pyser_fn
+    with _pyser_lock:
+        if _pyser_fn is not None or _pyser_failed:
+            return _pyser_fn
+        if os.environ.get("BLOOMSEARCH_TPU_NO_NATIVE"):
+            _pyser_failed = True
+            return None
+        import sysconfig
+
+        include = sysconfig.get_paths().get("include")
+        if not include or not os.path.exists(os.path.join(include, "Python.h")):
+            _pyser_failed = True
+            return None
+        if not os.path.exists(_PYSER_SO) or (
+            os.path.exists(_PYSER_SRC)
+            and os.path.getmtime(_PYSER_SRC) > os.path.getmtime(_PYSER_SO)
+        ):
+            cmd = [
+                "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                "-fvisibility=hidden", f"-I{include}", "-o", _PYSER_SO, _PYSER_SRC,
+            ]
+            try:
+                result = subprocess.run(cmd, capture_output=True, timeout=120)
+            except (OSError, subprocess.TimeoutExpired):
+                _pyser_failed = True
+                return None
+            if result.returncode != 0:
+                _pyser_failed = True
+                return None
+        try:
+            # PyDLL: calls hold the GIL (required for CPython API).
+            lib = ctypes.PyDLL(_PYSER_SO)
+            fn = lib.bs_serialize_rows
+            fn.argtypes = [ctypes.py_object]
+            fn.restype = ctypes.py_object
+            # Smoke-test so unresolved libpython symbols fail HERE, not on
+            # the ingest path.
+            out = fn([{"a": 1}])
+            if out is None or out[0] != b'\x07\x00\x00\x00{"a":1}':
+                _pyser_failed = True
+                return None
+        except Exception:
+            _pyser_failed = True
+            return None
+        _pyser_fn = fn
+        return _pyser_fn
+
+
+def serialize_rows(rows: list) -> Optional[tuple[bytes, np.ndarray, np.ndarray]]:
+    """Batch-serialize dict rows into the length-prefixed stream format.
+
+    Returns (stream bytes, row offsets int64, row lengths int64) with
+    offsets pointing past each 4-byte prefix, or None when the serializer is
+    unavailable or the batch contains content it does not support (caller
+    falls back to json.dumps; see bloomsearch_pyser.cpp for the exactness
+    contract).
+    """
+    fn = _load_pyser()
+    if fn is None:
+        return None
+    out = fn(rows)
+    if out is None:
+        return None
+    stream, offs, lens = out
+    return (
+        stream,
+        np.frombuffer(offs, dtype=np.int64),
+        np.frombuffer(lens, dtype=np.int64),
+    )
+
+
 def _ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.c_void_p)
 

@@ -233,3 +233,69 @@ class TestNativeIngestParity:
 
             bank2 = read_bank_group(fh, f2.bank_groups[0])
         np.testing.assert_array_equal(bank1, bank2)
+
+
+class TestNativeRowSerializer:
+    """bloomsearch_pyser.cpp: byte-exact json.dumps parity + fallbacks."""
+
+    def setup_method(self):
+        if native.serialize_rows([{"a": 1}]) is None:
+            pytest.skip("native row serializer unavailable")
+
+    def test_byte_exact_parity_fuzz(self):
+        import json
+        import random
+
+        rng = random.Random(7)
+
+        def rand_val(depth=0):
+            r = rng.random()
+            if depth > 2 or r < 0.3:
+                return rng.choice([
+                    "hello", "wörld", 'quo"te', "back\\slash", "tab\tnl\n", "",
+                    "emoji 🎉 and K kelvin", "\x00\x1f\x7f", -5, 0, 2**70,
+                    3.14, 42.5, 1e16, -0.0, 5.0, 1e-310, True, False, None,
+                    float("inf"), float("-inf"),
+                ])
+            if r < 0.5:
+                return [rand_val(depth + 1) for _ in range(rng.randrange(3))]
+            if r < 0.6:
+                return tuple(rand_val(depth + 1) for _ in range(2))
+            return {f"k{i}ü": rand_val(depth + 1) for i in range(rng.randrange(3))}
+
+        rows = [
+            {f"f{j}": rand_val() for j in range(rng.randrange(1, 5))}
+            for _ in range(1500)
+        ]
+        stream, offs, lens = native.serialize_rows(rows)
+        for i, row in enumerate(rows):
+            got = bytes(stream[offs[i] : offs[i] + lens[i]])
+            expect = json.dumps(row, separators=(",", ":")).encode()
+            assert got == expect
+
+    def test_nan_spelling_matches_allow_nan(self):
+        import json
+
+        stream, offs, lens = native.serialize_rows([{"x": float("nan")}])
+        got = bytes(stream[offs[0] : offs[0] + lens[0]])
+        assert got == json.dumps({"x": float("nan")}, separators=(",", ":")).encode()
+
+    def test_unsupported_content_falls_back(self):
+        assert native.serialize_rows([{"x": object()}]) is None
+        assert native.serialize_rows([{1: "non-str key"}]) is None
+        assert native.serialize_rows([["not a dict"]]) is None
+        cyclic: dict = {}
+        cyclic["self"] = cyclic
+        assert native.serialize_rows([cyclic]) is None
+
+    def test_prefix_stream_integrity(self):
+        import struct
+
+        rows = [{"a": i, "b": "x" * i} for i in range(50)]
+        stream, offs, lens = native.serialize_rows(rows)
+        pos = 0
+        for i in range(len(rows)):
+            (length,) = struct.unpack_from("<I", stream, pos)
+            assert length == lens[i] and pos + 4 == offs[i]
+            pos += 4 + length
+        assert pos == len(stream)
