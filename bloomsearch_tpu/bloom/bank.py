@@ -23,7 +23,7 @@ from __future__ import annotations
 import hashlib
 import logging
 import threading
-from typing import Callable
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -199,6 +199,11 @@ class DeviceProbeBackend:
             self.mesh = None
         self._lock = threading.RLock()
         self._superbanks: dict[tuple, Superbank] = {}
+        # Cross-query launch batching (see _probe_superbank_batched).
+        self._batch_lock = threading.Lock()
+        self._batch_pending: dict[int, _BankBatchEntry] = {}
+        self.launches = 0  # observability: actual device launches
+        self.batched_requests = 0  # total probe requests served
         # LRU order of inserted (superbank key, segment key) for eviction.
         self._lru: dict[tuple, None] = {}
         # file pointer -> [(superbank key, segment key)] for invalidation.
@@ -325,69 +330,178 @@ class DeviceProbeBackend:
 
             matches: dict[tuple, np.ndarray] = {}
             for mk, (bank2d, num_words, capacity, k, layout, m_bits) in snapshots.items():
-                jnp = self._jnp
-                T = len(terms)
                 word_idx, bit_idx = terms.positions_for(m_bits, k, layout)
-                Tp = _pad_terms(T)
-                if Tp != T:
-                    word_idx = np.pad(word_idx, ((0, Tp - T), (0, 0)))
-                    bit_idx = np.pad(bit_idx, ((0, Tp - T), (0, 0)))
-                    ks_idx = np.pad(terms.ks_idx, (0, Tp - T))
-                else:
-                    ks_idx = terms.ks_idx
-
-                from .pallas_kernels import MAX_UNROLLED_PROBES, probe_and_pack
-
                 flat_rows = (
-                    ks_idx[:, None].astype(np.int32) * num_words + word_idx
+                    terms.ks_idx[:, None].astype(np.int32) * num_words + word_idx
                 ).reshape(-1)
-                use_pallas = (
-                    self.use_pallas or self.pallas_interpret
-                ) and Tp * k <= MAX_UNROLLED_PROBES
-                rows_dev = jnp.asarray(flat_rows)
-                shifts_dev = jnp.asarray(bit_idx.reshape(-1))
-                if reduce_and:
-                    and_mask = jnp.asarray(
-                        np.arange(Tp) < T
-                    )  # padding terms contribute True
-                if self.mesh is not None:
-                    if reduce_and:
-                        from ..parallel.mesh import sharded_query_step
-
-                        packed, _total = sharded_query_step(
-                            self.mesh, bank2d, rows_dev, shifts_dev, and_mask,
-                            Tp, k,
-                            use_pallas=use_pallas, interpret=self.pallas_interpret,
-                        )
-                        packed = packed[None, :]
-                    else:
-                        from ..parallel.mesh import sharded_probe_packed
-
-                        packed = sharded_probe_packed(
-                            self.mesh, bank2d, rows_dev, shifts_dev, Tp, k,
-                            use_pallas=use_pallas, interpret=self.pallas_interpret,
-                        )
-                else:
-                    if reduce_and:
-                        from .pallas_kernels import probe_reduce_and_pack
-
-                        packed = probe_reduce_and_pack(
-                            bank2d, rows_dev, shifts_dev, Tp, k, and_mask,
-                            use_pallas=use_pallas, interpret=self.pallas_interpret,
-                        )
-                    else:
-                        packed = probe_and_pack(
-                            bank2d, rows_dev, shifts_dev, Tp, k,
-                            use_pallas=use_pallas, interpret=self.pallas_interpret,
-                        )
-                packed_host = np.asarray(packed)
-                if not reduce_and:
-                    packed_host = packed_host[:T]
-                bits = np.unpackbits(packed_host.view(np.uint8), axis=1, bitorder="little")
-                matches[mk] = bits[:, :capacity].astype(bool)
+                matches[mk] = self._probe_superbank_batched(
+                    bank2d,
+                    capacity,
+                    k,
+                    flat_rows,
+                    bit_idx.reshape(-1).astype(np.int32),
+                    len(terms),
+                    reduce_and,
+                )
 
             return {
                 key: matches[mk][:, start : start + n]
                 for key, (mk, start, n) in placements.items()
             }
         raise RuntimeError("bank segments kept churning during probe; cache too small?")
+
+    # -- cross-query launch batching -------------------------------------
+
+    def _probe_superbank_batched(
+        self,
+        bank2d,
+        capacity: int,
+        k: int,
+        flat_rows: np.ndarray,
+        shifts: np.ndarray,
+        T: int,
+        reduce_and: bool,
+    ) -> np.ndarray:
+        """Probe one superbank snapshot, coalescing concurrent queries.
+
+        Windowless batching: while one launch is in flight (its leader holds
+        the per-bank launch lock), probes from other queries queue; whoever
+        acquires the lock next launches EVERYTHING queued as one combined
+        term batch and distributes the slices. Single queries see zero added
+        latency; concurrent queries share launches — the per-launch cost
+        (dominant through remote-TPU tunnels, still ~10s of µs locally)
+        amortizes across queries.
+        """
+        req = _PendingProbe(flat_rows, shifts, T, reduce_and)
+        key = id(bank2d)
+        with self._batch_lock:
+            entry = self._batch_pending.get(key)
+            # id() keys can recycle after GC: holding the bank ref in the
+            # entry pins it, so an identity mismatch means a genuinely new
+            # array took the address after the old entry drained.
+            if entry is None or entry.bank is not bank2d:
+                entry = _BankBatchEntry(bank2d)
+                self._batch_pending[key] = entry
+            entry.requests.append(req)
+        with entry.launch_lock:
+            if not req.done.is_set():
+                # The entry stays in the map while this launch runs so new
+                # arrivals queue behind THIS lock (deleting it here would
+                # hand them a fresh, uncontended entry — no batching).
+                with self._batch_lock:
+                    batch = entry.requests
+                    entry.requests = []
+                try:
+                    self._launch_combined(bank2d, capacity, k, batch)
+                except BaseException as exc:
+                    for r in batch:
+                        r.error = exc
+                        r.done.set()
+                    raise
+        # Drop the entry (and its bank ref) once nothing is pending; a
+        # request appended concurrently keeps it alive and its own thread
+        # will lead the next launch.
+        with self._batch_lock:
+            if self._batch_pending.get(key) is entry and not entry.requests:
+                del self._batch_pending[key]
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _launch_combined(
+        self, bank2d, capacity: int, k: int, batch: list["_PendingProbe"]
+    ) -> None:
+        from .pallas_kernels import (
+            MAX_UNROLLED_PROBES,
+            probe_and_pack,
+            probe_reduce_and_pack,
+        )
+
+        jnp = self._jnp
+        self.launches += 1
+        self.batched_requests += len(batch)
+        total_t = sum(r.T for r in batch)
+        Tp = _pad_terms(total_t)
+        flat_rows = np.concatenate([r.flat_rows for r in batch])
+        shifts = np.concatenate([r.shifts for r in batch])
+        if Tp != total_t:
+            pad = (Tp - total_t) * k
+            flat_rows = np.pad(flat_rows, (0, pad))
+            shifts = np.pad(shifts, (0, pad))
+        use_pallas = (
+            self.use_pallas or self.pallas_interpret
+        ) and Tp * k <= MAX_UNROLLED_PROBES
+        rows_dev = jnp.asarray(flat_rows)
+        shifts_dev = jnp.asarray(shifts)
+
+        # Solo flat-AND keeps the fully fused on-device reduction (T× less
+        # transfer); combined batches return the full bitmap and flat-AND
+        # members reduce host-side over their own term slice.
+        solo_fused = len(batch) == 1 and batch[0].reduce_and
+        if self.mesh is not None:
+            if solo_fused:
+                from ..parallel.mesh import sharded_query_step
+
+                packed, _total = sharded_query_step(
+                    self.mesh, bank2d, rows_dev, shifts_dev,
+                    jnp.asarray(np.arange(Tp) < total_t), Tp, k,
+                    use_pallas=use_pallas, interpret=self.pallas_interpret,
+                )
+                packed = packed[None, :]
+            else:
+                from ..parallel.mesh import sharded_probe_packed
+
+                packed = sharded_probe_packed(
+                    self.mesh, bank2d, rows_dev, shifts_dev, Tp, k,
+                    use_pallas=use_pallas, interpret=self.pallas_interpret,
+                )
+        else:
+            if solo_fused:
+                packed = probe_reduce_and_pack(
+                    bank2d, rows_dev, shifts_dev, Tp, k,
+                    jnp.asarray(np.arange(Tp) < total_t),
+                    use_pallas=use_pallas, interpret=self.pallas_interpret,
+                )
+            else:
+                packed = probe_and_pack(
+                    bank2d, rows_dev, shifts_dev, Tp, k,
+                    use_pallas=use_pallas, interpret=self.pallas_interpret,
+                )
+        packed_host = np.asarray(packed)
+        bits = np.unpackbits(packed_host.view(np.uint8), axis=1, bitorder="little")
+        bits = bits[:, :capacity].astype(bool)
+
+        if solo_fused:
+            batch[0].result = bits[:1]
+            batch[0].done.set()
+            return
+        cursor = 0
+        for r in batch:
+            sub = bits[cursor : cursor + r.T]
+            cursor += r.T
+            if r.reduce_and:
+                sub = sub.all(axis=0, keepdims=True)
+            r.result = sub
+            r.done.set()
+
+
+class _PendingProbe:
+    __slots__ = ("flat_rows", "shifts", "T", "reduce_and", "done", "result", "error")
+
+    def __init__(self, flat_rows, shifts, T, reduce_and):
+        self.flat_rows = flat_rows
+        self.shifts = shifts
+        self.T = T
+        self.reduce_and = reduce_and
+        self.done = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+
+
+class _BankBatchEntry:
+    __slots__ = ("bank", "requests", "launch_lock")
+
+    def __init__(self, bank):
+        self.bank = bank  # strong ref pins the id() while pending
+        self.requests: list[_PendingProbe] = []
+        self.launch_lock = threading.Lock()

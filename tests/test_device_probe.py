@@ -261,3 +261,104 @@ class TestEngineWithDeviceBackend:
             assert len(rows) == 1
         finally:
             engine.stop(timeout=10)
+
+
+class TestCrossQueryBatching:
+    def test_concurrent_probes_coalesce_into_fewer_launches(self):
+        """N threads probing the same superbank must share launches (the
+        windowless leader-drains-queue combiner) with exact per-query
+        results."""
+        import threading
+
+        backend = DeviceProbeBackend(mesh_devices=1)
+        # One resident bank with distinctive per-block keys.
+        keys = [([f"fld{i}"], [f"tok{i}", "shared"], [f"fld{i}::tok{i}"]) for i in range(40)]
+        bank = make_bank(PARAMS, keys)
+        mk = (PARAMS.m_bits, PARAMS.k, "classic")
+        backend.probe_groups([(b"F", 0, mk, lambda: bank)], make_terms(("token", "shared"))[1])
+        launches_before = backend.launches
+
+        # Slow down launches so concurrent requests pile up behind a leader.
+        orig = backend._launch_combined
+
+        def slow_launch(*args, **kwargs):
+            import time as _t
+
+            _t.sleep(0.05)
+            return orig(*args, **kwargs)
+
+        backend._launch_combined = slow_launch
+
+        results = {}
+        errors = []
+
+        def one_query(qi):
+            try:
+                _, terms = make_terms(("token", f"tok{qi}"), ("token", "shared"))
+                out = backend.probe_groups([(b"F", 0, mk, lambda: bank)], terms)
+                results[qi] = out[(b"F", 0)]
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        threads = [threading.Thread(target=one_query, args=(qi,)) for qi in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        launches = backend.launches - launches_before
+        assert backend.batched_requests >= 12
+        assert launches < 12, f"no batching happened: {launches} launches"
+
+        # Every query got ITS OWN exact slice.
+        for qi, match in results.items():
+            _, terms = make_terms(("token", f"tok{qi}"), ("token", "shared"))
+            expected = probe_bank_host(bank, terms, PARAMS.m_bits, PARAMS.k)
+            np.testing.assert_array_equal(match, expected, err_msg=f"query {qi}")
+
+    def test_mixed_reduce_and_plain_batch(self):
+        import threading
+
+        backend = DeviceProbeBackend(mesh_devices=1)
+        keys = [([f"f{i}"], [f"t{i}", "all"], [f"f{i}::t{i}"]) for i in range(16)]
+        bank = make_bank(PARAMS, keys)
+        mk = (PARAMS.m_bits, PARAMS.k, "classic")
+        backend.probe_groups([(b"F", 0, mk, lambda: bank)], make_terms(("token", "all"))[1])
+
+        orig = backend._launch_combined
+
+        def slow_launch(*args, **kwargs):
+            import time as _t
+
+            _t.sleep(0.05)
+            return orig(*args, **kwargs)
+
+        backend._launch_combined = slow_launch
+        out = {}
+
+        def reduced(qi):
+            _, terms = make_terms(("token", "all"), ("token", f"t{qi}"))
+            r = backend.probe_groups([(b"F", 0, mk, lambda: bank)], terms, reduce_and=True)
+            out[("r", qi)] = r[(b"F", 0)]
+
+        def plain(qi):
+            _, terms = make_terms(("token", f"t{qi}"))
+            r = backend.probe_groups([(b"F", 0, mk, lambda: bank)], terms)
+            out[("p", qi)] = r[(b"F", 0)]
+
+        threads = [threading.Thread(target=reduced, args=(i,)) for i in range(4)] + [
+            threading.Thread(target=plain, args=(i,)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for qi in range(4):
+            _, terms = make_terms(("token", "all"), ("token", f"t{qi}"))
+            expected = probe_bank_host(bank, terms, PARAMS.m_bits, PARAMS.k).all(
+                axis=0, keepdims=True
+            )
+            np.testing.assert_array_equal(out[("r", qi)], expected)
+            _, terms = make_terms(("token", f"t{qi}"))
+            expected = probe_bank_host(bank, terms, PARAMS.m_bits, PARAMS.k)
+            np.testing.assert_array_equal(out[("p", qi)], expected)
