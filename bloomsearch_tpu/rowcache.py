@@ -30,6 +30,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _round_up_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 MAX_NEEDLE = 32  # longer needles fall back to always-candidate
 
 
@@ -38,21 +45,26 @@ def _device_scan_fn():
     import jax.numpy as jnp
 
     @jax.jit
-    def scan_rows(rows2d, needle_padded, needle_len):
-        """rows2d uint8[R, P] (lowercased), needle uint8[MAX_NEEDLE],
+    def scan_rows(rows2d, needles_padded, needle_lens):
+        """rows2d uint8[R, P] (lowercased), needles uint8[N, MAX_NEEDLE],
 
-        needle_len scalar -> bool[R]. The loop is fixed at MAX_NEEDLE slices
-        with positions >= needle_len masked true, so the kernel compiles ONCE
-        per rows2d shape instead of once per needle length (remote-compile
-        environments pay seconds per variant).
+        lens int32[N] -> bool[N, R]. ALL needles scan in ONE launch (the
+        per-query needle count pads to a small bucket), and the loop is
+        fixed at MAX_NEEDLE slices with positions >= each needle's length
+        masked true — so the program compiles once per (rows2d shape, N
+        bucket) instead of once per needle/length (remote-compile
+        environments pay seconds per variant, remote-execute ones pay a
+        round trip per launch).
         """
         R, P = rows2d.shape
         W = P - MAX_NEEDLE + 1
-        acc = jnp.ones((R, W), dtype=bool)
+        N = needles_padded.shape[0]
+        acc = jnp.ones((N, R, W), dtype=bool)
         for l in range(MAX_NEEDLE):
-            window = jax.lax.dynamic_slice_in_dim(rows2d, l, W, axis=1)
-            acc = acc & jnp.where(l < needle_len, window == needle_padded[l], True)
-        return jnp.any(acc, axis=1)
+            window = jax.lax.dynamic_slice_in_dim(rows2d, l, W, axis=1)  # [R, W]
+            cmp = window[None, :, :] == needles_padded[:, l, None, None]  # [N, R, W]
+            acc = acc & jnp.where((l < needle_lens)[:, None, None], cmp, True)
+        return jnp.any(acc, axis=2)
 
     return scan_rows
 
@@ -164,19 +176,31 @@ class DeviceRowCache:
         return block
 
     def scan(self, block: _PinnedBlock, needles: list[bytes]) -> np.ndarray:
-        """-> bool[len(needles), num_rows] candidate matrix (device scan)."""
+        """-> bool[len(needles), num_rows] candidate matrix (device scan).
+
+        All usable needles run in ONE device launch; degenerate/oversized
+        needles are conservatively all-candidate host-side.
+        """
         jnp = self._jnp
         out = np.zeros((len(needles), block.num_rows), dtype=bool)
+        usable = [
+            (qi, n) for qi, n in enumerate(needles) if n and len(n) <= MAX_NEEDLE
+        ]
         for qi, needle in enumerate(needles):
             if not needle or len(needle) > MAX_NEEDLE:
                 out[qi] = True  # degenerate/oversized: conservative
-                continue
-            padded = np.zeros(MAX_NEEDLE, dtype=np.uint8)
-            padded[: len(needle)] = np.frombuffer(needle, dtype=np.uint8)
-            device_hits = self._scan(
-                block.rows2d, jnp.asarray(padded), jnp.int32(len(needle))
+        if usable:
+            n_bucket = _round_up_pow2(len(usable))
+            padded = np.zeros((n_bucket, MAX_NEEDLE), dtype=np.uint8)
+            lens = np.zeros(n_bucket, dtype=np.int32)
+            for row, (_qi, needle) in enumerate(usable):
+                padded[row, : len(needle)] = np.frombuffer(needle, dtype=np.uint8)
+                lens[row] = len(needle)
+            device_hits = np.asarray(
+                self._scan(block.rows2d, jnp.asarray(padded), jnp.asarray(lens))
             )
-            out[qi] = np.asarray(device_hits)[: block.num_rows]
+            for row, (qi, _needle) in enumerate(usable):
+                out[qi] = device_hits[row, : block.num_rows]
         if block.overlong_mask.any():
             out[:, block.overlong_mask[: block.num_rows]] = True
         return out
