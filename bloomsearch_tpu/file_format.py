@@ -513,6 +513,14 @@ def read_block_rows_compressed(fh: BinaryIO, block: DataBlockMetadata, verify: b
     """Read a block's compressed row payload, verifying its CRC32C.
 
     (reference integrity check, bloom_tree_engine.go:1197-1203)
+
+    Contract: decode buffers WHOLE blocks in memory (compressed here, then
+    decompressed), unlike the reference's LimitReader→decompressor chain
+    (bloom_tree_engine.go:1120-1153). Per-query peak memory is therefore
+    bounded by concurrency × max_row_group_bytes (10 MB default), not by
+    result size — the trade that lets the fused native pipeline (CRC +
+    decode + split + scan in one GIL-free call) and the device row cache
+    exist.
     """
     fh.seek(block.offset)
     payload = fh.read(block.size)
