@@ -99,6 +99,7 @@ from .stores import (
 )
 from .objectstore import (
     InMemoryObjectStore,
+    LocalDirObjectStore,
     ObjectStoreClient,
     ObjectStoreDataStore,
     ObjectStoreMetaStore,

@@ -359,3 +359,194 @@ class ObjectStoreMetaStore:
         except (ValueError, KeyError, TypeError):
             return etag  # malformed lease: stealable
         return None
+
+
+class LocalDirObjectStore:
+    """File-backed ObjectStoreClient: the object-store stack (CAS manifest,
+    merge lease, peer registry) on any shared filesystem — no S3 required.
+
+    Layout: each object is ``<root>/<key>`` plus a ``.etag`` sidecar.
+    Conditional operations serialize on an O_EXCL lock file (spin with
+    backoff), making read-check-write atomic across processes on the same
+    filesystem; payload writes go through temp + rename so readers never
+    observe partial objects. Unconditional gets/puts don't take the lock.
+    """
+
+    _LOCK_TIMEOUT = 10.0
+
+    def __init__(self, root_dir: str):
+        import os
+
+        self.root = root_dir
+        os.makedirs(root_dir, exist_ok=True)
+        self._lock_path = os.path.join(root_dir, ".cas.lock")
+
+    # -- paths ------------------------------------------------------------
+
+    def _path(self, key: str) -> str:
+        import os
+
+        if ".." in key.split("/"):
+            raise ValueError(f"invalid key: {key!r}")
+        path = os.path.join(self.root, key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        return path
+
+    # -- cross-process critical section ------------------------------------
+
+    class _Lock:
+        def __init__(self, path: str, timeout: float):
+            self.path = path
+            self.timeout = timeout
+
+        def __enter__(self):
+            import os
+
+            deadline = time.monotonic() + self.timeout
+            delay = 0.001
+            while True:
+                try:
+                    fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, str(os.getpid()).encode())
+                    os.close(fd)
+                    return self
+                except FileExistsError:
+                    # Steal locks older than the timeout (crashed holder).
+                    try:
+                        if time.time() - os.stat(self.path).st_mtime > self.timeout:
+                            os.remove(self.path)
+                            continue
+                    except FileNotFoundError:
+                        continue
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(f"CAS lock stuck: {self.path}")
+                    time.sleep(delay)
+                    delay = min(delay * 2, 0.05)
+
+        def __exit__(self, *exc):
+            import os
+
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
+
+    def _cas_lock(self) -> "_Lock":
+        return self._Lock(self._lock_path, self._LOCK_TIMEOUT)
+
+    # -- ObjectStoreClient --------------------------------------------------
+
+    def _read_etag(self, path: str) -> str:
+        with open(path + ".etag", "r") as fh:
+            return fh.read().strip()
+
+    def get(self, key: str) -> tuple[bytes, str]:
+        """Consistent-or-CAS-safe read: etag, data, etag — equal etags mean
+        no write completed in between; an unequal pair retries. Combined
+        with _write's data-before-etag ordering, a returned (data, etag)
+        pair is either fully consistent or pairs NEWER data with an OLDER
+        etag — and a CAS on an older etag fails, never losing an update."""
+        path = self._path(key)
+        for _ in range(64):
+            try:
+                e1 = self._read_etag(path)
+                with open(path, "rb") as fh:
+                    data = fh.read()
+                e2 = self._read_etag(path)
+            except FileNotFoundError:
+                raise KeyError(key)
+            if e1 == e2:
+                return data, e1
+        raise RuntimeError(f"torn reads persisted for {key!r}")
+
+    def get_range(self, key: str, start: int, length: int) -> bytes:
+        path = self._path(key)
+        try:
+            with open(path, "rb") as fh:
+                fh.seek(start)
+                return fh.read(length)
+        except FileNotFoundError:
+            raise KeyError(key)
+
+    def head(self, key: str) -> tuple[int, str]:
+        import os
+
+        path = self._path(key)
+        try:
+            return os.stat(path).st_size, self._read_etag(path)
+        except FileNotFoundError:
+            raise KeyError(key)
+
+    def _write(self, path: str, data: bytes) -> str:
+        import os
+
+        etag = uuid.uuid4().hex
+        tmp = f"{path}.tmp.{etag}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        # DATA lands first, etag second: a torn read can then only pair
+        # newer data with an older etag, and a CAS on the older etag fails
+        # (conservative). The reverse order would let stale data carry the
+        # new etag and a CAS silently lose the concurrent update.
+        os.replace(tmp, path)
+        tmp_etag = f"{path}.etag.tmp.{etag}"
+        with open(tmp_etag, "w") as fh:
+            fh.write(etag)
+        os.replace(tmp_etag, path + ".etag")
+        return etag
+
+    def put(self, key, data, *, if_match=None, if_none_match=False) -> str:
+        import os
+
+        path = self._path(key)
+        if if_match is None and not if_none_match:
+            return self._write(path, bytes(data))
+        with self._cas_lock():
+            # The etag sidecar is written LAST, so it is the commit record:
+            # a data file without one is a torn crash leftover == absent.
+            try:
+                current = self._read_etag(path)
+            except FileNotFoundError:
+                current = None
+            if if_none_match and current is not None:
+                raise PreconditionFailed(key)
+            if if_match is not None and current != if_match:
+                raise PreconditionFailed(key)
+            return self._write(path, bytes(data))
+
+    def delete(self, key, *, if_match=None) -> None:
+        import os
+
+        path = self._path(key)
+        if if_match is None:
+            for p in (path, path + ".etag"):
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+            return
+        with self._cas_lock():
+            try:
+                if self._read_etag(path) != if_match:
+                    raise PreconditionFailed(key)
+            except FileNotFoundError:
+                raise PreconditionFailed(key)
+            for p in (path, path + ".etag"):
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+
+    def list(self, prefix: str) -> list[str]:
+        import os
+
+        out = []
+        for dirpath, _dirs, names in os.walk(self.root):
+            for name in names:
+                if name.endswith(".etag") or ".tmp." in name or name == ".cas.lock":
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, name), self.root)
+                key = rel.replace(os.sep, "/")
+                if key.startswith(prefix):
+                    out.append(key)
+        return sorted(out)

@@ -190,3 +190,143 @@ class TestEngineOverObjectStore:
             assert stats.files_processed == 2
         finally:
             engine.stop(timeout=TIMEOUT)
+
+
+class TestLocalDirObjectStore:
+    """File-backed client: same contract as the in-memory fake, across
+    processes on a shared filesystem."""
+
+    def _client(self, tmp_path):
+        from bloomsearch_tpu.objectstore import LocalDirObjectStore
+
+        return LocalDirObjectStore(str(tmp_path / "bucket"))
+
+    def test_conditional_put_semantics(self, tmp_path):
+        c = self._client(tmp_path)
+        etag1 = c.put("k", b"v1")
+        with pytest.raises(PreconditionFailed):
+            c.put("k", b"x", if_none_match=True)
+        with pytest.raises(PreconditionFailed):
+            c.put("k", b"x", if_match="wrong")
+        etag2 = c.put("k", b"v2", if_match=etag1)
+        assert etag2 != etag1 and c.get("k") == (b"v2", etag2)
+        with pytest.raises(PreconditionFailed):
+            c.delete("k", if_match=etag1)
+        c.delete("k", if_match=etag2)
+        with pytest.raises(KeyError):
+            c.get("k")
+        c.delete("k")  # idempotent
+
+    def test_nested_keys_ranged_reads_and_list(self, tmp_path):
+        c = self._client(tmp_path)
+        c.put("data/a/b.dat", bytes(range(100)))
+        c.put("meta/manifest.json", b"{}")
+        assert c.get_range("data/a/b.dat", 10, 5) == bytes(range(10, 15))
+        assert c.head("data/a/b.dat")[0] == 100
+        assert c.list("data/") == ["data/a/b.dat"]
+        assert c.list("") == ["data/a/b.dat", "meta/manifest.json"]
+
+    def test_two_store_instances_cas_contention(self, tmp_path):
+        # Two INSTANCES over the same directory (the cross-process shape).
+        import io as iomod
+        import threading
+
+        from test_file_format import write_sample_file
+        from bloomsearch_tpu.stores import WriteOperation
+
+        md, _ = write_sample_file(iomod.BytesIO())
+        c1, c2 = self._client(tmp_path), self._client(tmp_path)
+        m1, m2 = ObjectStoreMetaStore(c1), ObjectStoreMetaStore(c2)
+        threads = [
+            threading.Thread(
+                target=lambda m=m, i=i: m.update(
+                    [WriteOperation(md, f"f{i}-{j}".encode(), 1) for j in range(5)], []
+                )
+            )
+            for i, m in enumerate((m1, m2, m1, m2))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(ObjectStoreMetaStore(self._client(tmp_path)).get_maybe_files_for_query(None)) == 20
+
+    def test_engine_e2e_and_cross_instance_resume(self, tmp_path):
+        import bloomsearch_tpu as bs
+
+        c1 = self._client(tmp_path)
+        e1 = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"),
+            ObjectStoreMetaStore(c1),
+            ObjectStoreDataStore(c1),
+        )
+        e1.start()
+        e1.ingest_rows([{"msg": "durable needle"}], timeout=TIMEOUT)
+        e1.stop(timeout=TIMEOUT)
+
+        c2 = self._client(tmp_path)  # fresh instance, same directory
+        e2 = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"),
+            ObjectStoreMetaStore(c2),
+            ObjectStoreDataStore(c2),
+        )
+        e2.start()
+        try:
+            got = e2.query_sync(bs.new_query().token("needle").build(), timeout=TIMEOUT)
+            assert got == [{"msg": "durable needle"}]
+            e2.merge()  # lease over the shared dir
+        finally:
+            e2.stop(timeout=TIMEOUT)
+
+    def test_lease_across_instances(self, tmp_path):
+        m1 = ObjectStoreMetaStore(self._client(tmp_path))
+        m2 = ObjectStoreMetaStore(self._client(tmp_path))
+        lease = m1.acquire_merge_lease()
+        assert lease is not None
+        assert m2.acquire_merge_lease() is None  # held by the other instance
+        lease.release()
+        assert m2.acquire_merge_lease() is not None
+
+    def test_cross_process_cas(self, tmp_path):
+        """True multi-process CAS through the shared-directory lock."""
+        import subprocess
+        import sys
+
+        bucket = str(tmp_path / "bucket")
+        script = """
+import sys
+sys.path.insert(0, {repo!r})
+import io
+from bloomsearch_tpu.objectstore import LocalDirObjectStore, ObjectStoreMetaStore
+from bloomsearch_tpu.stores import WriteOperation
+from bloomsearch_tpu.file_format import FileMetadata, BloomFilters
+from bloomsearch_tpu.bloom.params import BloomParams
+
+md = FileMetadata(
+    bloom_filters=BloomFilters.from_params(BloomParams(10, 0.01)),
+    bloom_expected_items=10, bloom_false_positive_rate=0.01,
+)
+meta = ObjectStoreMetaStore(LocalDirObjectStore(sys.argv[1]))
+who = sys.argv[2]
+for j in range(10):
+    meta.update([WriteOperation(md, f"{{who}}-{{j}}".encode(), 1)], [])
+print("ok")
+"""
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", script.format(repo=repo), bucket, f"p{i}"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                env={**os.environ, "JAX_PLATFORMS": "cpu"},
+            )
+            for i in range(3)
+        ]
+        for p in procs:
+            out, err = p.communicate(timeout=120)
+            assert p.returncode == 0, err.decode()
+        from bloomsearch_tpu.objectstore import LocalDirObjectStore
+
+        meta = ObjectStoreMetaStore(LocalDirObjectStore(bucket))
+        assert len(meta.get_maybe_files_for_query(None)) == 30  # no lost updates
