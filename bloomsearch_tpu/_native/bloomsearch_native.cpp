@@ -246,7 +246,39 @@ static void crc32c_init() {
   kCrcInit = true;
 }
 
+#if defined(__x86_64__)
+// Hardware CRC32C (SSE4.2 crc32 instruction): ~20 GB/s vs ~2 GB/s for the
+// slicing-by-8 table path. Same polynomial, bit-identical results.
+__attribute__((target("sse4.2"))) static uint32_t crc32c_hw(
+    const uint8_t* data, int64_t n, uint32_t crc) {
+  int64_t i = 0;
+  uint64_t c = crc;
+  while (n - i >= 8) {
+    uint64_t chunk;
+    std::memcpy(&chunk, data + i, 8);
+    c = __builtin_ia32_crc32di(c, chunk);
+    i += 8;
+  }
+  uint32_t c32 = (uint32_t)c;
+  for (; i < n; i++) {
+    c32 = __builtin_ia32_crc32qi(c32, data[i]);
+  }
+  return c32;
+}
+
+static bool crc32c_hw_available() {
+  static const bool ok = __builtin_cpu_supports("sse4.2");
+  return ok;
+}
+#else
+static bool crc32c_hw_available() { return false; }
+static uint32_t crc32c_hw(const uint8_t*, int64_t, uint32_t) { return 0; }
+#endif
+
 BS_EXPORT uint32_t bs_crc32c(const uint8_t* data, int64_t n, uint32_t crc_in) {
+  if (crc32c_hw_available()) {
+    return ~crc32c_hw(data, n, ~crc_in);
+  }
   crc32c_init();
   uint32_t crc = ~crc_in;
   int64_t i = 0;
@@ -569,9 +601,36 @@ BS_EXPORT int64_t bs_scan_candidates(
   // Other escapes (\" \\ \b \f \n \r \t) only encode characters that make a
   // needle unusable upstream or split tokens, so they can't hide a match.
   for (int64_t r = 0; r < n_rows; r++) {
-    const int64_t row_end = row_offsets[r] + row_lengths[r];
+    const int64_t row_start = row_offsets[r];
+    const int64_t row_end = row_start + row_lengths[r];
+    // Word-wise prefilter: most rows contain neither a high byte nor any
+    // backslash, and skip the per-byte escape walk entirely.
+    bool suspicious = false;
+    int64_t i = row_start;
+    const uint64_t kHigh = 0x8080808080808080ull;
+    const uint64_t kOnes = 0x0101010101010101ull;
+    const uint64_t kBackslash = 0x5c5c5c5c5c5c5c5cull;
+    for (; i + 8 <= row_end; i += 8) {
+      uint64_t w;
+      std::memcpy(&w, data + i, 8);
+      const uint64_t x = w ^ kBackslash;  // zero byte where '\\'
+      if ((w & kHigh) | ((x - kOnes) & ~x & kHigh)) {
+        suspicious = true;
+        break;
+      }
+    }
+    if (!suspicious) {
+      for (; i < row_end; i++) {
+        const uint8_t c = data[i];
+        if (c >= 0x80 || c == '\\') {
+          suspicious = true;
+          break;
+        }
+      }
+    }
+    if (!suspicious) continue;
     bool unprovable = false;
-    for (int64_t i = row_offsets[r]; i < row_end;) {
+    for (i = row_start; i < row_end;) {
       const uint8_t c = data[i];
       if (c >= 0x80) {
         unprovable = true;
