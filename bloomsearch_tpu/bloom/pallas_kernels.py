@@ -32,9 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROW_GROUP = 8  # TPU sublane tiling: minimum aligned row-group fetch
 
-# Block-axis tile: 8K uint32 words = 32 KiB per probed row (256 KiB fetched);
-# measured optimal on v5e (2.60 B probes/s, within 1% of the HBM floor).
-DEFAULT_C_TILE = 8_192
+# Block-axis tile: 16K uint32 words = 64 KiB per probed row (512 KiB
+# fetched per aligned group). Re-measured on v5e in round 2 across
+# {2K..32K}: 16384 runs 53-66 µs/launch at T=4 (2.0-2.4 B probes/s) vs
+# 67 µs at the old 8192, and larger tiles win further as T grows (T=16:
+# 32K tile 2.1 B vs 8K tile 1.4 B) — fewer grid revisits of the output
+# tile amortize better. Run-to-run tunnel variance is ±20%; 16384 was
+# never worse than 8192 in any run.
+DEFAULT_C_TILE = 16_384
 
 # Above this many probes (padded_terms * k) the unrolled/gridded kernel's
 # compile time outweighs the win; callers fall back to the XLA path.

@@ -1751,15 +1751,23 @@ class _Merger:
             stats.row_groups_processed += 1
 
         encoder = StreamEncoder(config.row_data_compression, config.zstd_compression_level)
-        # Round-robin one row per source per pass (reference :1846-1894).
+        # Round-robin one row per source per pass (reference :1846-1894),
+        # batched into large encoder writes (per-row compressor calls
+        # dominate merge profiles the same way they did ingest).
         cursors = [0] * len(row_streams)
         remaining = total_rows
+        parts: list[bytes] = []
         while remaining:
             for si, rows in enumerate(row_streams):
                 if cursors[si] < len(rows):
-                    encoder.write(encode_row(rows[cursors[si]]))
+                    parts.append(encode_row(rows[cursors[si]]))
                     cursors[si] += 1
                     remaining -= 1
+            if len(parts) >= 4096:
+                encoder.write(b"".join(parts))
+                parts.clear()
+        if parts:
+            encoder.write(b"".join(parts))
         payload = encoder.finish()
 
         writer.add_block(
