@@ -570,6 +570,94 @@ BS_EXPORT int64_t bs_snappy_decompress_block(const uint8_t* in, int64_t n,
 
 #include <cstdlib>
 #include <cstring>
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+
+namespace scan_simd {
+
+inline uint8_t lower1(uint8_t c) {
+  return (c >= 'A' && c <= 'Z') ? (uint8_t)(c + 32) : c;
+}
+
+// Case-insensitive needle-at-position verify over RAW bytes (needle is
+// already lowercase).
+inline bool verify_at(const uint8_t* data, const uint8_t* needle, int64_t nlen) {
+  for (int64_t j = 0; j < nlen; j++) {
+    if (lower1(data[j]) != needle[j]) return false;
+  }
+  return true;
+}
+
+// Mark every row a hit [pos, pos+nlen) overlaps; rows are sorted by offset
+// and hit positions arrive in increasing order, so `row` only advances.
+inline void mark_rows(int64_t hit_start, int64_t nlen, const int64_t* row_offsets,
+                      const int64_t* row_lengths, int64_t n_rows, int64_t& row,
+                      uint8_t* row_out) {
+  const int64_t hit_end = hit_start + nlen - 1;
+  while (row < n_rows && row_offsets[row] + row_lengths[row] <= hit_start) row++;
+  for (int64_t r = row; r < n_rows && row_offsets[r] <= hit_end; r++) row_out[r] = 1;
+}
+
+#if defined(__x86_64__)
+// Fused lowercase + anchor-pair substring scan: 32 raw bytes load, ASCII
+// lowering in-register, first/last needle byte compared at their relative
+// offsets, candidate positions verified exactly. No lowercased copy of the
+// buffer is ever materialized and the common no-match case runs at tens of
+// GB/s instead of memmem's ~1 GB/s.
+__attribute__((target("avx2"))) static void scan_needle_avx2(
+    const uint8_t* data, int64_t n, const uint8_t* needle, int64_t nlen,
+    const int64_t* row_offsets, const int64_t* row_lengths, int64_t n_rows,
+    uint8_t* row_out) {
+  const __m256i vAm1 = _mm256_set1_epi8('A' - 1);
+  const __m256i vZp1 = _mm256_set1_epi8('Z' + 1);
+  const __m256i v32 = _mm256_set1_epi8(32);
+  const __m256i c0 = _mm256_set1_epi8((char)needle[0]);
+  const __m256i cL = _mm256_set1_epi8((char)needle[nlen - 1]);
+  auto lower_vec = [&](__m256i b) {
+    // Signed compares: bytes >= 0x80 are negative and never lower — exactly
+    // ASCII-only lowering.
+    const __m256i is_upper = _mm256_and_si256(
+        _mm256_cmpgt_epi8(b, vAm1), _mm256_cmpgt_epi8(vZp1, b));
+    return _mm256_add_epi8(b, _mm256_and_si256(is_upper, v32));
+  };
+  int64_t row = 0;
+  int64_t i = 0;
+  const int64_t last_start = n - nlen;  // last valid match start
+  for (; i + 32 + nlen - 1 <= n; i += 32) {
+    const __m256i b0 = lower_vec(
+        _mm256_loadu_si256((const __m256i*)(data + i)));
+    const __m256i bL = lower_vec(
+        _mm256_loadu_si256((const __m256i*)(data + i + nlen - 1)));
+    uint32_t m = (uint32_t)_mm256_movemask_epi8(
+        _mm256_and_si256(_mm256_cmpeq_epi8(b0, c0), _mm256_cmpeq_epi8(bL, cL)));
+    while (m) {
+      const int bit = __builtin_ctz(m);
+      m &= m - 1;
+      const int64_t pos = i + bit;
+      if (verify_at(data + pos, needle, nlen)) {
+        mark_rows(pos, nlen, row_offsets, row_lengths, n_rows, row, row_out);
+      }
+    }
+  }
+  for (; i <= last_start; i++) {
+    if (lower1(data[i]) == needle[0] && verify_at(data + i, needle, nlen)) {
+      mark_rows(i, nlen, row_offsets, row_lengths, n_rows, row, row_out);
+    }
+  }
+}
+
+static bool avx2_available() {
+  static const bool ok = __builtin_cpu_supports("avx2");
+  return ok;
+}
+#else
+static bool avx2_available() { return false; }
+static void scan_needle_avx2(const uint8_t*, int64_t, const uint8_t*, int64_t,
+                             const int64_t*, const int64_t*, int64_t, uint8_t*) {}
+#endif
+
+}  // namespace scan_simd
 
 // out is uint8[n_needles * n_rows] (row-major per needle), set to 1 where the
 // needle occurs within (or overlapping) the row's byte range. Needles and
@@ -581,12 +669,14 @@ BS_EXPORT int64_t bs_scan_candidates(
     const int64_t* row_offsets, const int64_t* row_lengths, int64_t n_rows,
     uint8_t* out) {
   if (n == 0 || n_rows == 0) return 0;
-  // Lowercase the buffer once; searches are then exact matches.
-  uint8_t* lower = (uint8_t*)std::malloc((size_t)n);
-  if (!lower) return -1;
-  for (int64_t i = 0; i < n; i++) {
-    const uint8_t c = data[i];
-    lower[i] = (c >= 'A' && c <= 'Z') ? (uint8_t)(c + 32) : c;
+  // Fallback path (no AVX2): lowercase the buffer once, then memmem.
+  uint8_t* lower = nullptr;
+  if (!scan_simd::avx2_available()) {
+    lower = (uint8_t*)std::malloc((size_t)n);
+    if (!lower) return -1;
+    for (int64_t i = 0; i < n; i++) {
+      lower[i] = scan_simd::lower1(data[i]);
+    }
   }
 
   // Rows whose stored bytes cannot PROVE a needle's absence are forced to
@@ -661,6 +751,12 @@ BS_EXPORT int64_t bs_scan_candidates(
       std::memset(row_out, 1, (size_t)n_rows);
       continue;
     }
+    if (lower == nullptr) {
+      // Fused SIMD path: lowercase in-register over the raw bytes.
+      scan_simd::scan_needle_avx2(
+          data, n, needle, nlen, row_offsets, row_lengths, n_rows, row_out);
+      continue;
+    }
     int64_t row = 0;
     const uint8_t* cursor = lower;
     const uint8_t* end = lower + n;
@@ -668,17 +764,10 @@ BS_EXPORT int64_t bs_scan_candidates(
       const uint8_t* hit =
           (const uint8_t*)memmem(cursor, end - cursor, needle, (size_t)nlen);
       if (!hit) break;
-      const int64_t hit_start = hit - lower;
-      const int64_t hit_end = hit_start + nlen - 1;
-      // Advance to the first row whose range could include hit_start.
-      while (row < n_rows && row_offsets[row] + row_lengths[row] <= hit_start) {
-        row++;
-      }
       // Mark every row the hit overlaps (row-spanning hits mark both sides:
       // conservative, exact verification rejects the false side).
-      for (int64_t r = row; r < n_rows && row_offsets[r] <= hit_end; r++) {
-        row_out[r] = 1;
-      }
+      scan_simd::mark_rows(
+          hit - lower, nlen, row_offsets, row_lengths, n_rows, row, row_out);
       cursor = hit + 1;
     }
   }
