@@ -142,10 +142,20 @@ def _check(engine, all_rows, q, label):
 
 
 @pytest.mark.parametrize(
-    "seed,store_kind",
-    [(7, "fs"), (23, "fs"), (99, "fs"), (7, "object"), (42, "object")],
+    "seed,store_kind,backend",
+    [
+        (7, "fs", "host"),
+        (23, "fs", "host"),
+        (99, "fs", "host"),
+        (7, "object", "host"),
+        (42, "object", "host"),
+        # Sharded device probe path (8-device CPU mesh) + fused flat-AND +
+        # cross-query batching must ALSO be oracle-exact.
+        (13, "fs", "device"),
+        (57, "object", "device"),
+    ],
 )
-def test_engine_matches_oracle(tmp_path, seed, store_kind):
+def test_engine_matches_oracle(tmp_path, seed, store_kind, backend):
     rng = random.Random(seed)
     if store_kind == "fs":
         store = bs.FileSystemDataStore(str(tmp_path / "data"))
@@ -164,7 +174,7 @@ def test_engine_matches_oracle(tmp_path, seed, store_kind):
         row_data_compression=rng.choice(["none", "zstd", "snappy"]),
         partition_func=lambda r: r["part"],
         min_max_indexes=["num"],
-        probe_backend="host",
+        probe_backend=backend,
         max_buffered_rows=rng.choice([50, 1000]),
         bloom_layout=rng.choice(["classic", "blocked256"]),
     )
