@@ -595,6 +595,13 @@ class BloomSearchEngine:
     def start(self) -> None:
         if self._started:
             raise RuntimeError("engine already started")
+        if self._stop_event.is_set():
+            # The workers observe _stop_event and would exit immediately —
+            # a silently dead engine. Reference engines aren't restartable
+            # either (tests construct a new engine per run); fail loudly.
+            raise RuntimeError(
+                "engine cannot be restarted after stop(); construct a new one"
+            )
         self._started = True
         self._ingest_thread = threading.Thread(
             target=self._ingest_worker, name="bloomsearch-ingest", daemon=True

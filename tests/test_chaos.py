@@ -8,20 +8,29 @@ import queue
 import random
 import threading
 
+import pytest
+
 import bloomsearch_tpu as bs
 
 TIMEOUT = 30.0
 
 
-def test_concurrent_ingest_query_merge(tmp_path):
-    store = bs.FileSystemDataStore(str(tmp_path / "data"))
+@pytest.mark.parametrize("store_kind", ["fs", "object"])
+def test_concurrent_ingest_query_merge(tmp_path, store_kind):
+    if store_kind == "fs":
+        store = bs.FileSystemDataStore(str(tmp_path / "data"))
+        meta_store = data_store = store
+    else:
+        client = bs.InMemoryObjectStore()
+        meta_store = bs.ObjectStoreMetaStore(client)
+        data_store = bs.ObjectStoreDataStore(client)
     config = bs.BloomSearchEngineConfig(
         row_data_compression="snappy",
         probe_backend="host",
         max_buffered_rows=200,
         merge_interval_seconds=0.1,  # background compaction churning
     )
-    engine = bs.BloomSearchEngine(config, store, store)
+    engine = bs.BloomSearchEngine(config, meta_store, data_store)
     engine.start()
     errors: list[BaseException] = []
     total_rows = 3000

@@ -550,3 +550,11 @@ class TestSaturationWarning:
             assert not any("saturating" in r.message for r in caplog.records)
         finally:
             engine.stop(timeout=TIMEOUT)
+
+
+class TestRestartGuard:
+    def test_start_after_stop_raises(self, tmp_path):
+        engine, _ = make_engine(tmp_path)
+        engine.stop(timeout=TIMEOUT)
+        with pytest.raises(RuntimeError, match="restart"):
+            engine.start()

@@ -199,3 +199,33 @@ class TestRemoteScatterGather:
         finally:
             engine_slow.stop(timeout=TIMEOUT)
             engine_fast.stop(timeout=TIMEOUT)
+
+
+class TestConcurrentRemoteQueries:
+    def test_many_queries_one_server(self, tmp_path):
+        rows = [{"n": i, "msg": f"tok{i} all"} for i in range(50)]
+        engine = make_engine(tmp_path, "a", rows)
+        try:
+            with QueryServer(engine) as server:
+                peer = RemoteQueryPeer(*server.address)
+                results = {}
+                errors = []
+
+                def one(i):
+                    try:
+                        results[i] = peer.query_sync(
+                            bs.new_query().token(f"tok{i}").build(), timeout=TIMEOUT
+                        )
+                    except Exception as exc:
+                        errors.append(exc)
+
+                threads = [threading.Thread(target=one, args=(i,)) for i in range(12)]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join(TIMEOUT)
+                assert not errors
+                for i in range(12):
+                    assert results[i] == [rows[i]], i
+        finally:
+            engine.stop(timeout=TIMEOUT)
