@@ -93,6 +93,53 @@ def _e2e_variant(target_mb: int, block_items) -> dict:
             engine.stop(timeout=300)
 
 
+def ingest_bench(n_rows: int = 60_000) -> dict:
+    """Dict-row ingest throughput (rows pre-built so generation cost is
+    excluded; BASELINE.md lists ingest rows/sec as a target — the reference
+    was generator-bound at ~13.4 MB/s ≈ ~100k rows/s)."""
+    import random
+    import string
+
+    import bloomsearch_tpu as bs
+
+    rng = random.Random(0)
+
+    def row(i):
+        return {
+            "svc": rng.choice(["auth", "pay", "sched"]),
+            "level": rng.choice(["info", "warn", "error"]),
+            "msg": " ".join(
+                "".join(rng.choices(string.ascii_lowercase + string.digits,
+                                    k=rng.randrange(3, 12)))
+                for _ in range(6)
+            ),
+            "n": i,
+        }
+
+    rows = [row(i) for i in range(n_rows)]
+    nbytes = sum(len(repr(r)) for r in rows)
+    with tempfile.TemporaryDirectory(prefix="bloomsearch-ingest-") as d:
+        from bloomsearch_tpu import FileSystemDataStore
+
+        store = FileSystemDataStore(d)
+        config = bs.BloomSearchEngineConfig(
+            max_buffered_rows=20_000, max_buffered_bytes=16 << 20,
+            probe_backend="host",  # measure the host pipeline, not bank warms
+        )
+        engine = bs.BloomSearchEngine(config, store, store)
+        engine.start()
+        t0 = time.perf_counter()
+        for i in range(0, n_rows, 2000):
+            engine.ingest_rows(rows[i : i + 2000], timeout=120)
+        engine.flush(timeout=300)
+        dt = time.perf_counter() - t0
+        engine.stop(timeout=300)
+    return {
+        "ingest_rows_per_sec": round(n_rows / dt),
+        "ingest_mb_per_sec": round(nbytes / dt / 1e6, 1),
+    }
+
+
 def e2e_query_bench(target_mb: int = 48) -> dict:
     """Two variants of the reference's needle benchmark shape:
 
@@ -206,6 +253,11 @@ def main() -> None:
     except Exception as exc:  # never lose the headline metric
         log(f"e2e bench failed: {exc!r}")
         extra = {"e2e_error": repr(exc)}
+    try:
+        extra.update(ingest_bench())
+    except Exception as exc:
+        log(f"ingest bench failed: {exc!r}")
+        extra["ingest_error"] = repr(exc)
 
     print(
         json.dumps(
