@@ -198,3 +198,100 @@ def probe_bank_xla(bank2d: jax.Array, row_idx: jax.Array, shift: jax.Array, K: i
     bits = jax.lax.shift_right_logical(rows, shift[:, None].astype(jnp.uint32)) & jnp.uint32(1)
     T = row_idx.shape[0] // K
     return jnp.all(bits.reshape(T, K, -1) == 1, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Byte-scan kernel: case-already-lowered substring scan over HBM-pinned rows
+# (the device row cache's hot op). The XLA sliding-window formulation
+# re-reads each row's bytes once per window offset (MAX_SCAN_WINDOW x the
+# traffic; measured ~100 ms for a 1.7 GB gather on v5e); this kernel loads
+# each row tile into VMEM ONCE, lane-rolls it in-register per offset, and
+# AND-accumulates per-needle match masks — traffic equals the gathered rows.
+# ---------------------------------------------------------------------------
+
+MAX_SCAN_WINDOW = 32  # must equal rowcache.MAX_NEEDLE
+MAX_SCAN_NEEDLES = 8  # per-launch needle cap (callers chunk above this)
+# Mosaic block tiling: the output block's last two dims must divide (8, 128),
+# so the row tile is 128 and callers pad the needle axis to 8.
+_SCAN_ROW_TILE = 128
+
+
+def _make_byte_scan_kernel(n_real: int, n_out: int, RT: int, P: int):
+    def kernel(needles_ref, lens_ref, rows_ref, out_ref):
+        # int32 lanes: Mosaic's dynamic_rotate (pltpu.roll) only supports
+        # 32-bit data on this hardware generation.
+        tile = rows_ref[:, :].astype(jnp.int32)  # (RT, P) from uint8
+        pos = jax.lax.broadcasted_iota(jnp.int32, (RT, P), 1)
+        # int32 masks throughout: Mosaic can't legalize vector i1 selects on
+        # this hardware generation.
+        accs = [jnp.ones((RT, P), dtype=jnp.int32)] * n_real
+        for l in range(MAX_SCAN_WINDOW):
+            # Byte at p+l moves to lane p — a LEFT roll by l, spelled as a
+            # non-negative forward roll by P - l (wrapped lanes are excluded
+            # by the valid-start mask below: active l < len and start <=
+            # P - len together keep p + l < P).
+            rolled = pltpu.roll(tile, P - l, 1) if l else tile
+            for n in range(n_real):
+                match_l = (rolled == needles_ref[n * MAX_SCAN_WINDOW + l]).astype(
+                    jnp.int32
+                )
+                active = l < lens_ref[n]
+                accs[n] = accs[n] & jnp.where(active, match_l, 1)
+        for n in range(n_out):
+            if n < n_real:
+                valid = (pos <= P - lens_ref[n]).astype(jnp.int32)
+                out_ref[n, :] = jnp.max(accs[n] & valid, axis=1)
+            else:
+                out_ref[n, :] = jnp.zeros((RT,), jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_real", "interpret"))
+def byte_scan_pallas(
+    rows: jax.Array,  # uint8[G, P]; G % 128 == 0, P % 128 == 0, rows lowered
+    needles: jax.Array,  # int32[N, MAX_SCAN_WINDOW] byte values, N <= 8
+    lens: jax.Array,  # int32[N]
+    *,
+    n_real: int,  # needles actually present; padding rows compute nothing
+    interpret: bool = False,
+) -> jax.Array:
+    """-> packed uint32[N, G/32] hit bitmap (1 = needle occurs in the row)."""
+    G, P = rows.shape
+    N = needles.shape[0]
+    assert G % _SCAN_ROW_TILE == 0 and P % 128 == 0 and N <= MAX_SCAN_NEEDLES
+    assert N % 8 == 0, "pad the needle axis to 8 (Mosaic sublane tiling)"
+    assert 0 < n_real <= N
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # needles (flattened), lens
+        grid=(G // _SCAN_ROW_TILE,),
+        in_specs=[
+            pl.BlockSpec(
+                (_SCAN_ROW_TILE, P),
+                lambda g, needles_ref, lens_ref: (g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (N, _SCAN_ROW_TILE),
+            lambda g, needles_ref, lens_ref: (0, g),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    hit = pl.pallas_call(
+        _make_byte_scan_kernel(n_real, N, _SCAN_ROW_TILE, P),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, G), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_real * MAX_SCAN_WINDOW * G * P,
+            bytes_accessed=G * P + N * G * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(needles.reshape(-1), lens, rows)
+
+    match = hit != 0  # bool[N, G]
+    groups = match.reshape(N, G // 32, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)

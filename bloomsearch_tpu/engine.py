@@ -1094,6 +1094,25 @@ class BloomSearchEngine:
 
         scan_plan = compile_scan_plan(prune_query, self.config.delimiter)
 
+        # Serving mode: every surviving block already pinned in the device
+        # row cache scans in ONE batched launch up front (warm queries then
+        # cost ~one scan launch total instead of one per block); cold
+        # blocks decode + pin inside their tasks as usual.
+        prescanned: dict = {}
+        if self._row_cache is not None and scan_plan is not None:
+            already_pinned = []
+            for job in jobs:
+                pinned = self._row_cache.get((job.file_pointer, job.block.offset))
+                if pinned is not None:
+                    already_pinned.append(pinned)
+            if already_pinned:
+                try:
+                    prescanned = self._row_cache.scan_many(
+                        already_pinned, scan_plan.needles
+                    )
+                except Exception:
+                    logger.exception("batched row-cache scan failed; per-block fallback")
+
         # Block work runs on the SHARED executor (bounded across all
         # queries); the global semaphore still bounds in-flight blocks. Each
         # job is an independent future, so one failing block reports to
@@ -1103,7 +1122,7 @@ class BloomSearchEngine:
             self._block_pool.submit(
                 self._block_task,
                 q, compiled_regex, scan_plan, job, result_queue,
-                error_queue, stats_queue, cancel_event,
+                error_queue, stats_queue, cancel_event, prescanned,
             )
             for job in jobs
         ]
@@ -1323,13 +1342,15 @@ class BloomSearchEngine:
         error_queue: Optional[queue.Queue],
         stats_queue: Optional[queue.Queue],
         cancel_event: Optional[threading.Event],
+        prescanned: Optional[dict] = None,
     ) -> None:
         if cancel_event is not None and cancel_event.is_set():
             return
         with self._query_semaphore:
             try:
                 self._process_data_block(
-                    q, compiled_regex, scan_plan, job, result_queue, stats_queue, cancel_event
+                    q, compiled_regex, scan_plan, job, result_queue, stats_queue,
+                    cancel_event, prescanned,
                 )
             except Exception as exc:
                 try_put(error_queue, exc)  # this block fails; others continue
@@ -1343,6 +1364,7 @@ class BloomSearchEngine:
         result_queue: queue.Queue,
         stats_queue: Optional[queue.Queue],
         cancel_event: Optional[threading.Event],
+        prescanned: Optional[dict] = None,
     ) -> None:
         """Decode a surviving block, candidate-scan it, and exactly verify.
 
@@ -1409,8 +1431,11 @@ class BloomSearchEngine:
                     mask = evaluate_plan(scan_plan, scanned_inline, num_rows)
                 elif pinned is not None:
                     # Serving mode: the needle scan runs on-device over the
-                    # HBM-pinned row matrix; host CPU never touches the bytes.
-                    scanned = self._row_cache.scan(pinned, scan_plan.needles)
+                    # HBM-pinned rows; warm blocks were scanned in ONE
+                    # batched launch at planning time, cold re-pins scan here.
+                    scanned = (prescanned or {}).get(cache_key)
+                    if scanned is None:
+                        scanned = self._row_cache.scan(pinned, scan_plan.needles)
                     mask = evaluate_plan(scan_plan, scanned, num_rows)
                 else:
                     buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, bytes) else data

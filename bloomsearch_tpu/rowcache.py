@@ -1,22 +1,32 @@
 """Device row cache: HBM-pinned row data with on-device candidate scanning.
 
-Serving mode for hot data. The host candidate scan (scan.py) already avoids
-JSON-parsing non-matching rows, but still burns host CPU re-reading and
+Serving mode for hot data. The host candidate scan (scan.py) avoids
+JSON-parsing non-matching rows but still burns host CPU re-reading and
 re-scanning block bytes on every query. Here a block's decompressed rows are
-pinned in HBM **once** — lowercased and padded into a ``uint8[num_rows,
-row_width]`` matrix — and each query's needle scan runs on the TPU as a
-vectorized sliding-window comparison, returning only a tiny per-row bitmap.
-Both filter probing (bank.py) and candidate scanning then execute on-device;
-the host only JSON-parses the handful of surviving candidate rows.
+pinned in HBM **once** — lowercased and padded into rows of a width-bucketed
+**superbatch matrix** ``uint8[cap_rows, width]`` shared by every pinned
+block of similar row width — and each query's needle scan runs on the TPU
+as ONE vectorized sliding-window launch per bucket:
+
+- all of a query's needles scan together (needle axis vectorized, padded to
+  a small bucket), and
+- concurrent block scans coalesce through a windowless leader-drains-queue
+  combiner (the same design as the probe-launch batcher in bloom/bank.py):
+  the leader launches the whole bucket once with the UNION of pending
+  queries' needles and every waiter slices out its blocks' rows — so a
+  query touching 40 pinned blocks costs ~1 launch, not 40 (launch
+  round-trips dominate through remote-TPU tunnels and still cost tens of
+  µs locally).
 
 Conservative-by-construction like scan.py: rows longer than the padding cap
-are flagged always-candidate, padding bytes are zeros (never match printable
-needles), and the exact verification stage still runs on every candidate.
+are flagged always-candidate, rows whose bytes can't prove needle absence
+(non-ASCII, \\uXXXX / \\/ escapes) are always-candidates, padding bytes are
+zeros (never match printable needles), and the exact verification stage
+still runs on every candidate.
 """
 
 from __future__ import annotations
 
-import functools
 import threading
 from typing import Optional
 
@@ -24,6 +34,8 @@ import numpy as np
 
 ROW_WIDTH_CAP = 4096  # rows longer than this are always-candidates
 _LANE = 128
+
+MAX_NEEDLE = 32  # longer needles fall back to always-candidate
 
 
 def _round_up(x: int, m: int) -> int:
@@ -37,53 +49,110 @@ def _round_up_pow2(n: int) -> int:
     return p
 
 
-MAX_NEEDLE = 32  # longer needles fall back to always-candidate
-
-
 def _device_scan_fn():
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def scan_rows(rows2d, needles_padded, needle_lens):
-        """rows2d uint8[R, P] (lowercased), needles uint8[N, MAX_NEEDLE],
+    @functools.partial(jax.jit, static_argnames=("n_real", "use_pallas", "interpret"))
+    def scan_rows(rows2d, row_idx, needles_padded, needle_lens, *,
+                  n_real: int, use_pallas: bool, interpret: bool):
+        """rows2d uint8[R, P] (lowercased bucket matrix), row_idx int32[G]
+        (the REQUESTED rows — gathered on-device so compute is O(requested),
+        not O(resident)), needles int32[N, MAX_NEEDLE] byte values,
+        lens int32[N] -> packed uint32[N, G/32] hit bitmap.
 
-        lens int32[N] -> bool[N, R]. ALL needles scan in ONE launch (the
-        per-query needle count pads to a small bucket), and the loop is
-        fixed at MAX_NEEDLE slices with positions >= each needle's length
-        masked true — so the program compiles once per (rows2d shape, N
-        bucket) instead of once per needle/length (remote-compile
-        environments pay seconds per variant, remote-execute ones pay a
-        round trip per launch).
+        One launch serves every pending block scan of a bucket: all needles
+        vectorized, MAX_NEEDLE fixed window offsets with positions >= each
+        needle's length masked true — the program compiles once per (bucket
+        shape, G bucket, N bucket), never per needle/length/block. On TPU
+        the scan body is the Pallas byte-scan kernel (each gathered row tile
+        loads into VMEM once and lane-rolls in-register — the XLA
+        sliding-window formulation re-reads the bytes once per offset, 32x
+        the traffic).
         """
-        R, P = rows2d.shape
+        gathered = jnp.take(rows2d, row_idx, axis=0)  # [G, P]
+        if use_pallas:
+            from .bloom.pallas_kernels import byte_scan_pallas
+
+            return byte_scan_pallas(
+                gathered, needles_padded, needle_lens,
+                n_real=n_real, interpret=interpret,
+            )
+        G, P = gathered.shape
         W = P - MAX_NEEDLE + 1
         N = needles_padded.shape[0]
-        acc = jnp.ones((N, R, W), dtype=bool)
+        acc = jnp.ones((N, G, W), dtype=bool)
         for l in range(MAX_NEEDLE):
-            window = jax.lax.dynamic_slice_in_dim(rows2d, l, W, axis=1)  # [R, W]
-            cmp = window[None, :, :] == needles_padded[:, l, None, None]  # [N, R, W]
+            window = jax.lax.dynamic_slice_in_dim(gathered, l, W, axis=1)  # [G, W]
+            cmp = window[None, :, :].astype(jnp.int32) == needles_padded[:, l, None, None]
             acc = acc & jnp.where((l < needle_lens)[:, None, None], cmp, True)
-        return jnp.any(acc, axis=2)
+        hit = jnp.any(acc, axis=2)  # bool[N, G]
+        # Pack to bitmap words on-device (32x smaller device->host transfer;
+        # G is padded to a multiple of 32 by the caller).
+        groups = hit.reshape(N, G // 32, 32)
+        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+        return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
 
     return scan_rows
 
 
 class _PinnedBlock:
     __slots__ = (
-        "rows2d", "num_rows", "overlong_mask", "nbytes",
-        "data", "row_offsets", "row_lengths",
+        "key", "bucket_width", "row_start", "num_rows", "always_candidate",
+        "nbytes", "data", "row_offsets", "row_lengths",
     )
 
-    def __init__(self, rows2d, num_rows, overlong_mask, data, row_offsets, row_lengths):
-        self.rows2d = rows2d  # jax uint8[R, P], lowercased
+    def __init__(self, key, bucket_width, row_start, num_rows, always_candidate,
+                 data, row_offsets, row_lengths):
+        self.key = key
+        self.bucket_width = bucket_width
+        self.row_start = row_start  # row offset inside the bucket matrix
         self.num_rows = num_rows
-        self.overlong_mask = overlong_mask  # bool[R]: always-candidates
+        self.always_candidate = always_candidate  # bool[num_rows]
         # Host shadow of the original bytes for candidate extraction/parsing.
         self.data = data
         self.row_offsets = row_offsets
         self.row_lengths = row_lengths
-        self.nbytes = int(np.prod(rows2d.shape)) + len(data)
+        self.nbytes = num_rows * bucket_width + len(data)
+
+
+class _RowBucket:
+    """One width bucket's superbatch matrix; blocks occupy row ranges."""
+
+    __slots__ = (
+        "width", "matrix", "cap", "used", "dead", "segments",
+        "pending", "launch_lock",
+    )
+
+    def __init__(self, width: int):
+        self.width = width
+        self.matrix = None  # jax uint8[cap, width]
+        self.cap = 0
+        self.used = 0
+        self.dead = 0
+        self.segments: dict[tuple, tuple[int, int]] = {}  # key -> (start, n)
+        # Cross-query scan combiner state (guarded by the cache lock /
+        # launch_lock — see DeviceRowCache.scan).
+        self.pending: list["_PendingScan"] = []
+        self.launch_lock = threading.Lock()
+
+
+class _PendingScan:
+    __slots__ = ("keys", "needles", "done", "hits", "segments", "error")
+
+    def __init__(self, keys: list[tuple], needles: tuple[bytes, ...]):
+        self.keys = keys
+        self.needles = needles
+        self.done = threading.Event()
+        # key -> {needle: bool[num_rows]} (None value: block vanished).
+        self.hits: Optional[dict[tuple, Optional[dict]]] = None
+        # Per-key (start, n) in the SAME matrix snapshot the hits came from —
+        # compaction may move rows concurrently, so slice coordinates must
+        # travel with the launch, not the block objects.
+        self.segments: Optional[list[Optional[tuple[int, int]]]] = None
+        self.error: Optional[BaseException] = None
 
 
 class DeviceRowCache:
@@ -98,11 +167,30 @@ class DeviceRowCache:
         self.capacity_bytes = capacity_bytes
         self._lock = threading.Lock()
         self._blocks: dict[tuple[bytes, int], _PinnedBlock] = {}
+        self._buckets: dict[int, _RowBucket] = {}
         self._scan = _device_scan_fn()
+        # The Pallas byte-scan kernel exists (pallas_kernels.byte_scan_pallas)
+        # but measured SLOWER than the XLA sliding-window fusion on v5e
+        # (185 vs 164 ms warm serving p50 on the 48 MB benchmark): Mosaic's
+        # dynamic_rotate only supports 32-bit lanes, so each of the 32 window
+        # offsets materializes a full int32 tile copy. XLA's fusion wins
+        # until a SWAR (4-bytes-per-lane) kernel formulation lands; opt in
+        # via use_pallas for experiments, pallas_interpret for CPU tests.
+        self.use_pallas = False
+        self.pallas_interpret = False
+        self.launches = 0  # observability
+        self.scan_requests = 0
+
+    # -- residency ------------------------------------------------------
 
     def total_bytes(self) -> int:
         with self._lock:
-            return sum(b.nbytes for b in self._blocks.values())
+            return self._total_bytes_locked()
+
+    def _total_bytes_locked(self) -> int:
+        bucket_bytes = sum(b.cap * b.width for b in self._buckets.values())
+        host_bytes = sum(len(blk.data) for blk in self._blocks.values())
+        return bucket_bytes + host_bytes
 
     def get(self, key: tuple[bytes, int]) -> Optional[_PinnedBlock]:
         with self._lock:
@@ -114,7 +202,48 @@ class DeviceRowCache:
     def invalidate_file(self, pointer: bytes) -> None:
         with self._lock:
             for key in [k for k in self._blocks if k[0] == pointer]:
-                self._blocks.pop(key)
+                self._remove_locked(key)
+            self._maybe_compact_locked()
+
+    def _remove_locked(self, key) -> None:
+        block = self._blocks.pop(key, None)
+        if block is None:
+            return
+        bucket = self._buckets.get(block.bucket_width)
+        if bucket is not None:
+            seg = bucket.segments.pop(key, None)
+            if seg is not None:
+                bucket.dead += seg[1]
+
+    def _maybe_compact_locked(self) -> None:
+        jnp = self._jnp
+        for bucket in self._buckets.values():
+            if bucket.dead == 0 or bucket.dead * 2 < bucket.used:
+                continue
+            order = sorted(bucket.segments.items(), key=lambda kv: kv[1][0])
+            rows = []
+            cursor = 0
+            new_segments = {}
+            for key, (start, n) in order:
+                rows.extend(range(start, start + n))
+                new_segments[key] = (cursor, n)
+                block = self._blocks.get(key)
+                if block is not None:
+                    block.row_start = cursor
+                cursor += n
+            new_cap = max(8, _round_up_pow2(max(cursor, 1)))
+            new_matrix = jnp.zeros((new_cap, bucket.width), dtype=jnp.uint8)
+            if rows:
+                idx = jnp.asarray(np.asarray(rows, dtype=np.int32))
+                live = jnp.take(bucket.matrix, idx, axis=0)
+                new_matrix = self._jax.lax.dynamic_update_slice(
+                    new_matrix, live, (0, 0)
+                )
+            bucket.matrix = new_matrix
+            bucket.cap = new_cap
+            bucket.used = cursor
+            bucket.dead = 0
+            bucket.segments = new_segments
 
     def pin(
         self,
@@ -123,20 +252,21 @@ class DeviceRowCache:
         row_offsets: np.ndarray,
         row_lengths: np.ndarray,
     ) -> _PinnedBlock:
-        """Build and cache the padded lowered row matrix for a block."""
+        """Build the padded lowered row matrix for a block and append it to
+        its width bucket's device matrix."""
+        jax = self._jax
         jnp = self._jnp
         num_rows = row_offsets.shape[0]
         width = int(row_lengths.max()) if num_rows else 0
-        overlong = row_lengths > ROW_WIDTH_CAP
+        overlong = np.asarray(row_lengths > ROW_WIDTH_CAP)
         width = min(width, ROW_WIDTH_CAP)
-        # Extra MAX_NEEDLE tail so the fixed-size scan windows cover every
-        # start position of the longest row (the scan always slides a
-        # MAX_NEEDLE-wide window; without headroom, matches in a row's last
-        # bytes would fall outside the window range).
+        # MAX_NEEDLE tail headroom so fixed-size scan windows cover every
+        # start position of the longest row; then bucket the width to a
+        # power of two of lanes so blocks share matrices (bounded compiles).
         width = max(_round_up(width + MAX_NEEDLE, _LANE), _LANE)
-        rows_padded = _round_up(max(num_rows, 1), 8)
+        width = _LANE * _round_up_pow2(width // _LANE)
 
-        matrix = np.zeros((rows_padded, width), dtype=np.uint8)
+        matrix = np.zeros((max(num_rows, 1), width), dtype=np.uint8)
         buf = np.frombuffer(data, dtype=np.uint8)
         for i in range(num_rows):
             if overlong[i]:
@@ -158,49 +288,210 @@ class DeviceRowCache:
         backslash = matrix[:, :-1] == ord("\\")
         nxt = matrix[:, 1:]
         escapes = (backslash & ((nxt == ord("u")) | (nxt == ord("/")))).any(axis=1)
-        always_candidate = np.asarray(overlong).copy()
+        always_candidate = overlong.copy()
         always_candidate |= (nonascii | escapes)[: always_candidate.shape[0]]
 
-        block = _PinnedBlock(
-            jnp.asarray(matrix), num_rows, always_candidate,
-            data, row_offsets, row_lengths,
-        )
         with self._lock:
+            existing = self._blocks.get(key)
+            if existing is not None:
+                return existing
+            bucket = self._buckets.get(width)
+            if bucket is None:
+                bucket = _RowBucket(width)
+                self._buckets[width] = bucket
+            if bucket.used + num_rows > bucket.cap:
+                new_cap = max(8, _round_up_pow2(bucket.used + max(num_rows, 1)))
+                new_matrix = jnp.zeros((new_cap, width), dtype=jnp.uint8)
+                if bucket.matrix is not None and bucket.used > 0:
+                    new_matrix = jax.lax.dynamic_update_slice(
+                        new_matrix, bucket.matrix[: bucket.used], (0, 0)
+                    )
+                bucket.matrix = new_matrix
+                bucket.cap = new_cap
+            if num_rows > 0:
+                bucket.matrix = jax.lax.dynamic_update_slice(
+                    bucket.matrix, jnp.asarray(matrix), (bucket.used, 0)
+                )
+            block = _PinnedBlock(
+                key, width, bucket.used, num_rows, always_candidate,
+                data, row_offsets, row_lengths,
+            )
+            bucket.segments[key] = (bucket.used, num_rows)
+            bucket.used += num_rows
             self._blocks[key] = block
+            # LRU eviction under the byte budget.
             while (
-                sum(b.nbytes for b in self._blocks.values()) > self.capacity_bytes
+                self._total_bytes_locked() > self.capacity_bytes
                 and len(self._blocks) > 1
             ):
                 oldest = next(iter(self._blocks))
-                self._blocks.pop(oldest)
+                if oldest == key:
+                    break
+                self._remove_locked(oldest)
+            self._maybe_compact_locked()
         return block
+
+    # -- scanning ---------------------------------------------------------
 
     def scan(self, block: _PinnedBlock, needles: list[bytes]) -> np.ndarray:
         """-> bool[len(needles), num_rows] candidate matrix (device scan).
 
-        All usable needles run in ONE device launch; degenerate/oversized
-        needles are conservatively all-candidate host-side.
+        Concurrent scans of blocks in the same width bucket coalesce: one
+        leader launches the bucket ONCE with the union of pending needle
+        sets and every waiter slices its own block's rows.
         """
+        return self.scan_many([block], needles)[block.key]
+
+    def scan_many(
+        self, blocks: list[_PinnedBlock], needles: list[bytes]
+    ) -> dict[tuple, np.ndarray]:
+        """Scan MANY pinned blocks in (at most) one launch per width bucket.
+
+        The query planner knows every surviving block upfront, so a warm
+        serving-mode query costs ~one scan launch total instead of one per
+        block. -> {block.key: bool[len(needles), num_rows]}.
+        """
+        out: dict[tuple, np.ndarray] = {}
+        usable = tuple(n for n in needles if n and len(n) <= MAX_NEEDLE)
+        by_bucket: dict[int, list[_PinnedBlock]] = {}
+        for block in blocks:
+            by_bucket.setdefault(block.bucket_width, []).append(block)
+        for width, group in by_bucket.items():
+            hits = (
+                self._bucket_hits(width, [b.key for b in group], usable)
+                if usable
+                else {}
+            )
+            for block in group:
+                mat = np.zeros((len(needles), block.num_rows), dtype=bool)
+                block_hits = hits.get(block.key) if usable else {}
+                stale = usable and (
+                    block_hits is None
+                    or any(len(h) != block.num_rows for h in block_hits.values())
+                )
+                if stale:
+                    # Evicted/moved under us: conservative (exact verify
+                    # still rejects false positives).
+                    mat[:] = True
+                else:
+                    for qi, needle in enumerate(needles):
+                        if not needle or len(needle) > MAX_NEEDLE:
+                            mat[qi] = True  # degenerate/oversized
+                        elif block_hits:
+                            mat[qi] = block_hits[needle]
+                if block.always_candidate.any():
+                    mat[:, block.always_candidate[: block.num_rows]] = True
+                out[block.key] = mat
+        return out
+
+    def _bucket_hits(
+        self, width: int, keys: list[tuple], needles: tuple[bytes, ...]
+    ) -> dict[tuple, Optional[dict]]:
+        """Scan blocks of one bucket via the combiner ->
+        {key: {needle: bool[num_rows]} | None (block vanished)}."""
+        req = _PendingScan(keys, needles)
+        with self._lock:
+            bucket = self._buckets.get(width)
+            if bucket is None or bucket.matrix is None:
+                return {k: None for k in keys}
+            bucket.pending.append(req)
+        with bucket.launch_lock:
+            if not req.done.is_set():
+                with self._lock:
+                    batch = bucket.pending
+                    bucket.pending = []
+                    # Consistent snapshot: the matrix AND every waiter's
+                    # segment coordinates under one lock acquisition
+                    # (compaction may move rows at any time).
+                    matrix = bucket.matrix
+                    for r in batch:
+                        r.segments = [bucket.segments.get(k) for k in r.keys]
+                try:
+                    self._launch_bucket_scan(matrix, batch)
+                except BaseException as exc:
+                    for r in batch:
+                        r.error = exc
+                        r.done.set()
+                    raise
+        if req.error is not None:
+            raise req.error
+        return req.hits
+
+    def _launch_bucket_scan(self, matrix, batch: list[_PendingScan]) -> None:
+        """ONE launch for every pending request: gather the union of the
+        requested row ranges on-device (compute scales with the rows asked
+        for, not with residency) and scan them against the union of the
+        requested needles; each waiter slices its own span."""
         jnp = self._jnp
-        out = np.zeros((len(needles), block.num_rows), dtype=bool)
-        usable = [
-            (qi, n) for qi, n in enumerate(needles) if n and len(n) <= MAX_NEEDLE
-        ]
-        for qi, needle in enumerate(needles):
-            if not needle or len(needle) > MAX_NEEDLE:
-                out[qi] = True  # degenerate/oversized: conservative
-        if usable:
-            n_bucket = _round_up_pow2(len(usable))
-            padded = np.zeros((n_bucket, MAX_NEEDLE), dtype=np.uint8)
+        self.launches += 1
+        self.scan_requests += len(batch)
+        union: list[bytes] = []
+        seen = set()
+        for r in batch:
+            for n in r.needles:
+                if n not in seen:
+                    seen.add(n)
+                    union.append(n)
+
+        idx_parts: list[np.ndarray] = []
+        spans: list[list[Optional[tuple[int, int]]]] = []
+        cursor = 0
+        for r in batch:
+            r_spans: list[Optional[tuple[int, int]]] = []
+            for seg in r.segments:
+                if seg is None:
+                    r_spans.append(None)
+                    continue
+                start, n = seg
+                idx_parts.append(np.arange(start, start + n, dtype=np.int32))
+                r_spans.append((cursor, n))
+                cursor += n
+            spans.append(r_spans)
+        # Multiple of 128 (the kernel's row tile) and of 32 (bit packing).
+        g_pad = _round_up_pow2(max(cursor, 128))
+        row_idx = np.zeros(g_pad, dtype=np.int32)  # pad rows sliced out below
+        if idx_parts:
+            row_idx[:cursor] = np.concatenate(idx_parts)
+        row_idx_dev = jnp.asarray(row_idx)
+
+        # Needles in chunks of the kernel's per-launch cap (rarely >1 chunk).
+        from .bloom.pallas_kernels import MAX_SCAN_NEEDLES
+
+        chunk = MAX_SCAN_NEEDLES if self.use_pallas or self.pallas_interpret else 64
+        hit_rows: list[np.ndarray] = []
+        for base in range(0, len(union), chunk):
+            part = union[base : base + chunk]
+            # >= 8: Mosaic sublane tiling on the kernel's needle axis.
+            n_bucket = max(8, _round_up_pow2(len(part)))
+            padded = np.zeros((n_bucket, MAX_NEEDLE), dtype=np.int32)
             lens = np.zeros(n_bucket, dtype=np.int32)
-            for row, (_qi, needle) in enumerate(usable):
+            for row, needle in enumerate(part):
                 padded[row, : len(needle)] = np.frombuffer(needle, dtype=np.uint8)
                 lens[row] = len(needle)
-            device_hits = np.asarray(
-                self._scan(block.rows2d, jnp.asarray(padded), jnp.asarray(lens))
+            packed = np.asarray(
+                self._scan(
+                    matrix, row_idx_dev, jnp.asarray(padded), jnp.asarray(lens),
+                    n_real=len(part),
+                    use_pallas=self.use_pallas or self.pallas_interpret,
+                    interpret=self.pallas_interpret,
+                )
             )
-            for row, (qi, _needle) in enumerate(usable):
-                out[qi] = device_hits[row, : block.num_rows]
-        if block.overlong_mask.any():
-            out[:, block.overlong_mask[: block.num_rows]] = True
-        return out
+            bits = np.unpackbits(
+                packed.view(np.uint8), axis=1, bitorder="little"
+            ).astype(bool)
+            hit_rows.extend(bits[: len(part)])
+        device_hits = np.stack(hit_rows) if hit_rows else np.zeros((0, g_pad), bool)
+        needle_row = {needle: i for i, needle in enumerate(union)}
+        for r, r_spans in zip(batch, spans):
+            hits: dict[tuple, Optional[dict]] = {}
+            for key, span in zip(r.keys, r_spans):
+                if span is None:
+                    hits[key] = None
+                else:
+                    c, n = span
+                    hits[key] = {
+                        needle: device_hits[needle_row[needle], c : c + n]
+                        for needle in r.needles
+                    }
+            r.hits = hits
+            r.done.set()
