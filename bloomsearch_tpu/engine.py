@@ -1089,10 +1089,13 @@ class BloomSearchEngine:
             return
 
         # Candidate-scan pre-filter for the decode stage (scan.py): sound
-        # necessary-condition substring pruning over the prune query.
-        from .scan import compile_scan_plan
+        # necessary-condition substring pruning over the prune query PLUS
+        # each regex pattern's mandatory literal (regex-only queries would
+        # otherwise JSON-parse every row of surviving blocks).
+        from .scan import compile_scan_plan, regex_scan_query
 
-        scan_plan = compile_scan_plan(prune_query, self.config.delimiter)
+        scan_query = and_bloom_queries(prune_query, regex_scan_query(q.regex))
+        scan_plan = compile_scan_plan(scan_query, self.config.delimiter)
 
         # Serving mode: every surviving block already pinned in the device
         # row cache scans in ONE batched launch up front (warm queries then

@@ -58,6 +58,83 @@ def _usable_needle(text: str) -> bool:
     return True
 
 
+def regex_mandatory_literal(pattern: str) -> Optional[str]:
+    """The longest literal substring every match of ``pattern`` must contain.
+
+    Walks the top level of the parsed pattern: every item of a top-level
+    concatenation is mandatory, so any contiguous LITERAL run there is a
+    necessary substring of any match. Anything else (branches, classes,
+    repeats, anchors, groups) just breaks the run — never unsound, only
+    less selective. Returns a lowercased needle (the scan lowers both
+    sides) of length >= 2, or None.
+    """
+    try:
+        import re._constants as sre_c
+        import re._parser as sre_p
+
+        parsed = sre_p.parse(pattern)
+    except Exception:
+        return None
+    best = ""
+    run: list[str] = []
+
+    def flush():
+        nonlocal best
+        if len(run) > len(best):
+            best = "".join(run)
+        run.clear()
+
+    for op, arg in parsed:
+        if op is sre_c.LITERAL and isinstance(arg, int) and 0x20 <= arg <= 0x7E:
+            run.append(chr(arg))
+        else:
+            flush()
+    flush()
+    best = best.lower()
+    return best if len(best) >= 2 and _usable_needle(best) else None
+
+
+def regex_scan_query(regex_query) -> Optional[BloomQuery]:
+    """Mirror a regex tree as pseudo-TOKEN scan conditions over each
+    pattern's mandatory literal (regex conditions otherwise never
+    pre-filter, so regex-only queries JSON-parse every row of surviving
+    blocks). Conditions without an extractable literal become nil
+    (always-true) leaves; the AND/OR shape is preserved, so the mask is a
+    sound necessary condition for the regex stage. FOR SCANNING ONLY —
+    these pseudo conditions are not bloom keys.
+    """
+    from .query import (
+        BloomCondition,
+        BloomExprType,
+        RegexExprType,
+    )
+
+    if regex_query is None or regex_query.expression is None:
+        return None
+
+    def visit(expr) -> BloomExpression:
+        if expr.expression_type == RegexExprType.CONDITION:
+            literal = (
+                regex_mandatory_literal(expr.condition.pattern)
+                if expr.condition is not None
+                else None
+            )
+            if literal is None:
+                return BloomExpression(BloomExprType.CONDITION, condition=None)  # nil: true
+            return BloomExpression(
+                BloomExprType.CONDITION,
+                condition=BloomCondition(BloomConditionType.TOKEN, token=literal),
+            )
+        kind = (
+            BloomExprType.AND
+            if expr.expression_type == RegexExprType.AND
+            else BloomExprType.OR
+        )
+        return BloomExpression(kind, children=[visit(c) for c in expr.children])
+
+    return BloomQuery(visit(regex_query.expression))
+
+
 class ScanPlan:
     """Per-query compiled needle set + expression over condition bitmasks."""
 

@@ -241,3 +241,78 @@ class TestUnprovableRows:
         scan = cache.scan(pinned, [b"k", b"a<b", b"a/b"])
         assert scan[:, 0].all() and scan[:, 1].all() and scan[:, 2].all()
         assert not scan[:, 3].any()
+
+
+class TestRegexLiteralPrefilter:
+    def test_mandatory_literal_extraction(self):
+        from bloomsearch_tpu.scan import regex_mandatory_literal as lit
+
+        assert lit(r"connection\s+\w+") == "connection"
+        assert lit(r"^ERROR: .*") == "error: "
+        assert lit(r"time\d+out") == "time"  # longest run
+        assert lit(r"x\d+timeout") == "timeout"
+        assert lit(r"abc|def") is None  # branch: no top-level literal
+        assert lit(r"[Tt]imeout") == "imeout"
+        assert lit(r".*") is None
+        assert lit(r"a") is None  # too short
+        assert lit(r"CaseSensitive") == "casesensitive"  # scan lowers both sides
+
+    def test_regex_only_query_prunes_rows(self):
+        rows = [{"msg": f"row {i} filler text"} for i in range(200)]
+        rows.append({"msg": "connection    timeout here"})
+        q = bs.new_query().field_regex("msg", r"connection\s+timeout").build()
+        from bloomsearch_tpu.scan import regex_scan_query
+        from bloomsearch_tpu.query import regex_field_guard_bloom_query
+
+        prune = and_bloom_queries(None, regex_field_guard_bloom_query(q.regex))
+        scan_q = and_bloom_queries(prune, regex_scan_query(q.regex))
+        mask = scan_mask(scan_q, rows)
+        assert mask is not None
+        assert mask[200] and mask[:200].sum() == 0, "literal should prune all fillers"
+
+    def test_regex_or_tree_masks_correctly(self):
+        rows = [
+            {"m": "alpha here"},
+            {"m": "bravo there"},
+            {"m": "neither"},
+        ]
+        q = (
+            bs.new_query()
+            .match_regex(
+                bs.regex_or(bs.field_regex("m", r"alpha\d*"), bs.field_regex("m", "bravo"))
+            )
+            .build()
+        )
+        from bloomsearch_tpu.scan import regex_scan_query
+        from bloomsearch_tpu.query import regex_field_guard_bloom_query
+
+        prune = and_bloom_queries(None, regex_field_guard_bloom_query(q.regex))
+        scan_q = and_bloom_queries(prune, regex_scan_query(q.regex))
+        mask = scan_mask(scan_q, rows)
+        assert mask[0] and mask[1] and not mask[2]
+
+    def test_engine_regex_only_end_to_end(self, tmp_path):
+        from bloomsearch_tpu import BloomSearchEngine, BloomSearchEngineConfig, FileSystemDataStore
+
+        store = FileSystemDataStore(str(tmp_path / "data"))
+        engine = BloomSearchEngine(
+            BloomSearchEngineConfig(row_data_compression="none"), store, store
+        )
+        engine.start()
+        try:
+            rows = [{"n": i, "msg": f"plain {i}"} for i in range(300)]
+            rows.append({"n": -1, "msg": "connection 47 timeout"})
+            engine.ingest_rows(rows, timeout=10)
+            engine.flush(timeout=10)
+            got = engine.query_sync(
+                bs.new_query().field_regex("msg", r"connection \d+ timeout").build(),
+                timeout=10,
+            )
+            assert got == [{"n": -1, "msg": "connection 47 timeout"}]
+            # Unprovable/no-literal regexes stay exact (conservative).
+            got = engine.query_sync(
+                bs.new_query().field_regex("msg", r"plain (1|2)$").build(), timeout=10
+            )
+            assert sorted(r["n"] for r in got) == [1, 2]
+        finally:
+            engine.stop(timeout=10)
