@@ -153,8 +153,10 @@ class BloomSearchEngineConfig:
     # field:token pairs), so high-cardinality data saturates filters sized
     # that way (the reference's own benchmark degrades to full scans for
     # this reason). Set this to the expected distinct KEYS per block to keep
-    # the configured FPR honest; None keeps reference-parity sizing.
-    block_bloom_expected_items: Optional[int] = None
+    # the configured FPR honest; "auto" measures keys/row during ingest and
+    # sizes each NEW block buffer accordingly (self-correcting where the
+    # reference silently degrades); None keeps reference-parity sizing.
+    block_bloom_expected_items: Optional[int | str] = None
 
     # Default to snappy for fast decompression like the reference
     # (bloom_tree_engine.go:223-224); falls back to zstd if the native
@@ -216,8 +218,12 @@ class BloomSearchEngineConfig:
     @property
     def block_bloom_params(self) -> BloomParams:
         # Block filters are sized by the row-group cap (reference :518-520)
-        # unless block_bloom_expected_items overrides it.
+        # unless block_bloom_expected_items overrides it ("auto" resolves
+        # per buffer in _IngestState from measured keys/row; this property
+        # is its cold-start fallback).
         n = self.block_bloom_expected_items or self.max_row_group_rows
+        if n == "auto":
+            n = self.max_row_group_rows
         return BloomParams(n, self.bloom_false_positive_rate, self.bloom_layout)
 
 
@@ -357,6 +363,7 @@ class _PartitionBuffer:
         "filters",
         "encoder",
         "created_at_ms",
+        "params",
     )
 
     def __init__(self, partition_id: str, params: BloomParams, compression: str, zstd_level: int):
@@ -366,6 +373,8 @@ class _PartitionBuffer:
         self.filters = BloomFilters.from_params(params)
         self.encoder = StreamEncoder(compression, zstd_level)
         self.created_at_ms = int(time.time() * 1000)
+        # Recorded in block metadata at flush (auto sizing varies per buffer).
+        self.params = params
 
     @property
     def uncompressed_size(self) -> int:
@@ -502,6 +511,16 @@ class BloomSearchEngine:
             raise InvalidConfigError("bloom_layout must be classic|blocked256")
         if config.mesh_devices is not None and config.mesh_devices < 1:
             raise InvalidConfigError("mesh_devices must be >= 1 (or None for auto)")
+        if isinstance(config.block_bloom_expected_items, str):
+            if config.block_bloom_expected_items != "auto":
+                raise InvalidConfigError(
+                    'block_bloom_expected_items must be an int, None, or "auto"'
+                )
+        elif (
+            config.block_bloom_expected_items is not None
+            and config.block_bloom_expected_items <= 0
+        ):
+            raise InvalidConfigError("block_bloom_expected_items must be > 0")
 
         self.config = config
         self.meta_store = meta_store
@@ -785,9 +804,10 @@ class BloomSearchEngine:
                     compression=self.config.row_data_compression,
                     uncompressed_size=buf.uncompressed_size,
                     created_at_ms=buf.created_at_ms,
-                    # Block filter params are stamped from current config
-                    # (reference :792-793).
-                    params=self.config.block_bloom_params,
+                    # Stamp the params this buffer's filters were actually
+                    # built with (reference stamps current config :792-793;
+                    # ours can vary per buffer under auto sizing).
+                    params=buf.params,
                 )
             metadata = writer.finish(flush_req.file_filters)
             writer_fh.close()
@@ -1836,6 +1856,28 @@ class _IngestState:
         self.buffered_bytes = 0
         self.buffer_start_time: Optional[float] = None
         self.file_filters = BloomFilters.from_params(self.config.file_bloom_params)
+        # Running keys/row estimate for block_bloom_expected_items="auto"
+        # (batch-level dedup counts OVERestimate block-level distinct keys —
+        # the conservative direction for filter sizing).
+        self.keys_seen = 0
+        self.rows_seen = 0
+
+    def _record_keys(self, n_keys: int, n_rows: int) -> None:
+        self.keys_seen += n_keys
+        self.rows_seen += n_rows
+
+    def _block_params_for_new_buffer(self) -> BloomParams:
+        config = self.config
+        if config.block_bloom_expected_items != "auto":
+            return config.block_bloom_params
+        if self.rows_seen < 500:
+            return config.block_bloom_params  # cold start: reference sizing
+        keys_per_row = self.keys_seen / self.rows_seen
+        n = max(
+            config.max_row_group_rows,
+            int(keys_per_row * config.max_row_group_rows * 1.25) + 1,
+        )
+        return BloomParams(n, config.bloom_false_positive_rate, config.bloom_layout)
 
     def process(self, req: _IngestRequest) -> None:
         """(reference processIngestRequest :460-675)"""
@@ -1887,7 +1929,7 @@ class _IngestState:
             if buf is None:
                 buf = _PartitionBuffer(
                     partition_id,
-                    config.block_bloom_params,
+                    self._block_params_for_new_buffer(),
                     config.row_data_compression,
                     config.zstd_compression_level,
                 )
@@ -1957,6 +1999,9 @@ class _IngestState:
                     native_result = _native_tokenize(serialized, config.delimiter)
                 if native_result is not None:
                     field_h, token_h, ft_h, fallback_mask = native_result
+                    self._record_keys(
+                        len(field_h) + len(token_h) + len(ft_h), len(partition_rows)
+                    )
                     for hashes, selector in (
                         (field_h, "field"),
                         (token_h, "token"),
@@ -1986,6 +2031,9 @@ class _IngestState:
                     for tok in config.tokenizer(value):
                         token_keys[tok] = None
                         ft_keys[make_field_token_key(path, tok)] = None
+        self._record_keys(
+            len(field_keys) + len(token_keys) + len(ft_keys), len(rows)
+        )
         for keys, selector in (
             (field_keys, "field"),
             (token_keys, "token"),
@@ -2005,7 +2053,7 @@ class _IngestState:
         if buf is None:
             buf = _PartitionBuffer(
                 "",
-                config.block_bloom_params,
+                self._block_params_for_new_buffer(),
                 config.row_data_compression,
                 config.zstd_compression_level,
             )
@@ -2033,6 +2081,9 @@ class _IngestState:
             native_result = _native_tokenize(serialized, config.delimiter)
         if native_result is not None:
             field_h, token_h, ft_h, fallback_mask = native_result
+            self._record_keys(
+                len(field_h) + len(token_h) + len(ft_h), len(serialized)
+            )
             for hashes, selector in (
                 (field_h, "field"),
                 (token_h, "token"),

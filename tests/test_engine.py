@@ -558,3 +558,53 @@ class TestRestartGuard:
         engine.stop(timeout=TIMEOUT)
         with pytest.raises(RuntimeError, match="restart"):
             engine.start()
+
+
+class TestAutoBlockSizing:
+    def test_auto_grows_filters_and_avoids_saturation(self, tmp_path, caplog):
+        import logging as _logging
+
+        engine, store = make_engine(
+            tmp_path,
+            block_bloom_expected_items="auto",
+            max_row_group_rows=200,
+            max_buffered_rows=200,  # flush every 200 rows -> new buffers learn
+        )
+        try:
+            def batch(base):
+                return [
+                    {"a": f"u{base+i}", "b": f"v{base+i}", "c": f"w{base+i}", "d": f"x{base+i}"}
+                    for i in range(199)
+                ]
+
+            with caplog.at_level(_logging.WARNING, logger="bloomsearch_tpu.engine"):
+                # Cold start (parity sizing) until >= 500 rows observed, then
+                # new buffers size from the measured keys/row.
+                for base in (0, 1000, 2000, 3000, 4000):
+                    ingest_and_flush(engine, batch(base))
+            files = store.get_maybe_files_for_query(None)
+            blocks = sorted(
+                (blk for mf in files for blk in mf.metadata.data_blocks),
+                key=lambda b: b.bloom_expected_items,
+            )
+            assert blocks[0].bloom_expected_items == 200  # cold start
+            # Learned sizing: ~12 distinct keys/row * 200 rows * 1.25.
+            assert blocks[-1].bloom_expected_items > 2000
+            # Exactness across mixed-sized blocks, including post-merge.
+            got = engine.query_sync(bs.new_query().token("u3042").build(), timeout=TIMEOUT)
+            assert len(got) == 1 and got[0]["a"] == "u3042"
+            engine.merge()
+            got = engine.query_sync(bs.new_query().token("u4042").build(), timeout=TIMEOUT)
+            assert len(got) == 1
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_invalid_auto_string_rejected(self, tmp_path):
+        from bloomsearch_tpu import FileSystemDataStore
+
+        store = FileSystemDataStore(str(tmp_path / "data"))
+        with pytest.raises(Exception):
+            bs.BloomSearchEngine(
+                BloomSearchEngineConfig(block_bloom_expected_items="automatic"),
+                store, store,
+            )
