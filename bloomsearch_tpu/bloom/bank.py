@@ -221,6 +221,11 @@ class DeviceProbeBackend:
         with self._lock:
             return sum(sb.nbytes for sb in self._superbanks.values())
 
+    def is_resident(self, mk: tuple, seg_key: bytes) -> bool:
+        with self._lock:
+            sb = self._superbanks.get(mk)
+            return sb is not None and seg_key in sb.segments
+
     def invalidate(self, file_pointer: bytes) -> None:
         """Drop any cached banks of a tombstoned/replaced file."""
         with self._lock:

@@ -137,6 +137,29 @@ def probe_bank_host(
     return bits.astype(bool).all(axis=1)
 
 
+def probe_rows_sparse(
+    read_rows, terms: CompiledBloomTerms, m_bits: int, k: int, layout: str = "classic"
+) -> np.ndarray:
+    """Probe via targeted row reads -> bool[T, B].
+
+    ``read_rows(flat_rows int64[U]) -> uint32[U, B]`` fetches only the rows
+    the terms actually probe (keyspace*num_words + word). For needle queries
+    on large filters this touches KBs instead of the whole bank — the cold
+    fast path (file_format.read_bank_rows documents the CRC caveat).
+    """
+    word_idx, bit_idx = terms.positions_for(m_bits, k, layout)  # [T, k]
+    num_words = (m_bits + 31) // 32
+    flat = (
+        terms.ks_idx[:, None].astype(np.int64) * num_words + word_idx
+    ).reshape(-1)
+    uniq, inverse = np.unique(flat, return_inverse=True)
+    rows = read_rows(uniq)  # [U, B]
+    T = len(terms)
+    gathered = rows[inverse].reshape(T, k, -1)
+    bits = (gathered >> bit_idx[:, :, None].astype(np.uint32)) & np.uint32(1)
+    return bits.astype(bool).all(axis=1)
+
+
 def stack_filter_bank(triples) -> np.ndarray:
     """Stack per-file/block ``BloomFilters`` triples into a probe-layout bank.
 

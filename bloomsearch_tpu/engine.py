@@ -87,6 +87,10 @@ logger = logging.getLogger("bloomsearch_tpu.engine")
 PartitionFunc = Callable[[dict], str]
 
 MAX_ROW_BYTES = 0xFFFFFFFF
+
+# Bank groups larger than this take the sparse cold-probe path (seek-read
+# only the probed rows) instead of a full read on first touch.
+SPARSE_BANK_BYTES = 4 * 1024 * 1024
 _LENGTH_PREFIX = struct.Struct("<I")
 
 
@@ -599,6 +603,15 @@ class BloomSearchEngine:
         # snapshots the queries active at that moment, so under continuous
         # query traffic entries still drain as those specific queries finish.
         self._saturation_warned = False
+        # In-flight background bank warms (sparse cold-probe follow-ups).
+        # One dedicated thread: warms stream the FULL banks from disk and
+        # must never crowd the shared block pool (or the disk) that the
+        # triggering query's decode tasks need.
+        self._warming: set[tuple[bytes, int]] = set()
+        self._warm_lock = threading.Lock()
+        self._warm_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="bloomsearch-warm"
+        )
         self._next_query_id = 0
         self._active_query_ids: set[int] = set()
         self._deferred_tombstones: list[tuple[bytes, set[int]]] = []
@@ -1276,33 +1289,40 @@ class BloomSearchEngine:
                 needed.append((mf.pointer, gi, group))
 
         result: dict[tuple[bytes, int], np.ndarray] = {}
+        # Large NON-resident bank groups take the sparse cold path: probe
+        # only the rows the terms touch (KBs of seeks instead of reading the
+        # whole group — cold needle queries become I/O-proportional to the
+        # probe) and warm the CRC-verified full bank in the background so
+        # the next query is resident.
+        sparse: list[tuple] = []
         if self._device_backend is not None:
             from .bloom.probe import is_flat_and_expression
 
+            backend = self._device_backend
             # Flat-AND queries (the dominant shape) fuse the expression into
             # the device program: only a [B] survivor bitmap comes back.
             flat_and = is_flat_and_expression(prune_query.expression)
-            requests = [
-                (
-                    pointer, gi,
-                    (group.m_bits, group.k, group.params.layout),
-                    make_loader(pointer, group),
-                )
-                for pointer, gi, group in needed
-            ]
-            matches = self._device_backend.probe_groups(
-                requests, terms, reduce_and=flat_and
-            )
+            requests = []
             for pointer, gi, group in needed:
-                match = matches[(pointer, gi)]
-                if flat_and:
-                    result[(pointer, gi)] = np.asarray(match[0])
+                mk = (group.m_bits, group.k, group.params.layout)
+                if group.size <= SPARSE_BANK_BYTES or backend.is_resident(
+                    mk, backend.segment_key(pointer, gi)
+                ):
+                    requests.append((pointer, gi, mk, make_loader(pointer, group)))
                 else:
-                    result[(pointer, gi)] = np.asarray(
-                        evaluate_match_expression(
-                            prune_query.expression, terms, match, group.num_blocks
+                    sparse.append((pointer, gi, group))
+            if requests:
+                matches = backend.probe_groups(requests, terms, reduce_and=flat_and)
+                for pointer, gi, mk, _loader in requests:
+                    match = matches[(pointer, gi)]
+                    if flat_and:
+                        result[(pointer, gi)] = np.asarray(match[0])
+                    else:
+                        result[(pointer, gi)] = np.asarray(
+                            evaluate_match_expression(
+                                prune_query.expression, terms, match, match.shape[1]
+                            )
                         )
-                    )
         else:
             by_pointer: dict[bytes, list[tuple[int, Any]]] = {}
             for pointer, gi, group in needed:
@@ -1312,6 +1332,9 @@ class BloomSearchEngine:
                 try:
                     for gi, group in groups:
                         bank = self._host_bank(pointer, group)
+                        if bank is None and group.size > SPARSE_BANK_BYTES:
+                            sparse.append((pointer, gi, group))
+                            continue
                         if bank is None:
                             if fh is None:
                                 fh = self.data_store.open_file(pointer)
@@ -1326,7 +1349,71 @@ class BloomSearchEngine:
                 finally:
                     if fh is not None:
                         fh.close()
+
+        if sparse:
+            from .bloom.probe import probe_rows_sparse
+            from .file_format import read_bank_rows
+
+            by_pointer_sparse: dict[bytes, list[tuple[int, Any]]] = {}
+            for pointer, gi, group in sparse:
+                by_pointer_sparse.setdefault(pointer, []).append((gi, group))
+            for pointer, groups in by_pointer_sparse.items():
+                with self.data_store.open_file(pointer) as fh:
+                    for gi, group in groups:
+                        match = probe_rows_sparse(
+                            lambda rows, fh=fh, group=group: read_bank_rows(
+                                fh, group, rows
+                            ),
+                            terms, group.m_bits, group.k, group.params.layout,
+                        )
+                        result[(pointer, gi)] = np.asarray(
+                            evaluate_match_expression(
+                                prune_query.expression, terms, match, group.num_blocks
+                            )
+                        )
+                        self._schedule_bank_warm(pointer, gi, group)
         return result
+
+    def _schedule_bank_warm(self, pointer: bytes, gi: int, group) -> None:
+        """Background CRC-verified full load of a sparse-probed bank group.
+
+        The sparse cold probe skips the group CRC (it can't cover seek
+        reads); this warm re-reads and VERIFIES the whole group — any
+        corruption surfaces here loudly — and makes the next query
+        resident-fast."""
+        key = (pointer, group.offset)
+        with self._warm_lock:
+            if key in self._warming:
+                return
+            self._warming.add(key)
+
+        def warm():
+            try:
+                if self._device_backend is not None:
+                    mk = (group.m_bits, group.k, group.params.layout)
+                    seg_key = self._device_backend.segment_key(pointer, gi)
+
+                    def load() -> np.ndarray:
+                        with self.data_store.open_file(pointer) as fh:
+                            return read_bank_group(fh, group)
+
+                    self._device_backend._ensure_resident(pointer, mk, seg_key, load)
+                else:
+                    if self._host_bank(pointer, group) is None:
+                        with self.data_store.open_file(pointer) as fh:
+                            bank = read_bank_group(fh, group)
+                        self._host_bank_put(pointer, group, bank)
+            except Exception:
+                logger.exception(
+                    "background bank warm failed for %r group@%d (sparse probes "
+                    "of this group are UNVERIFIED until a full read succeeds)",
+                    pointer, group.offset,
+                )
+            finally:
+                with self._warm_lock:
+                    self._warming.discard(key)
+
+        self._warm_pool.submit(warm)
 
     def _host_bank(self, pointer: bytes, group) -> Optional[np.ndarray]:
         key = (pointer, group.offset)

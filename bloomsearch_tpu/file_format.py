@@ -478,6 +478,32 @@ def read_file_metadata(fh: BinaryIO, file_size: Optional[int] = None) -> FileMet
     return FileMetadata.from_bytes_with_hash(payload, crc_bytes)
 
 
+def read_bank_rows(
+    fh: BinaryIO, group: BankGroupMetadata, flat_rows: np.ndarray
+) -> np.ndarray:
+    """Seek-read specific bank rows -> uint32[len(flat_rows), num_blocks].
+
+    ``flat_rows`` are keyspace*num_words + word indices. A needle query
+    probes ~terms×k rows out of hundreds of thousands, so reading only
+    those (a few KB of seeks) instead of the whole group makes COLD
+    queries I/O-proportional to the probe, not the filter size.
+
+    Integrity caveat: the group CRC covers the whole payload, so sparse
+    reads are NOT CRC-verified — callers must schedule a verified full
+    :func:`read_bank_group` load afterwards (the engine warms the bank
+    cache in the background and any corruption surfaces there, loudly).
+    """
+    row_bytes = group.num_blocks * 4
+    out = np.empty((len(flat_rows), group.num_blocks), dtype=np.uint32)
+    for i, r in enumerate(flat_rows):
+        fh.seek(group.offset + int(r) * row_bytes)
+        payload = fh.read(row_bytes)
+        if len(payload) != row_bytes:
+            raise InvalidFormatError("short read of bank row")
+        out[i] = np.frombuffer(payload, dtype="<u4")
+    return out
+
+
 def read_bank_group(fh: BinaryIO, group: BankGroupMetadata) -> np.ndarray:
     """Read one bank group -> uint32[3, num_words, num_blocks], CRC-verified."""
     fh.seek(group.offset)
