@@ -248,16 +248,20 @@ def main() -> None:
         f"per-launch: {per_launch * 1e6:.1f} us | {probes_per_sec / 1e9:.3f} B probes/s"
     )
 
-    try:
-        extra = e2e_query_bench()
-    except Exception as exc:  # never lose the headline metric
-        log(f"e2e bench failed: {exc!r}")
-        extra = {"e2e_error": repr(exc)}
+    # Ingest first: the e2e phase leaves background threads/teardown that
+    # contend for this one-core container and depress a following ingest
+    # measurement (74k vs 161k rows/s observed).
+    extra: dict = {}
     try:
         extra.update(ingest_bench())
     except Exception as exc:
         log(f"ingest bench failed: {exc!r}")
         extra["ingest_error"] = repr(exc)
+    try:
+        extra.update(e2e_query_bench())
+    except Exception as exc:  # never lose the headline metric
+        log(f"e2e bench failed: {exc!r}")
+        extra["e2e_error"] = repr(exc)
 
     print(
         json.dumps(
