@@ -1389,6 +1389,8 @@ class BloomSearchEngine:
 
         def warm():
             try:
+                if self._stop_event.is_set():
+                    return  # engine stopping: files may already be tombstoned
                 if self._device_backend is not None:
                     mk = (group.m_bits, group.k, group.params.layout)
                     seg_key = self._device_backend.segment_key(pointer, gi)
@@ -1403,6 +1405,8 @@ class BloomSearchEngine:
                         with self.data_store.open_file(pointer) as fh:
                             bank = read_bank_group(fh, group)
                         self._host_bank_put(pointer, group, bank)
+            except FileNotFoundError:
+                pass  # merged/tombstoned meanwhile: nothing left to warm
             except Exception:
                 logger.exception(
                     "background bank warm failed for %r group@%d (sparse probes "

@@ -162,9 +162,15 @@ class _UploadOnCloseFile:
 
 
 class _RangedReadFile:
-    """Seekable read-only file over ranged GETs with block readahead."""
+    """Seekable read-only file over ranged GETs with block readahead.
+
+    Readahead is adaptive: tiny reads (sparse bank-row probes, footer
+    fields) fetch a small window, bulk reads fetch large ones — a fixed
+    256 KB window would turn a 40-byte sparse probe into a 256 KB GET.
+    """
 
     READAHEAD = 256 * 1024
+    SMALL_READAHEAD = 4 * 1024
 
     def __init__(self, client: ObjectStoreClient, key: str, size: int):
         self._client = client
@@ -197,7 +203,7 @@ class _RangedReadFile:
         start, end = self._pos, self._pos + n
         cache_end = self._cache_start + len(self._cache)
         if not (self._cache_start <= start and end <= cache_end):
-            fetch_len = max(n, self.READAHEAD)
+            fetch_len = max(n, self.SMALL_READAHEAD if n <= 1024 else self.READAHEAD)
             self._cache = self._client.get_range(self._key, start, fetch_len)
             self._cache_start = start
         rel = start - self._cache_start
