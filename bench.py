@@ -164,6 +164,9 @@ def e2e_query_bench(target_mb: int = 48) -> dict:
         "e2e_vs_ref_rows_per_sec": round(parity["rows_per_sec"] / REF_ROWS_PER_SEC, 3),
         "e2e_honest_sizing_p50_ms": honest["p50_ms"],
         "e2e_honest_sizing_rows_per_sec": honest["rows_per_sec"],
+        "e2e_honest_vs_ref_rows_per_sec": round(
+            honest["rows_per_sec"] / REF_ROWS_PER_SEC, 3
+        ),
         "e2e_backend": parity["backend"],
         "cpu_count": os.cpu_count(),
     }

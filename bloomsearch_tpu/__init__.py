@@ -115,4 +115,4 @@ from .engine import (
 )
 from .utils import format_bytes_per_second, format_rate
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
