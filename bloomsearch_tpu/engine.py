@@ -580,7 +580,9 @@ class BloomSearchEngine:
         if config.row_cache_bytes > 0 and self._device_backend is not None:
             from .rowcache import DeviceRowCache
 
-            self._row_cache = DeviceRowCache(config.row_cache_bytes)
+            self._row_cache = DeviceRowCache(
+                config.row_cache_bytes, mesh_devices=config.mesh_devices
+            )
 
         # Incremental file-level filter banks per (m, k, layout) group:
         # columns append on first sight of a file and free on tombstone, so

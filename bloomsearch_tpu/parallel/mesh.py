@@ -216,3 +216,47 @@ def unpack_bitmap(packed: np.ndarray, num_cols: int) -> np.ndarray:
         np.ascontiguousarray(packed).view(np.uint8), axis=-1, bitorder="little"
     )
     return bits[..., :num_cols].astype(bool)
+
+
+# --- Row-axis variants (serving row cache) ----------------------------------
+#
+# The device row cache shards its superbatch matrices along ROWS over the
+# same 1-D mesh (uint8[rows, width], P("blocks", None)): pinned-row capacity
+# and scan compute then scale linearly in chips, mirroring what the column
+# helpers above do for filter superbanks.
+
+
+def rows_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(BLOCK_AXIS, None))
+
+
+def _constrain_rows(x: jax.Array, mesh: Optional[Mesh]) -> jax.Array:
+    return x if mesh is None else jax.lax.with_sharding_constraint(x, rows_sharding(mesh))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "rows", "cols"))
+def sharded_zeros_rows(mesh: Optional[Mesh], rows: int, cols: int) -> jax.Array:
+    return _constrain_rows(jnp.zeros((rows, cols), jnp.uint8), mesh)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "new_rows"))
+def sharded_pad_rows(mesh: Optional[Mesh], mat: jax.Array, new_rows: int) -> jax.Array:
+    return _constrain_rows(jnp.pad(mat, ((0, new_rows - mat.shape[0]), (0, 0))), mesh)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def sharded_update_rows(
+    mesh: Optional[Mesh], mat: jax.Array, chunk: jax.Array, start: jax.Array
+) -> jax.Array:
+    out = jax.lax.dynamic_update_slice(mat, chunk, (start, jnp.int32(0)))
+    return _constrain_rows(out, mesh)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "new_rows"))
+def sharded_take_rows(
+    mesh: Optional[Mesh], mat: jax.Array, idx: jax.Array, new_rows: int
+) -> jax.Array:
+    live = jnp.take(mat, idx, axis=0)
+    out = jnp.zeros((new_rows, mat.shape[1]), jnp.uint8)
+    out = jax.lax.dynamic_update_slice(out, live, (0, 0))
+    return _constrain_rows(out, mesh)

@@ -158,13 +158,26 @@ class _PendingScan:
 class DeviceRowCache:
     """LRU cache of pinned blocks keyed by (file pointer, block offset)."""
 
-    def __init__(self, capacity_bytes: int):
+    def __init__(self, capacity_bytes: int, mesh_devices: Optional[int] = None):
         import jax
         import jax.numpy as jnp
 
         self._jax = jax
         self._jnp = jnp
         self.capacity_bytes = capacity_bytes
+        # Multi-chip serving: superbatch matrices shard their ROW axis over
+        # a 1-D mesh (same auto policy as the filter superbanks) — pinned
+        # capacity and scan compute scale linearly in chips.
+        n_visible = len(jax.devices())
+        want = n_visible if mesh_devices is None else mesh_devices
+        if want > 1 and n_visible >= want:
+            from .parallel.mesh import default_mesh
+
+            self.mesh = default_mesh(n_devices=want)
+            self._row_unit = 32 * want  # uint8 sublane tile x even shard split
+        else:
+            self.mesh = None
+            self._row_unit = 32
         self._lock = threading.Lock()
         self._blocks: dict[tuple[bytes, int], _PinnedBlock] = {}
         self._buckets: dict[int, _RowBucket] = {}
@@ -216,6 +229,8 @@ class DeviceRowCache:
                 bucket.dead += seg[1]
 
     def _maybe_compact_locked(self) -> None:
+        from .parallel.mesh import sharded_take_rows, sharded_zeros_rows
+
         jnp = self._jnp
         for bucket in self._buckets.values():
             if bucket.dead == 0 or bucket.dead * 2 < bucket.used:
@@ -231,14 +246,12 @@ class DeviceRowCache:
                 if block is not None:
                     block.row_start = cursor
                 cursor += n
-            new_cap = max(8, _round_up_pow2(max(cursor, 1)))
-            new_matrix = jnp.zeros((new_cap, bucket.width), dtype=jnp.uint8)
+            new_cap = max(self._row_unit, _round_up(max(cursor, 1), self._row_unit))
             if rows:
                 idx = jnp.asarray(np.asarray(rows, dtype=np.int32))
-                live = jnp.take(bucket.matrix, idx, axis=0)
-                new_matrix = self._jax.lax.dynamic_update_slice(
-                    new_matrix, live, (0, 0)
-                )
+                new_matrix = sharded_take_rows(self.mesh, bucket.matrix, idx, new_cap)
+            else:
+                new_matrix = sharded_zeros_rows(self.mesh, new_cap, bucket.width)
             bucket.matrix = new_matrix
             bucket.cap = new_cap
             bucket.used = cursor
@@ -295,22 +308,30 @@ class DeviceRowCache:
             existing = self._blocks.get(key)
             if existing is not None:
                 return existing
+            from .parallel.mesh import (
+                sharded_pad_rows,
+                sharded_update_rows,
+                sharded_zeros_rows,
+            )
+
             bucket = self._buckets.get(width)
             if bucket is None:
                 bucket = _RowBucket(width)
                 self._buckets[width] = bucket
             if bucket.used + num_rows > bucket.cap:
-                new_cap = max(8, _round_up_pow2(bucket.used + max(num_rows, 1)))
-                new_matrix = jnp.zeros((new_cap, width), dtype=jnp.uint8)
-                if bucket.matrix is not None and bucket.used > 0:
-                    new_matrix = jax.lax.dynamic_update_slice(
-                        new_matrix, bucket.matrix[: bucket.used], (0, 0)
-                    )
-                bucket.matrix = new_matrix
+                new_cap = max(
+                    _round_up(bucket.used + num_rows, self._row_unit),
+                    bucket.cap * 2,
+                    self._row_unit,
+                )
+                if bucket.matrix is None:
+                    bucket.matrix = sharded_zeros_rows(self.mesh, new_cap, width)
+                else:
+                    bucket.matrix = sharded_pad_rows(self.mesh, bucket.matrix, new_cap)
                 bucket.cap = new_cap
             if num_rows > 0:
-                bucket.matrix = jax.lax.dynamic_update_slice(
-                    bucket.matrix, jnp.asarray(matrix), (bucket.used, 0)
+                bucket.matrix = sharded_update_rows(
+                    self.mesh, bucket.matrix, jnp.asarray(matrix), jnp.int32(bucket.used)
                 )
             block = _PinnedBlock(
                 key, width, bucket.used, num_rows, always_candidate,

@@ -249,3 +249,40 @@ class TestPallasByteScanParity:
             for ri, r in enumerate(rows):
                 raw = json.dumps(r, separators=(",", ":")).lower().encode()
                 assert pl_scan[qi, ri] == (nd in raw), (nd, ri)
+
+
+class TestMeshShardedRowCache:
+    def test_superbatch_shards_across_devices(self):
+        import jax
+
+        assert len(jax.devices()) == 8
+        cache = DeviceRowCache(64 << 20)  # auto mesh over all 8 CPU devices
+        assert cache.mesh is not None and cache.mesh.shape["blocks"] == 8
+        blocks = {}
+        for b in range(4):
+            rows = [{"m": f"blk{b} tok{b}_{i}"} for i in range(25)]
+            data = make_stream(rows)
+            buf, offs, lens = split_rows_arrays(data)
+            blocks[b] = cache.pin((f"f{b}".encode(), 0), data, offs, lens)
+        bucket = next(iter(cache._buckets.values()))
+        assert len(bucket.matrix.sharding.device_set) == 8, bucket.matrix.sharding
+        assert bucket.cap % (32 * 8) == 0
+
+        # Exact scans over the sharded superbatch, including after
+        # tombstone-driven compaction.
+        for b in (0, 1):
+            cache.invalidate_file(f"f{b}".encode())
+        for b in (2, 3):
+            scan = cache.scan(blocks[b], [f"tok{b}_11".encode(), b"absent"])
+            assert scan[0].sum() == 1 and scan[0][11]
+            assert not scan[1].any()
+        assert len(bucket.matrix.sharding.device_set) == 8
+
+    def test_mesh_devices_one_disables(self):
+        cache = DeviceRowCache(64 << 20, mesh_devices=1)
+        assert cache.mesh is None
+        rows = [{"m": "solo needle"}]
+        data = make_stream(rows)
+        _, offs, lens = split_rows_arrays(data)
+        pinned = cache.pin((b"f", 0), data, offs, lens)
+        assert cache.scan(pinned, [b"needle"])[0, 0]
