@@ -278,6 +278,10 @@ def cmd_query(args) -> None:
         engine.stop(timeout=60)
 
 
+def _block_items(text: str):
+    return text if text == "auto" else int(text)
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="bloomsearch_tpu.perf")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -289,8 +293,9 @@ def main(argv=None) -> None:
         p.add_argument("--probe-backend", default="auto")
         p.add_argument("--layout", default="classic", choices=["classic", "blocked256"])
         p.add_argument(
-            "--block-items", type=int, default=None,
-            help="block bloom expected items (default: rows-based reference sizing)",
+            "--block-items", type=_block_items, default=None,
+            help="block bloom expected items: an int, or 'auto' to size from "
+            "measured keys/row (default: rows-based reference sizing)",
         )
 
     g = sub.add_parser("generate")
