@@ -153,6 +153,8 @@ def _check(engine, all_rows, q, label):
         # cross-query batching must ALSO be oracle-exact.
         (13, "fs", "device"),
         (57, "object", "device"),
+        # Serving mode: mesh-sharded row cache + batched planner scans.
+        (31, "fs", "serving"),
     ],
 )
 def test_engine_matches_oracle(tmp_path, seed, store_kind, backend):
@@ -174,7 +176,8 @@ def test_engine_matches_oracle(tmp_path, seed, store_kind, backend):
         row_data_compression=rng.choice(["none", "zstd", "snappy"]),
         partition_func=lambda r: r["part"],
         min_max_indexes=["num"],
-        probe_backend=backend,
+        probe_backend="device" if backend == "serving" else backend,
+        row_cache_bytes=(64 << 20) if backend == "serving" else 0,
         max_buffered_rows=rng.choice([50, 1000]),
         bloom_layout=rng.choice(["classic", "blocked256"]),
     )
