@@ -600,6 +600,19 @@ inline void mark_rows(int64_t hit_start, int64_t nlen, const int64_t* row_offset
 }
 
 #if defined(__x86_64__)
+// ASCII-only in-register lowering. Signed compares: bytes >= 0x80 are
+// negative and never lower. A standalone target-attributed function (NOT a
+// lambda: lambdas don't inherit the enclosing function's target attribute,
+// which breaks the generic no--march fallback build).
+__attribute__((target("avx2"))) static inline __m256i lower_vec_avx2(__m256i b) {
+  const __m256i vAm1 = _mm256_set1_epi8('A' - 1);
+  const __m256i vZp1 = _mm256_set1_epi8('Z' + 1);
+  const __m256i v32 = _mm256_set1_epi8(32);
+  const __m256i is_upper =
+      _mm256_and_si256(_mm256_cmpgt_epi8(b, vAm1), _mm256_cmpgt_epi8(vZp1, b));
+  return _mm256_add_epi8(b, _mm256_and_si256(is_upper, v32));
+}
+
 // Fused lowercase + anchor-pair substring scan: 32 raw bytes load, ASCII
 // lowering in-register, first/last needle byte compared at their relative
 // offsets, candidate positions verified exactly. No lowercased copy of the
@@ -609,25 +622,15 @@ __attribute__((target("avx2"))) static void scan_needle_avx2(
     const uint8_t* data, int64_t n, const uint8_t* needle, int64_t nlen,
     const int64_t* row_offsets, const int64_t* row_lengths, int64_t n_rows,
     uint8_t* row_out) {
-  const __m256i vAm1 = _mm256_set1_epi8('A' - 1);
-  const __m256i vZp1 = _mm256_set1_epi8('Z' + 1);
-  const __m256i v32 = _mm256_set1_epi8(32);
   const __m256i c0 = _mm256_set1_epi8((char)needle[0]);
   const __m256i cL = _mm256_set1_epi8((char)needle[nlen - 1]);
-  auto lower_vec = [&](__m256i b) {
-    // Signed compares: bytes >= 0x80 are negative and never lower — exactly
-    // ASCII-only lowering.
-    const __m256i is_upper = _mm256_and_si256(
-        _mm256_cmpgt_epi8(b, vAm1), _mm256_cmpgt_epi8(vZp1, b));
-    return _mm256_add_epi8(b, _mm256_and_si256(is_upper, v32));
-  };
   int64_t row = 0;
   int64_t i = 0;
   const int64_t last_start = n - nlen;  // last valid match start
   for (; i + 32 + nlen - 1 <= n; i += 32) {
-    const __m256i b0 = lower_vec(
+    const __m256i b0 = lower_vec_avx2(
         _mm256_loadu_si256((const __m256i*)(data + i)));
-    const __m256i bL = lower_vec(
+    const __m256i bL = lower_vec_avx2(
         _mm256_loadu_si256((const __m256i*)(data + i + nlen - 1)));
     uint32_t m = (uint32_t)_mm256_movemask_epi8(
         _mm256_and_si256(_mm256_cmpeq_epi8(b0, c0), _mm256_cmpeq_epi8(bL, cL)));
