@@ -913,6 +913,58 @@ class BloomSearchEngine:
     # Observability
     # ------------------------------------------------------------------
 
+    def stats(self) -> dict:
+        """Point-in-time observability snapshot (cheap; safe under load).
+
+        The reference's only signals are the lossy per-block stats stream
+        and MergeStats; production deployments also need resource-level
+        introspection: cache residency, device launch counts, and batching
+        effectiveness.
+        """
+        out: dict = {
+            "active_queries": len(self._active_query_ids),
+            "deferred_tombstones": len(self._deferred_tombstones),
+            "host_bank_cache_bytes": self._host_bank_bytes,
+            "host_bank_cache_entries": len(self._host_bank_cache),
+            "file_bank_groups": len(self._file_bank_cache),
+            "background_warms_in_flight": len(self._warming),
+        }
+        backend = self._device_backend
+        if backend is not None:
+            with backend._lock:
+                superbanks = {
+                    f"m={mk[0]},k={mk[1]},{mk[2]}": {
+                        "blocks": sb.used - sb.dead,
+                        "dead": sb.dead,
+                        "capacity": sb.capacity,
+                        "bytes": sb.nbytes,
+                    }
+                    for mk, sb in backend._superbanks.items()
+                }
+            out["device"] = {
+                "platform": backend.platform,
+                "mesh_devices": (
+                    backend.mesh.shape["blocks"] if backend.mesh is not None else 1
+                ),
+                "superbank_bytes": backend.total_bytes(),
+                "superbanks": superbanks,
+                "probe_launches": backend.launches,
+                "probe_requests": backend.batched_requests,
+            }
+        if self._row_cache is not None:
+            out["row_cache"] = {
+                "bytes": self._row_cache.total_bytes(),
+                "pinned_blocks": len(self._row_cache._blocks),
+                "scan_launches": self._row_cache.launches,
+                "scan_requests": self._row_cache.scan_requests,
+                "mesh_devices": (
+                    self._row_cache.mesh.shape["blocks"]
+                    if self._row_cache.mesh is not None
+                    else 1
+                ),
+            }
+        return out
+
     def profile_trace(self, log_dir: str):
         """Context manager capturing a jax.profiler trace of device work.
 

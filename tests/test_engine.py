@@ -608,3 +608,34 @@ class TestAutoBlockSizing:
                 BloomSearchEngineConfig(block_bloom_expected_items="automatic"),
                 store, store,
             )
+
+
+class TestStatsSnapshot:
+    def test_stats_reflect_runtime_state(self, tmp_path):
+        store = bs.FileSystemDataStore(str(tmp_path / "data"))
+        config = BloomSearchEngineConfig(
+            row_data_compression="none", probe_backend="device",
+            row_cache_bytes=64 << 20,
+        )
+        engine = BloomSearchEngine(config, store, store)
+        engine.start()
+        try:
+            s0 = engine.stats()
+            assert s0["active_queries"] == 0
+            assert s0["device"]["mesh_devices"] == 8
+            assert s0["device"]["superbank_bytes"] == 0 or s0["device"]["superbanks"]
+
+            ingest_and_flush(engine, [{"n": i, "w": f"word{i}"} for i in range(100)])
+            for _ in range(2):
+                engine.query_sync(bs.new_query().token("word7").build(), timeout=TIMEOUT)
+            s1 = engine.stats()
+            assert s1["device"]["superbank_bytes"] > 0
+            assert s1["device"]["probe_launches"] >= 1
+            assert s1["device"]["probe_requests"] >= s1["device"]["probe_launches"]
+            assert s1["row_cache"]["pinned_blocks"] >= 1
+            assert s1["row_cache"]["scan_launches"] >= 1
+            import json as _json
+
+            _json.dumps(s1)  # snapshot must be plainly serializable
+        finally:
+            engine.stop(timeout=TIMEOUT)
