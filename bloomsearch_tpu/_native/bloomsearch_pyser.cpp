@@ -107,8 +107,10 @@ int write_value(Buf& b, PyObject* obj, int depth) {
       b.put(tmp, (size_t)len);
       return 1;
     }
-    // Arbitrary precision: repr digits via str().
-    PyObject* s = PyObject_Str(obj);
+    // Arbitrary precision: base int repr (json.dumps calls
+    // PyLong_Type.tp_repr, so a subclass __str__/__repr__ must NOT be
+    // consulted — it could emit non-JSON and break byte parity).
+    PyObject* s = PyLong_Type.tp_repr(obj);
     if (s == nullptr) return -1;
     Py_ssize_t n;
     const char* u = PyUnicode_AsUTF8AndSize(s, &n);

@@ -221,6 +221,28 @@ class DeviceProbeBackend:
         with self._lock:
             return sum(sb.nbytes for sb in self._superbanks.values())
 
+    def stats(self) -> dict:
+        """Public observability snapshot (the contract engine.stats() uses)."""
+        with self._lock:
+            superbanks = {
+                f"m={mk[0]},k={mk[1]},{mk[2]}": {
+                    "blocks": sb.used - sb.dead,
+                    "dead": sb.dead,
+                    "capacity": sb.capacity,
+                    "bytes": sb.nbytes,
+                }
+                for mk, sb in self._superbanks.items()
+            }
+            total = sum(sb.nbytes for sb in self._superbanks.values())
+        return {
+            "platform": self.platform,
+            "mesh_devices": self.mesh.shape["blocks"] if self.mesh is not None else 1,
+            "superbank_bytes": total,
+            "superbanks": superbanks,
+            "probe_launches": self.launches,
+            "probe_requests": self.batched_requests,
+        }
+
     def is_resident(self, mk: tuple, seg_key: bytes) -> bool:
         with self._lock:
             sb = self._superbanks.get(mk)

@@ -689,6 +689,11 @@ class BloomSearchEngine:
             self._deferred_tombstones = []
         for pointer in drain:
             self._tombstone_everywhere(pointer)
+        # Release worker threads: start-after-stop is forbidden, so the pools
+        # can never be needed again; without this, processes that construct
+        # many engines accumulate idle non-daemon threads.
+        self._block_pool.shutdown(wait=False)
+        self._warm_pool.shutdown(wait=False)
         self._started = False
 
     # ------------------------------------------------------------------
@@ -929,40 +934,10 @@ class BloomSearchEngine:
             "file_bank_groups": len(self._file_bank_cache),
             "background_warms_in_flight": len(self._warming),
         }
-        backend = self._device_backend
-        if backend is not None:
-            with backend._lock:
-                superbanks = {
-                    f"m={mk[0]},k={mk[1]},{mk[2]}": {
-                        "blocks": sb.used - sb.dead,
-                        "dead": sb.dead,
-                        "capacity": sb.capacity,
-                        "bytes": sb.nbytes,
-                    }
-                    for mk, sb in backend._superbanks.items()
-                }
-            out["device"] = {
-                "platform": backend.platform,
-                "mesh_devices": (
-                    backend.mesh.shape["blocks"] if backend.mesh is not None else 1
-                ),
-                "superbank_bytes": backend.total_bytes(),
-                "superbanks": superbanks,
-                "probe_launches": backend.launches,
-                "probe_requests": backend.batched_requests,
-            }
+        if self._device_backend is not None:
+            out["device"] = self._device_backend.stats()
         if self._row_cache is not None:
-            out["row_cache"] = {
-                "bytes": self._row_cache.total_bytes(),
-                "pinned_blocks": len(self._row_cache._blocks),
-                "scan_launches": self._row_cache.launches,
-                "scan_requests": self._row_cache.scan_requests,
-                "mesh_devices": (
-                    self._row_cache.mesh.shape["blocks"]
-                    if self._row_cache.mesh is not None
-                    else 1
-                ),
-            }
+            out["row_cache"] = self._row_cache.stats()
         return out
 
     def profile_trace(self, log_dir: str):
@@ -1280,7 +1255,9 @@ class BloomSearchEngine:
             num_groups = len(mf.metadata.bank_groups)
             for blk in mf.metadata.data_blocks:
                 if not (0 <= blk.bank_group < num_groups) or not (
-                    0 <= blk.bank_col
+                    0
+                    <= blk.bank_col
+                    < mf.metadata.bank_groups[blk.bank_group].num_blocks
                 ):
                     # Invalid bank coordinates (foreign/corrupt metadata):
                     # blocks without testable filters decode unconditionally

@@ -200,6 +200,19 @@ class DeviceRowCache:
         with self._lock:
             return self._total_bytes_locked()
 
+    def stats(self) -> dict:
+        """Public observability snapshot (the contract engine.stats() uses)."""
+        with self._lock:
+            total = self._total_bytes_locked()
+            pinned = len(self._blocks)
+        return {
+            "bytes": total,
+            "pinned_blocks": pinned,
+            "scan_launches": self.launches,
+            "scan_requests": self.scan_requests,
+            "mesh_devices": self.mesh.shape["blocks"] if self.mesh is not None else 1,
+        }
+
     def _total_bytes_locked(self) -> int:
         bucket_bytes = sum(b.cap * b.width for b in self._buckets.values())
         host_bytes = sum(len(blk.data) for blk in self._blocks.values())

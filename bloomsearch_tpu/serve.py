@@ -39,7 +39,13 @@ def main(argv=None) -> None:
     src.add_argument(
         "--object-dir", help="LocalDirObjectStore bucket directory (shared fs)"
     )
-    parser.add_argument("--host", default="0.0.0.0")
+    # The query protocol has no auth or encryption (trusted networks only) —
+    # binding beyond loopback must be an explicit operator decision.
+    parser.add_argument(
+        "--host", default="127.0.0.1",
+        help="bind address (default loopback; the protocol is unauthenticated "
+        "— pass an external address only on a trusted network)",
+    )
     parser.add_argument("--port", type=int, default=0)
     parser.add_argument("--probe-backend", default="auto")
     parser.add_argument(
