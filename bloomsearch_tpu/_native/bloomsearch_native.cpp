@@ -300,6 +300,16 @@ BS_EXPORT uint32_t bs_crc32c(const uint8_t* data, int64_t n, uint32_t crc_in) {
   return ~crc;
 }
 
+// Per-row CRC32C over a matrix of fixed-stride rows (bank groups store one
+// CRC per flat bank row so sparse seek-reads stay verifiable). GIL released
+// by the caller via ctypes.
+BS_EXPORT void bs_crc32c_rows(const uint8_t* data, int64_t num_rows,
+                              int64_t row_bytes, uint32_t* out) {
+  for (int64_t r = 0; r < num_rows; r++) {
+    out[r] = bs_crc32c(data + r * row_bytes, row_bytes, 0);
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Length-prefixed row stream helpers.
 // Row data sections are streams of (uint32 LE length | row bytes) records

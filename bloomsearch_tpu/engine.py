@@ -1336,8 +1336,12 @@ class BloomSearchEngine:
             requests = []
             for pointer, gi, group in needed:
                 mk = (group.m_bits, group.k, group.params.layout)
-                if group.size <= SPARSE_BANK_BYTES or backend.is_resident(
-                    mk, backend.segment_key(pointer, gi)
+                # Sparse probing requires per-row CRCs (older files lack
+                # them): unverified bytes must never disqualify a block.
+                if (
+                    group.size <= SPARSE_BANK_BYTES
+                    or group.row_crc_offset is None
+                    or backend.is_resident(mk, backend.segment_key(pointer, gi))
                 ):
                     requests.append((pointer, gi, mk, make_loader(pointer, group)))
                 else:
@@ -1363,7 +1367,11 @@ class BloomSearchEngine:
                 try:
                     for gi, group in groups:
                         bank = self._host_bank(pointer, group)
-                        if bank is None and group.size > SPARSE_BANK_BYTES:
+                        if (
+                            bank is None
+                            and group.size > SPARSE_BANK_BYTES
+                            and group.row_crc_offset is not None
+                        ):
                             sparse.append((pointer, gi, group))
                             continue
                         if bank is None:
@@ -1406,12 +1414,12 @@ class BloomSearchEngine:
         return result
 
     def _schedule_bank_warm(self, pointer: bytes, gi: int, group) -> None:
-        """Background CRC-verified full load of a sparse-probed bank group.
+        """Background full load of a sparse-probed bank group.
 
-        The sparse cold probe skips the group CRC (it can't cover seek
-        reads); this warm re-reads and VERIFIES the whole group — any
-        corruption surfaces here loudly — and makes the next query
-        resident-fast."""
+        Sparse probes are already per-row CRC-verified (read_bank_rows), so
+        this warm is purely a residency optimization: the full group loads
+        (and its whole-payload CRC re-verifies) so the next query probes
+        the resident bank instead of seeking."""
         key = (pointer, group.offset)
         with self._warm_lock:
             if key in self._warming:

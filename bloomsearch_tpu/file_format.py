@@ -129,7 +129,15 @@ class BloomFilters:
 
 @dataclass
 class BankGroupMetadata:
-    """One dense filter bank covering all blocks at a given (m, k)."""
+    """One dense filter bank covering all blocks at a given (m, k).
+
+    ``row_crc_offset`` locates an optional per-row CRC32C array (uint32 LE,
+    one per flat bank row) written right after the payload — it lets sparse
+    seek-reads be verified row-by-row so cold probes never *disqualify* a
+    block on unverified bytes (the reference never tests an unverified
+    filter, file_format.go:121-142). ``None`` on files written before the
+    field existed; such groups must take the full verified read.
+    """
 
     params: BloomParams
     m_bits: int
@@ -138,6 +146,7 @@ class BankGroupMetadata:
     offset: int
     size: int
     crc: int
+    row_crc_offset: Optional[int] = None
 
     @property
     def num_words(self) -> int:
@@ -154,12 +163,15 @@ class BankGroupMetadata:
             "Size": self.size,
             "Crc": self.crc,
         }
+        if self.row_crc_offset is not None:
+            out["RowCrcOffset"] = self.row_crc_offset
         if self.params.layout != "classic":
             out["Layout"] = self.params.layout
         return out
 
     @classmethod
     def from_json(cls, obj: dict) -> "BankGroupMetadata":
+        row_crc_offset = obj.get("RowCrcOffset")
         return cls(
             params=BloomParams(
                 int(obj["BloomExpectedItems"]),
@@ -172,6 +184,7 @@ class BankGroupMetadata:
             offset=int(obj["Offset"]),
             size=int(obj["Size"]),
             crc=int(obj["Crc"]),
+            row_crc_offset=int(row_crc_offset) if row_crc_offset is not None else None,
         )
 
 
@@ -401,16 +414,23 @@ class DataFileWriter:
                 self._blocks[bi].bank_col = col
             self.bank_arrays.append(bank)
             payload = bank.astype("<u4", copy=False).tobytes()
+            offset = self._pos
+            self._write(payload)
+            # Per-row CRC array: one uint32 per flat bank row, enabling
+            # verified sparse seek-reads (cold needle probes touch a few
+            # rows, each checked against its own CRC).
+            row_crc_offset = self._pos
+            self._write(_bank_row_crcs(payload, NUM_KEYSPACES * num_words, num_blocks * 4))
             group = BankGroupMetadata(
                 params=self._blocks[block_indices[0]].bloom_params,
                 m_bits=m_bits,
                 k=k,
                 num_blocks=num_blocks,
-                offset=self._pos,
+                offset=offset,
                 size=len(payload),
                 crc=crc32c(payload),
+                row_crc_offset=row_crc_offset,
             )
-            self._write(payload)
             bank_groups.append(group)
 
         metadata = FileMetadata(
@@ -478,6 +498,19 @@ def read_file_metadata(fh: BinaryIO, file_size: Optional[int] = None) -> FileMet
     return FileMetadata.from_bytes_with_hash(payload, crc_bytes)
 
 
+def _bank_row_crcs(payload: bytes, num_rows: int, row_bytes: int) -> bytes:
+    """uint32 LE CRC32C per fixed-stride row of ``payload``."""
+    from . import native
+
+    if native.available():
+        return native.crc32c_rows(payload, num_rows, row_bytes).astype("<u4").tobytes()
+    mv = memoryview(payload)
+    crcs = np.empty(num_rows, dtype="<u4")
+    for r in range(num_rows):
+        crcs[r] = crc32c(mv[r * row_bytes : (r + 1) * row_bytes])
+    return crcs.tobytes()
+
+
 def read_bank_rows(
     fh: BinaryIO, group: BankGroupMetadata, flat_rows: np.ndarray
 ) -> np.ndarray:
@@ -488,11 +521,18 @@ def read_bank_rows(
     those (a few KB of seeks) instead of the whole group makes COLD
     queries I/O-proportional to the probe, not the filter size.
 
-    Integrity caveat: the group CRC covers the whole payload, so sparse
-    reads are NOT CRC-verified — callers must schedule a verified full
-    :func:`read_bank_group` load afterwards (the engine warms the bank
-    cache in the background and any corruption surfaces there, loudly).
+    Every row read is verified against its per-row CRC32C (written by
+    ``DataFileWriter.finish``), so sparse probes carry the same integrity
+    guarantee as the full :func:`read_bank_group` path — unverified bytes
+    never disqualify a block (the invariant the reference enforces with
+    its whole-filter CRC, file_format.go:121-142). Groups written before
+    the per-row CRC field existed raise ``InvalidFormatError``; callers
+    must fall back to the full verified read.
     """
+    if group.row_crc_offset is None:
+        raise InvalidFormatError(
+            "bank group has no per-row CRCs; sparse reads unavailable"
+        )
     row_bytes = group.num_blocks * 4
     out = np.empty((len(flat_rows), group.num_blocks), dtype=np.uint32)
     for i, r in enumerate(flat_rows):
@@ -500,6 +540,14 @@ def read_bank_rows(
         payload = fh.read(row_bytes)
         if len(payload) != row_bytes:
             raise InvalidFormatError("short read of bank row")
+        fh.seek(group.row_crc_offset + int(r) * 4)
+        crc_bytes = fh.read(4)
+        if len(crc_bytes) != 4:
+            raise InvalidFormatError("short read of bank row CRC")
+        if crc32c(payload) != struct.unpack("<I", crc_bytes)[0]:
+            raise InvalidHashError(
+                f"bank row {int(r)} CRC mismatch on sparse read"
+            )
         out[i] = np.frombuffer(payload, dtype="<u4")
     return out
 

@@ -87,6 +87,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.bs_probe_from_hashes_blocked.restype = None
         lib.bs_crc32c.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32]
         lib.bs_crc32c.restype = ctypes.c_uint32
+        lib.bs_crc32c_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.bs_crc32c_rows.restype = None
         lib.bs_split_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ]
@@ -294,6 +298,16 @@ def crc32c(data, crc_in: int = 0) -> int:
     assert lib is not None
     buf = np.frombuffer(data, dtype=np.uint8) if len(data) else np.empty(0, dtype=np.uint8)
     return int(lib.bs_crc32c(_ptr(buf), buf.size, ctypes.c_uint32(crc_in)))
+
+
+def crc32c_rows(data, num_rows: int, row_bytes: int) -> np.ndarray:
+    """Per-row CRC32C of a fixed-stride buffer -> uint32[num_rows]."""
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(num_rows, dtype=np.uint32)
+    lib.bs_crc32c_rows(_ptr(buf), num_rows, row_bytes, _ptr(out))
+    return out
 
 
 def scan_candidates(

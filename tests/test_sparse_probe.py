@@ -48,6 +48,82 @@ class TestSparseProbeParity:
         assert reads and reads[0] <= len(terms) * params.k
 
 
+class TestBankRowCrcs:
+    """Per-row CRC array written after each bank payload (format field
+    RowCrcOffset) — the integrity contract behind sparse cold probes."""
+
+    def _write_file(self, tmp_path):
+        import io
+        from bloomsearch_tpu.file_format import BloomFilters, DataFileWriter
+
+        params = BloomParams(500, 0.001)
+        buf = io.BytesIO()
+        w = DataFileWriter(buf, params)
+        filters = BloomFilters.from_params(params)
+        filters.token.add_keys([f"t{i}" for i in range(50)])
+        w.add_block(
+            b"\x05\x00\x00\x00hello",
+            filters,
+            rows=1,
+            partition_id="",
+            min_max_indexes={},
+            compression="none",
+            uncompressed_size=9,
+            created_at_ms=0,
+            params=params,
+        )
+        meta = w.finish(BloomFilters.from_params(params))
+        return buf, meta
+
+    def test_sparse_read_matches_full_and_verifies(self, tmp_path):
+        from bloomsearch_tpu.file_format import read_bank_group, read_bank_rows
+
+        buf, meta = self._write_file(tmp_path)
+        group = meta.bank_groups[0]
+        assert group.row_crc_offset is not None
+        full = read_bank_group(buf, group).reshape(-1, group.num_blocks)
+        rows = np.array([0, 3, group.num_words, 3 * group.num_words - 1])
+        got = read_bank_rows(buf, group, rows)
+        np.testing.assert_array_equal(got, full[rows])
+
+    def test_sparse_read_raises_on_corruption(self, tmp_path):
+        from bloomsearch_tpu.file_format import InvalidHashError, read_bank_rows
+
+        buf, meta = self._write_file(tmp_path)
+        group = meta.bank_groups[0]
+        row_bytes = group.num_blocks * 4
+        # Corrupt row 3's payload bytes.
+        data = bytearray(buf.getvalue())
+        data[group.offset + 3 * row_bytes] ^= 0xFF
+        import io
+
+        corrupted = io.BytesIO(bytes(data))
+        with pytest.raises(InvalidHashError):
+            read_bank_rows(corrupted, group, np.array([3]))
+        # Corrupting the CRC array itself is also loud.
+        data2 = bytearray(buf.getvalue())
+        data2[group.row_crc_offset + 3 * 4] ^= 0xFF
+        with pytest.raises(InvalidHashError):
+            read_bank_rows(io.BytesIO(bytes(data2)), group, np.array([3]))
+
+    def test_missing_row_crcs_refuses_sparse_read(self, tmp_path):
+        from bloomsearch_tpu.file_format import (
+            BankGroupMetadata,
+            InvalidFormatError,
+            read_bank_rows,
+        )
+
+        buf, meta = self._write_file(tmp_path)
+        group = meta.bank_groups[0]
+        # Old-format round trip: no RowCrcOffset key -> None.
+        obj = group.to_json()
+        del obj["RowCrcOffset"]
+        old = BankGroupMetadata.from_json(obj)
+        assert old.row_crc_offset is None
+        with pytest.raises(InvalidFormatError):
+            read_bank_rows(buf, old, np.array([0]))
+
+
 def _engine(tmp_path, monkeypatch, **overrides):
     # Force every test-sized bank group onto the sparse path.
     monkeypatch.setattr(eng_mod, "SPARSE_BANK_BYTES", 0)
@@ -94,6 +170,74 @@ class TestEngineSparsePath:
                 time.sleep(0.05)
             got = engine.query_sync(bs.new_query().token("all").build(), timeout=TIMEOUT)
             assert len(got) == 200
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    @pytest.mark.parametrize("backend", ["host", "device"])
+    def test_corrupt_bank_never_false_negative_on_cold_query(
+        self, tmp_path, monkeypatch, backend
+    ):
+        """Bit rot in the bank section must never silently drop results on
+        the very first (cold, sparse) query — it either raises loudly or
+        the results are exact (reference guarantee: filters are only ever
+        tested after CRC verification, file_format.go:121-142)."""
+        from bloomsearch_tpu.file_format import InvalidHashError
+
+        engine, store = _engine(tmp_path, monkeypatch, probe_backend=backend)
+        try:
+            rows = [{"n": i, "w": f"word{i}"} for i in range(300)]
+            engine.ingest_rows(rows, timeout=TIMEOUT)
+            engine.flush(timeout=TIMEOUT)
+            mf = store.get_maybe_files_for_query(None)[0]
+            group = mf.metadata.bank_groups[0]
+            # Zero the whole bank region AND its per-row CRC array: without
+            # verification every probe would read 0 bits -> every block
+            # bloom-skipped -> silent false negatives.
+            path = mf.pointer.decode()
+            with open(path, "r+b") as fh:
+                fh.seek(group.offset)
+                fh.write(b"\x00" * group.size)
+            store._metadata_cache.clear()
+            if backend == "device":
+                be = engine._device_backend
+                be.invalidate(mf.pointer)
+
+            try:
+                got = engine.query_sync(
+                    bs.new_query().token("word42").build(), timeout=TIMEOUT
+                )
+            except InvalidHashError:
+                pass  # loud failure: acceptable and expected
+            else:
+                assert got == [{"n": 42, "w": "word42"}], (
+                    f"cold sparse query silently returned {got!r} over a "
+                    "corrupted bank (false negative)"
+                )
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_old_file_without_row_crcs_takes_full_verified_read(
+        self, tmp_path, monkeypatch
+    ):
+        """Groups written before per-row CRCs existed must fall back to the
+        full CRC-verified read (and still return exact results)."""
+        engine, store = _engine(tmp_path, monkeypatch, probe_backend="host")
+        try:
+            engine.ingest_rows(
+                [{"n": i, "w": f"word{i}"} for i in range(100)], timeout=TIMEOUT
+            )
+            engine.flush(timeout=TIMEOUT)
+            # Simulate an old file: drop the row-CRC pointer from the cached
+            # (immutable) metadata the engine plans against.
+            for mf in store.get_maybe_files_for_query(None):
+                for g in mf.metadata.bank_groups:
+                    g.row_crc_offset = None
+            got = engine.query_sync(
+                bs.new_query().token("word7").build(), timeout=TIMEOUT
+            )
+            assert got == [{"n": 7, "w": "word7"}]
+            # The full read populated the host bank cache (no sparse path).
+            assert len(engine._host_bank_cache) > 0
         finally:
             engine.stop(timeout=TIMEOUT)
 
