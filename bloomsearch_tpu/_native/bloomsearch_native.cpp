@@ -849,11 +849,25 @@ static inline uint8_t ascii_lower(uint8_t c) {
   return (c >= 'A' && c <= 'Z') ? (uint8_t)(c + 32) : c;
 }
 
+// Maximum JSON nesting the native walkers handle before deferring the row
+// to the Python path (protects the C stack; Python's own recursion limit
+// covers deeper rows).
+static const int32_t kMaxDepth = 192;
+
+// Shared recursive-descent walker over one compact-JSON row, parameterized
+// by a Sink receiving path push/pop and primitive-value events. Sinks:
+// IngestSink (hash emission for bloom construction, bs_ingest_tokenize) and
+// VerifySink (exact row verification, bs_verify_rows). Both share identical
+// fallback conditions (non-ASCII content, \uXXXX >= 0x80, non-canonical
+// numbers, parse trouble) so native behavior is always bit-exact with the
+// Python spec or deferred to it.
+template <class SinkT>
 struct Parser {
   const uint8_t* p;
   const uint8_t* end;
   bool fallback;  // row needs the Python path
   bool error;
+  bool done;  // sink satisfied: stop parsing early
 
   // scratch buffers (reused across rows)
   uint8_t* path;       // current dot path
@@ -861,13 +875,16 @@ struct Parser {
   uint8_t* value_buf;  // decoded value bytes
   uint8_t* key_buf;    // decoded object key
   int64_t buf_cap;
+  int32_t seg_depth;   // pushed path segments (for subtree scoping)
+  int32_t depth;       // total nesting depth (recursion guard)
 
-  HashSink* fields;
-  HashSink* tokens;
-  HashSink* fts;
+  SinkT* sink;
   uint8_t delimiter;
 
-  void skip_value();  // fwd decl
+  void skip_value() {
+    // Top-level bare primitive (rows are objects; tolerate anything).
+    while (!at_end() && *p != ',' && *p != '}' && *p != ']') p++;
+  }
 
   bool at_end() { return p >= end; }
 
@@ -925,38 +942,7 @@ struct Parser {
     while (!at_end() && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) p++;
   }
 
-  void emit_tokens_from_value(int64_t vlen) {
-    // Emit field path once per primitive (dedup collapses repeats).
-    uint64_t fh[2];
-    murmur3_x64_128(path, (uint64_t)path_len, 0, fh);
-    fields->add(fh[0], fh[1]);
-    // Tokenize value_buf (already lowered) on whitespace.
-    int64_t i = 0;
-    while (i < vlen) {
-      while (i < vlen && is_ws(value_buf[i])) i++;
-      const int64_t start = i;
-      while (i < vlen && !is_ws(value_buf[i])) i++;
-      if (i > start) {
-        uint64_t th[2];
-        murmur3_x64_128(value_buf + start, (uint64_t)(i - start), 0, th);
-        tokens->add(th[0], th[1]);
-        // field::token — build in key_buf: path + "::" + token
-        const int64_t tok_len = i - start;
-        if (path_len + 2 + tok_len <= buf_cap) {
-          std::memcpy(key_buf, path, path_len);
-          key_buf[path_len] = ':';
-          key_buf[path_len + 1] = ':';
-          std::memcpy(key_buf + path_len + 2, value_buf + start, tok_len);
-          uint64_t fth[2];
-          murmur3_x64_128(key_buf, (uint64_t)(path_len + 2 + tok_len), 0, fth);
-          fts->add(fth[0], fth[1]);
-        } else {
-          error = true;
-          return;
-        }
-      }
-    }
-  }
+  void emit_value(int64_t vlen) { sink->on_value(*this, vlen); }
 
   // Parse a number/keyword primitive; token text goes into value_buf.
   void parse_primitive() {
@@ -965,13 +951,13 @@ struct Parser {
       if (end - p >= 4 && std::memcmp(p, "true", 4) == 0) {
         std::memcpy(value_buf, "true", 4);
         p += 4;
-        emit_tokens_from_value(4);
+        emit_value(4);
       } else error = true;
     } else if (c == 'f') {
       if (end - p >= 5 && std::memcmp(p, "false", 5) == 0) {
         std::memcpy(value_buf, "false", 5);
         p += 5;
-        emit_tokens_from_value(5);
+        emit_value(5);
       } else error = true;
     } else if (c == 'n') {
       if (end - p >= 4 && std::memcmp(p, "null", 4) == 0) {
@@ -981,20 +967,20 @@ struct Parser {
       if (end - p >= 3 && std::memcmp(p, "NaN", 3) == 0) {
         std::memcpy(value_buf, "nan", 3);
         p += 3;
-        emit_tokens_from_value(3);
+        emit_value(3);
       } else error = true;
     } else if (c == 'I') {  // Infinity
       if (end - p >= 8 && std::memcmp(p, "Infinity", 8) == 0) {
         std::memcpy(value_buf, "+inf", 4);
         p += 8;
-        emit_tokens_from_value(4);
+        emit_value(4);
       } else error = true;
     } else {
       // number (or -Infinity)
       if (c == '-' && end - p >= 9 && std::memcmp(p + 1, "Infinity", 8) == 0) {
         std::memcpy(value_buf, "-inf", 4);
         p += 9;
-        emit_tokens_from_value(4);
+        emit_value(4);
         return;
       }
       int64_t n = 0;
@@ -1032,72 +1018,260 @@ struct Parser {
       }
       // go_like_str: repr() minus a trailing ".0".
       if (n >= 2 && value_buf[n - 1] == '0' && value_buf[n - 2] == '.') n -= 2;
-      emit_tokens_from_value(n);
+      emit_value(n);
     }
   }
 
   void parse_value() {
-    if (error || fallback) return;
+    if (error || fallback || done) return;
+    if (++depth > kMaxDepth) { fallback = true; return; }
     skip_ws();
-    if (at_end()) { error = true; return; }
+    if (at_end()) { error = true; depth--; return; }
     const uint8_t c = *p;
     if (c == '{') {
       p++;
+      // Sink-scoped per-object state (verify: duplicate-key level); the
+      // destructor restores on EVERY exit path of this branch.
+      typename SinkT::ObjectScope obj_scope(*sink);
       skip_ws();
-      if (!at_end() && *p == '}') { p++; return; }
-      while (!error && !fallback) {
+      if (!at_end() && *p == '}') { p++; depth--; return; }
+      while (!error && !fallback && !done) {
         skip_ws();
         const int64_t klen = parse_string(key_buf, false);
-        if (klen < 0) return;
+        if (klen < 0) { depth--; return; }
+        sink->on_key(*this, key_buf, klen);
+        if (error || fallback) { depth--; return; }
         skip_ws();
-        if (at_end() || *p != ':') { error = true; return; }
+        if (at_end() || *p != ':') { error = true; depth--; return; }
         p++;
-        // Push path segment.
+        // Push path segment. Ingest joins like unique_fields (delimiter
+        // only when the prefix STRING is non-empty); verify joins
+        // component-wise (delimiter whenever a segment is already pushed,
+        // so empty keys keep their component identity — walk_json_for_*
+        // split on the delimiter).
         const int64_t saved = path_len;
-        if (path_len + 1 + klen > buf_cap) { error = true; return; }
-        if (path_len > 0) path[path_len++] = delimiter;
+        if (path_len + 1 + klen > buf_cap) { error = true; depth--; return; }
+        const bool join = SinkT::kComponentJoin ? (seg_depth > 0) : (path_len > 0);
+        if (join) path[path_len++] = delimiter;
         std::memcpy(path + path_len, key_buf, klen);
         path_len += klen;
+        seg_depth++;
+        sink->on_push(*this);
         parse_value();
+        sink->on_pop(*this);
+        seg_depth--;
         path_len = saved;
-        if (error || fallback) return;
+        if (error || fallback || done) { depth--; return; }
         skip_ws();
         if (!at_end() && *p == ',') { p++; continue; }
-        if (!at_end() && *p == '}') { p++; return; }
+        if (!at_end() && *p == '}') { p++; depth--; return; }
         error = true;
+        depth--;
         return;
       }
     } else if (c == '[') {
       p++;
       skip_ws();
-      if (!at_end() && *p == ']') { p++; return; }
-      while (!error && !fallback) {
+      if (!at_end() && *p == ']') { p++; depth--; return; }
+      while (!error && !fallback && !done) {
         parse_value();  // same path: indices dropped
-        if (error || fallback) return;
+        if (error || fallback || done) { depth--; return; }
         skip_ws();
         if (!at_end() && *p == ',') { p++; continue; }
-        if (!at_end() && *p == ']') { p++; return; }
+        if (!at_end() && *p == ']') { p++; depth--; return; }
         error = true;
+        depth--;
         return;
       }
     } else if (c == '"') {
       const int64_t vlen = parse_string(value_buf, true);
-      if (vlen < 0) return;
-      if (path_len > 0) emit_tokens_from_value(vlen);
+      if (vlen < 0) { depth--; return; }
+      if (SinkT::kEmitEmptyPath || path_len > 0) emit_value(vlen);
     } else {
-      if (path_len > 0) {
+      if (SinkT::kEmitEmptyPath || path_len > 0) {
         parse_primitive();
       } else {
         skip_value();
       }
     }
+    depth--;
   }
 };
 
-void Parser::skip_value() {
-  // Top-level bare primitive (rows are objects; tolerate anything).
-  while (!at_end() && *p != ',' && *p != '}' && *p != ']') p++;
-}
+// Ingest sink: emits deduplicated murmur3 hash pairs for the three
+// keyspaces (field path / token / field::token) per primitive value.
+struct IngestSink {
+  static const bool kComponentJoin = false;  // match unique_fields joining
+  static const bool kEmitEmptyPath = false;  // unique_fields skips prefix ""
+
+  HashSink* fields;
+  HashSink* tokens;
+  HashSink* fts;
+
+  struct ObjectScope {
+    ObjectScope(IngestSink&) {}
+  };
+
+  void on_key(Parser<IngestSink>&, const uint8_t*, int64_t) {}
+  void on_push(Parser<IngestSink>&) {}
+  void on_pop(Parser<IngestSink>&) {}
+
+  void on_value(Parser<IngestSink>& P, int64_t vlen) {
+    // Emit field path once per primitive (dedup collapses repeats).
+    uint64_t fh[2];
+    murmur3_x64_128(P.path, (uint64_t)P.path_len, 0, fh);
+    fields->add(fh[0], fh[1]);
+    // Tokenize value_buf (already lowered) on whitespace.
+    int64_t i = 0;
+    while (i < vlen) {
+      while (i < vlen && is_ws(P.value_buf[i])) i++;
+      const int64_t start = i;
+      while (i < vlen && !is_ws(P.value_buf[i])) i++;
+      if (i > start) {
+        uint64_t th[2];
+        murmur3_x64_128(P.value_buf + start, (uint64_t)(i - start), 0, th);
+        tokens->add(th[0], th[1]);
+        // field::token — build in key_buf: path + "::" + token
+        const int64_t tok_len = i - start;
+        if (P.path_len + 2 + tok_len <= P.buf_cap) {
+          std::memcpy(P.key_buf, P.path, P.path_len);
+          P.key_buf[P.path_len] = ':';
+          P.key_buf[P.path_len + 1] = ':';
+          std::memcpy(P.key_buf + P.path_len + 2, P.value_buf + start, tok_len);
+          uint64_t fth[2];
+          murmur3_x64_128(P.key_buf, (uint64_t)(P.path_len + 2 + tok_len), 0, fth);
+          fts->add(fth[0], fth[1]);
+        } else {
+          P.error = true;
+          return;
+        }
+      }
+    }
+  }
+};
+
+// Verify sink: exact row verification of the bloom-query leaf conditions
+// against one row (the native counterpart of tokenizer.py row walks —
+// walk_json_for_field / walk_json_for_value / walk_json_for_field_value).
+// Kind 0=FIELD, 1=TOKEN, 2=FIELD_TOKEN.
+struct VCond {
+  uint8_t kind;
+  const uint8_t* field;
+  int64_t flen;
+  const uint8_t* tok;
+  int64_t tlen;
+};
+
+struct VerifySink {
+  static const bool kComponentJoin = true;   // component-wise path matching
+  static const bool kEmitEmptyPath = true;   // walk_json_for_value ignores paths
+
+  const VCond* conds;
+  int64_t n_conds;
+  uint8_t* out;       // [n_conds] this row's per-condition matches
+  int32_t* active;    // [n_conds] FIELD_TOKEN subtree activation depth or -1
+  bool field_conds;   // any FIELD / FIELD_TOKEN condition present
+
+  // Duplicate-key detection: json.loads keeps the LAST duplicate, the
+  // native walk sees every one — defer such rows to Python. Keys of the
+  // current object nesting stored len-prefixed on a stack; each object
+  // level scans only its own slice.
+  uint8_t* keystack;
+  int64_t keystack_len;
+  int64_t keystack_cap;
+  int64_t level_start;  // current object's first key offset
+
+  struct ObjectScope {
+    VerifySink& s;
+    int64_t saved_start;
+    int64_t saved_len;
+    explicit ObjectScope(VerifySink& sink)
+        : s(sink), saved_start(sink.level_start), saved_len(sink.keystack_len) {
+      s.level_start = s.keystack_len;
+    }
+    ~ObjectScope() {
+      s.level_start = saved_start;
+      s.keystack_len = saved_len;
+    }
+  };
+
+  void on_key(Parser<VerifySink>& P, const uint8_t* key, int64_t klen) {
+    if (field_conds && std::memchr(key, P.delimiter, (size_t)klen) != nullptr) {
+      // A key containing the delimiter breaks joined-path == component
+      // equivalence ({"a.b":1} must NOT match field "a.b").
+      P.fallback = true;
+      return;
+    }
+    // Scan this object level for a duplicate.
+    int64_t off = level_start;
+    while (off < keystack_len) {
+      int64_t len;
+      std::memcpy(&len, keystack + off, 8);
+      if (len == klen && std::memcmp(keystack + off + 8, key, (size_t)klen) == 0) {
+        P.fallback = true;  // duplicate key: last-wins semantics need Python
+        return;
+      }
+      off += 8 + len;
+    }
+    if (keystack_len + 8 + klen > keystack_cap) { P.fallback = true; return; }
+    std::memcpy(keystack + keystack_len, &klen, 8);
+    std::memcpy(keystack + keystack_len + 8, key, (size_t)klen);
+    keystack_len += 8 + klen;
+  }
+
+  void on_push(Parser<VerifySink>& P) {
+    for (int64_t c = 0; c < n_conds; c++) {
+      const VCond& cd = conds[c];
+      if (cd.kind == 0) {
+        // FIELD: the full component chain exists (value may be anything,
+        // including null — walk_json_for_field returns true at depth ==
+        // len(components) regardless of the value).
+        // NOTE: no early exit on all-matched — the rest of the row must
+        // still be walked for duplicate keys (the one case where MORE
+        // content can UNMATCH: json.loads keeps the last duplicate, so a
+        // later dup can remove the subtree a condition matched in).
+        if (!out[c] && cd.flen == P.path_len &&
+            std::memcmp(cd.field, P.path, (size_t)P.path_len) == 0) {
+          out[c] = 1;
+        }
+      } else if (cd.kind == 2) {
+        if (active[c] < 0 && cd.flen == P.path_len &&
+            std::memcmp(cd.field, P.path, (size_t)P.path_len) == 0) {
+          active[c] = P.seg_depth;  // token search scoped to this subtree
+        }
+      }
+    }
+  }
+
+  void on_pop(Parser<VerifySink>& P) {
+    for (int64_t c = 0; c < n_conds; c++) {
+      if (active[c] == P.seg_depth) active[c] = -1;
+    }
+  }
+
+  void on_value(Parser<VerifySink>& P, int64_t vlen) {
+    // Tokenize the (lowered) value text; every token tests TOKEN
+    // conditions and the FIELD_TOKEN conditions whose subtree is active.
+    int64_t i = 0;
+    while (i < vlen) {
+      while (i < vlen && is_ws(P.value_buf[i])) i++;
+      const int64_t start = i;
+      while (i < vlen && !is_ws(P.value_buf[i])) i++;
+      const int64_t tok_len = i - start;
+      if (tok_len == 0) continue;
+      for (int64_t c = 0; c < n_conds; c++) {
+        const VCond& cd = conds[c];
+        if (out[c]) continue;
+        if (cd.kind == 1 || (cd.kind == 2 && active[c] >= 0)) {
+          if (cd.tlen == tok_len &&
+              std::memcmp(cd.tok, P.value_buf + start, (size_t)tok_len) == 0) {
+            out[c] = 1;  // no early exit: see on_push NOTE (duplicate keys)
+          }
+        }
+      }
+    }
+  }
+};
 
 }  // namespace ingest
 
@@ -1133,21 +1307,24 @@ BS_EXPORT int64_t bs_ingest_tokenize(
   ingest::HashSink tokens{token_out, token_cap, 0, sets + 2 * fset, tset, false};
   ingest::HashSink fts{ft_out, ft_cap, 0, sets + 2 * (fset + tset), ftset, false};
 
+  ingest::IngestSink sink{&fields, &tokens, &fts};
+
   int64_t rc = 0;
   for (int64_t r = 0; r < n_rows; r++) {
-    ingest::Parser parser;
+    ingest::Parser<ingest::IngestSink> parser;
     parser.p = data + row_offsets[r];
     parser.end = parser.p + row_lengths[r];
     parser.fallback = false;
     parser.error = false;
+    parser.done = false;
     parser.path = scratch;
     parser.path_len = 0;
     parser.value_buf = scratch + kBuf;
     parser.key_buf = scratch + 2 * kBuf;
     parser.buf_cap = kBuf - 8;
-    parser.fields = &fields;
-    parser.tokens = &tokens;
-    parser.fts = &fts;
+    parser.seg_depth = 0;
+    parser.depth = 0;
+    parser.sink = &sink;
     parser.delimiter = delimiter;
     parser.parse_value();
     if (fields.overflow || tokens.overflow || fts.overflow) {
@@ -1162,6 +1339,99 @@ BS_EXPORT int64_t bs_ingest_tokenize(
   std::free(sets);
   std::free(scratch);
   return rc;
+}
+
+// Exact row verification of bloom-query leaf conditions over a batch of
+// serialized rows (the native counterpart of tokenizer.py::row_matches_*
+// walks over json.loads output — cited spec: reference tokenizer.go:107-456).
+// Kinds: 0=FIELD, 1=TOKEN, 2=FIELD_TOKEN. field/token operands are
+// concatenated with offsets[n_conds+1] fencing. out is uint8[n_conds *
+// n_rows] (condition-major). Rows the native walk can't verify bit-exactly
+// (non-ASCII, \uXXXX escapes, non-canonical numbers, duplicate keys, keys
+// containing the delimiter, depth > kMaxDepth, non-object top level, parse
+// trouble) get row_fallback[r]=1 and out undefined for that row — the
+// caller re-verifies them in Python. Returns 0, or -2 on allocation failure.
+BS_EXPORT int64_t bs_verify_rows(
+    const uint8_t* data, const int64_t* row_offsets, const int64_t* row_lengths,
+    int64_t n_rows, uint8_t delimiter,
+    const uint8_t* kinds,
+    const uint8_t* field_bytes, const int64_t* field_offsets,
+    const uint8_t* token_bytes, const int64_t* token_offsets,
+    int64_t n_conds,
+    uint8_t* out, uint8_t* row_fallback) {
+  const int64_t kBuf = 1 << 20;
+  uint8_t* scratch = (uint8_t*)std::malloc(4 * kBuf);
+  ingest::VCond* conds =
+      (ingest::VCond*)std::malloc(sizeof(ingest::VCond) * (size_t)n_conds);
+  int32_t* active = (int32_t*)std::malloc(4 * (size_t)n_conds);
+  uint8_t* row_out = (uint8_t*)std::malloc((size_t)n_conds);
+  if (!scratch || !conds || !active || !row_out) {
+    std::free(scratch);
+    std::free(conds);
+    std::free(active);
+    std::free(row_out);
+    return -2;
+  }
+  bool field_conds = false;
+  for (int64_t c = 0; c < n_conds; c++) {
+    conds[c] = ingest::VCond{
+        kinds[c],
+        field_bytes + field_offsets[c], field_offsets[c + 1] - field_offsets[c],
+        token_bytes + token_offsets[c], token_offsets[c + 1] - token_offsets[c],
+    };
+    if (kinds[c] != 1) field_conds = true;
+  }
+
+  for (int64_t r = 0; r < n_rows; r++) {
+    std::memset(row_out, 0, (size_t)n_conds);
+    for (int64_t c = 0; c < n_conds; c++) active[c] = -1;
+
+    ingest::VerifySink sink;
+    sink.conds = conds;
+    sink.n_conds = n_conds;
+    sink.out = row_out;
+    sink.active = active;
+    sink.field_conds = field_conds;
+    sink.keystack = scratch + 3 * kBuf;
+    sink.keystack_len = 0;
+    sink.keystack_cap = kBuf;
+    sink.level_start = 0;
+
+    ingest::Parser<ingest::VerifySink> parser;
+    parser.p = data + row_offsets[r];
+    parser.end = parser.p + row_lengths[r];
+    parser.fallback = false;
+    parser.error = false;
+    parser.done = false;
+    parser.path = scratch;
+    parser.path_len = 0;
+    parser.value_buf = scratch + kBuf;
+    parser.key_buf = scratch + 2 * kBuf;
+    parser.buf_cap = kBuf - 8;
+    parser.seg_depth = 0;
+    parser.depth = 0;
+    parser.sink = &sink;
+    parser.delimiter = delimiter;
+
+    // Rows must be JSON objects: bare top-level primitives/arrays keep the
+    // Python walk semantics and are rare — defer them.
+    parser.skip_ws();
+    if (parser.at_end() || *parser.p != '{') {
+      row_fallback[r] = 1;
+      continue;
+    }
+    parser.parse_value();
+    const bool fb = parser.error || parser.fallback;
+    row_fallback[r] = fb ? 1 : 0;
+    if (!fb) {
+      for (int64_t c = 0; c < n_conds; c++) out[c * n_rows + r] = row_out[c];
+    }
+  }
+  std::free(scratch);
+  std::free(conds);
+  std::free(active);
+  std::free(row_out);
+  return 0;
 }
 
 // ---------------------------------------------------------------------------

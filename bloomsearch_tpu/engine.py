@@ -79,6 +79,7 @@ from .tokenizer import (
     compile_regex_query,
     make_field_token_key,
     row_matches_query,
+    row_matches_regex_expression,
     unique_fields,
 )
 
@@ -426,6 +427,23 @@ class _DataBlockJob:
 
     file_pointer: bytes
     block: DataBlockMetadata
+
+
+@dataclass
+class _NativeVerifyPlan:
+    """Compiled-once inputs for native exact row verification.
+
+    Built per query when the tokenizer/delimiter are the defaults the C++
+    walker replicates; ``conds`` are the bloom query's leaf conditions as
+    (kind, field bytes, token bytes). The native walk either agrees
+    bit-exactly with tokenizer.py (the semantic spec ≙ reference
+    tokenizer.go:107-456) or flags the row for Python fallback.
+    """
+
+    expression: Any  # BloomExpression evaluated over the per-cond match rows
+    terms: CompiledBloomTerms
+    conds: list[tuple[int, bytes, bytes]]
+    delimiter: int
 
 
 class _HostFileBank:
@@ -1159,6 +1177,35 @@ class BloomSearchEngine:
         scan_query = and_bloom_queries(prune_query, regex_scan_query(q.regex))
         scan_plan = compile_scan_plan(scan_query, self.config.delimiter)
 
+        # Native exact verification: the bloom AST re-verifies in C++ over
+        # the raw row bytes (GIL-free); only matching rows JSON-parse. Rows
+        # the native walk can't prove bit-exact fall back to the Python
+        # spec. Regex stays a Python final AND stage on the survivors.
+        verify_plan = None
+        if (
+            q.bloom is not None
+            and q.bloom.expression is not None
+            and self.config.tokenizer is basic_whitespace_lower_tokenizer
+            and len(self.config.delimiter) == 1
+            and ord(self.config.delimiter) < 128
+            and _native_ingest_available()
+        ):
+            vterms = compile_bloom_terms(q.bloom)
+            if vterms is not None:
+                verify_plan = _NativeVerifyPlan(
+                    expression=q.bloom.expression,
+                    terms=vterms,
+                    conds=[
+                        (
+                            int(vterms.ks_idx[i]),
+                            (c.field or "").encode("utf-8"),
+                            (c.token or "").encode("utf-8"),
+                        )
+                        for i, c in enumerate(vterms.conditions)
+                    ],
+                    delimiter=ord(self.config.delimiter),
+                )
+
         # Serving mode: every surviving block already pinned in the device
         # row cache scans in ONE batched launch up front (warm queries then
         # cost ~one scan launch total instead of one per block); cold
@@ -1186,7 +1233,7 @@ class BloomSearchEngine:
         futures = [
             self._block_pool.submit(
                 self._block_task,
-                q, compiled_regex, scan_plan, job, result_queue,
+                q, compiled_regex, scan_plan, verify_plan, job, result_queue,
                 error_queue, stats_queue, cancel_event, prescanned,
             )
             for job in jobs
@@ -1490,6 +1537,7 @@ class BloomSearchEngine:
         q: Query,
         compiled_regex,
         scan_plan,
+        verify_plan: Optional[_NativeVerifyPlan],
         job: _DataBlockJob,
         result_queue: queue.Queue,
         error_queue: Optional[queue.Queue],
@@ -1502,8 +1550,8 @@ class BloomSearchEngine:
         with self._query_semaphore:
             try:
                 self._process_data_block(
-                    q, compiled_regex, scan_plan, job, result_queue, stats_queue,
-                    cancel_event, prescanned,
+                    q, compiled_regex, scan_plan, verify_plan, job,
+                    result_queue, stats_queue, cancel_event, prescanned,
                 )
             except Exception as exc:
                 try_put(error_queue, exc)  # this block fails; others continue
@@ -1513,6 +1561,7 @@ class BloomSearchEngine:
         q: Query,
         compiled_regex,
         scan_plan,
+        verify_plan: Optional[_NativeVerifyPlan],
         job: _DataBlockJob,
         result_queue: queue.Queue,
         stats_queue: Optional[queue.Queue],
@@ -1596,14 +1645,58 @@ class BloomSearchEngine:
                 if mask is not None:
                     candidate_idx = np.nonzero(mask)[0]
             if candidate_idx is None:
-                candidate_idx = range(num_rows)
+                candidate_idx = np.arange(num_rows, dtype=np.int64)
 
             tokenizer = self.config.tokenizer
             delimiter = self.config.delimiter
             data_is_bytes = isinstance(data, (bytes, bytearray))
-            for i in candidate_idx:
+
+            # Native exact verification over the candidate rows: the bloom
+            # AST evaluates in C++ over raw bytes (GIL-free) and only rows
+            # it PROVES matching (or flags for Python fallback) JSON-parse.
+            verified_ok = verified_fallback = None
+            if verify_plan is not None and len(candidate_idx):
+                from . import native as _nat
+
+                buf = (
+                    np.frombuffer(data, dtype=np.uint8) if data_is_bytes else data
+                )
+                res = _nat.verify_rows(
+                    buf,
+                    np.asarray(offsets, dtype=np.int64)[candidate_idx],
+                    np.asarray(lengths, dtype=np.int64)[candidate_idx],
+                    verify_plan.conds,
+                    verify_plan.delimiter,
+                )
+                if res is not None:
+                    vmatch, verified_fallback = res
+                    verified_ok = np.asarray(
+                        evaluate_match_expression(
+                            verify_plan.expression, verify_plan.terms,
+                            vmatch, len(candidate_idx),
+                        )
+                    )
+
+            regex_expr = (
+                compiled_regex.expression if compiled_regex is not None else None
+            )
+            for j, i in enumerate(candidate_idx):
                 if cancel_event is not None and cancel_event.is_set():
                     return
+                if verified_ok is not None and not verified_fallback[j]:
+                    if not verified_ok[j]:
+                        continue
+                    payload = data[offsets[i] : offsets[i] + lengths[i]]
+                    if not data_is_bytes:
+                        payload = payload.tobytes()
+                    parsed = json.loads(payload)
+                    # Bloom part proven natively; regex is the final AND
+                    # stage (reference TestGJSONForQuery, tokenizer.go:411).
+                    if regex_expr is None or row_matches_regex_expression(
+                        parsed, regex_expr, delimiter
+                    ):
+                        result_queue.put(parsed)
+                    continue
                 payload = data[offsets[i] : offsets[i] + lengths[i]]
                 if not data_is_bytes:
                     payload = payload.tobytes()

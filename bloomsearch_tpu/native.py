@@ -91,6 +91,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ]
         lib.bs_crc32c_rows.restype = None
+        lib.bs_verify_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_uint8,
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.bs_verify_rows.restype = ctypes.c_int64
         lib.bs_split_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ]
@@ -298,6 +308,55 @@ def crc32c(data, crc_in: int = 0) -> int:
     assert lib is not None
     buf = np.frombuffer(data, dtype=np.uint8) if len(data) else np.empty(0, dtype=np.uint8)
     return int(lib.bs_crc32c(_ptr(buf), buf.size, ctypes.c_uint32(crc_in)))
+
+
+def verify_rows(
+    data,
+    row_offsets: np.ndarray,
+    row_lengths: np.ndarray,
+    conditions: list[tuple[int, bytes, bytes]],
+    delimiter: int,
+) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """Exact native verification of bloom leaf conditions over raw row bytes.
+
+    ``conditions`` are ``(kind, field_bytes, token_bytes)`` with kind
+    0=FIELD, 1=TOKEN, 2=FIELD_TOKEN (the leaves of a bloom query; semantic
+    spec tokenizer.py::row_matches_bloom_expression ≙ reference
+    tokenizer.go:107-456). Returns ``(match bool[n_conds, n_rows],
+    fallback bool[n_rows])`` — fallback rows must be re-verified in Python —
+    or None when the library is unavailable or errors.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n_rows = len(row_offsets)
+    n_conds = len(conditions)
+    buf = np.frombuffer(data, dtype=np.uint8) if len(data) else np.empty(0, dtype=np.uint8)
+    kinds = np.array([c[0] for c in conditions], dtype=np.uint8)
+    field_bytes = b"".join(c[1] for c in conditions) or b"\x00"
+    field_offsets = np.zeros(n_conds + 1, dtype=np.int64)
+    np.cumsum([len(c[1]) for c in conditions], out=field_offsets[1:])
+    token_bytes = b"".join(c[2] for c in conditions) or b"\x00"
+    token_offsets = np.zeros(n_conds + 1, dtype=np.int64)
+    np.cumsum([len(c[2]) for c in conditions], out=token_offsets[1:])
+    fbuf = np.frombuffer(field_bytes, dtype=np.uint8)
+    tbuf = np.frombuffer(token_bytes, dtype=np.uint8)
+    offs = np.ascontiguousarray(row_offsets, dtype=np.int64)
+    lens = np.ascontiguousarray(row_lengths, dtype=np.int64)
+    out = np.zeros(n_conds * n_rows, dtype=np.uint8)
+    fallback = np.zeros(n_rows, dtype=np.uint8)
+    rc = lib.bs_verify_rows(
+        _ptr(buf), _ptr(offs), _ptr(lens), n_rows,
+        ctypes.c_uint8(delimiter),
+        _ptr(kinds),
+        _ptr(fbuf), _ptr(field_offsets),
+        _ptr(tbuf), _ptr(token_offsets),
+        n_conds,
+        _ptr(out), _ptr(fallback),
+    )
+    if rc != 0:
+        return None
+    return out.reshape(n_conds, n_rows).astype(bool), fallback.astype(bool)
 
 
 def crc32c_rows(data, num_rows: int, row_bytes: int) -> np.ndarray:
