@@ -151,6 +151,30 @@ class Superbank:
         self.dead = 0
 
 
+def _enable_persistent_jit_cache(jax) -> None:
+    """Persist compiled probe/scan programs across processes.
+
+    TPU compiles cost 10s of seconds; with the on-disk cache a restarted
+    engine's first query reuses the previous process's programs instead of
+    recompiling (a large slice of the cold-query cliff). Respects an
+    existing explicit configuration; BLOOMSEARCH_TPU_JIT_CACHE overrides
+    the directory ("0"/"off" disables).
+    """
+    import os
+
+    override = os.environ.get("BLOOMSEARCH_TPU_JIT_CACHE", "")
+    if override.lower() in ("0", "off", "no"):
+        return
+    try:
+        if jax.config.jax_compilation_cache_dir is not None and not override:
+            return  # user already configured a cache
+        cache_dir = override or os.path.expanduser("~/.cache/bloomsearch-tpu-jit")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # older jax or read-only home: cold compiles only
+        logger.debug("persistent jit cache unavailable", exc_info=True)
+
+
 class DeviceProbeBackend:
     """Caches filter banks on device and serves batched probes.
 
@@ -175,6 +199,7 @@ class DeviceProbeBackend:
         if require_device and self.platform not in ("tpu", "gpu", "cpu"):
             raise RuntimeError(f"no usable JAX backend (got {self.platform})")
         self.use_pallas = self.platform == "tpu"
+        _enable_persistent_jit_cache(jax)
         # Pallas interpret mode lets CPU runs exercise the production kernel
         # inside shard_map (tests, the multichip dryrun).
         self.pallas_interpret = False

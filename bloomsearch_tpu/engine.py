@@ -212,6 +212,15 @@ class BloomSearchEngineConfig:
     # when the device probe backend is active.
     row_cache_bytes: int = 0
 
+    # Warm the engine at start(): pre-load existing files' filter banks,
+    # pre-compile the device probe (and serving-mode scan) programs, and —
+    # in serving mode — pre-pin rows, all on the background warm thread, so
+    # the FIRST query doesn't pay jit-compile + upload (the reference has
+    # no cold/warm cliff; without this the first needle query costs ~18x a
+    # warm one on TPU). Off by default: short-lived embedders shouldn't pay
+    # warmup for data they may never query.
+    warmup_on_start: bool = False
+
     delimiter: str = "."
 
     @property
@@ -668,6 +677,154 @@ class BloomSearchEngine:
                 target=self._merge_loop, name="bloomsearch-merge", daemon=True
             )
             self._merge_thread.start()
+        if self.config.warmup_on_start:
+            self.warmup(block=False)
+
+    def warmup(self, block: bool = True, timeout: Optional[float] = None):
+        """Pre-warm so the FIRST query runs at warm-query speed.
+
+        Loads every existing file's filter banks into the device (or host)
+        cache, compiles the device probe program per resident superbank
+        shape, and — in serving mode — pre-pins rows up to the cache budget
+        and compiles the batched scan program. The reference engine has no
+        cold/warm cliff (filters stream from disk per query); the bank/jit
+        design trades that for a first-touch cost this hook pays up front.
+
+        Runs on the dedicated warm thread. ``block=False`` returns the
+        Future (start() uses this); errors are logged, never raised — a
+        failed warm only means the first query pays the cold cost.
+        """
+        fut = self._warm_pool.submit(self._warmup_impl)
+        if not block:
+            return fut
+        fut.result(timeout=timeout)
+        return None
+
+    def _warmup_impl(self) -> None:
+        try:
+            maybe_files = self.meta_store.get_maybe_files_for_query(None)
+        except Exception:
+            logger.exception("warmup: file listing failed")
+            return
+
+        # File-level banks (host numpy; the per-query incremental path).
+        file_groups: dict[tuple, list] = {}
+        for mf in maybe_files:
+            triple = mf.metadata.bloom_filters
+            if triple is not None:
+                file_groups.setdefault(
+                    (triple.field.m_bits, triple.field.k, triple.field.layout), []
+                ).append(mf)
+        for key, group_files in file_groups.items():
+            try:
+                self._file_level_bank(key, group_files)
+            except Exception:
+                logger.exception("warmup: file-level bank build failed")
+
+        # Block banks: make every group resident (device superbanks or the
+        # host cache); remember one (pointer, gi) per (m, k, layout) for the
+        # compile pass below.
+        compile_reps: dict[tuple, tuple] = {}
+        for mf in maybe_files:
+            if self._stop_event.is_set():
+                return
+            for gi, group in enumerate(mf.metadata.bank_groups):
+                mk = (group.m_bits, group.k, group.params.layout)
+
+                def load(pointer=mf.pointer, group=group) -> np.ndarray:
+                    with self.data_store.open_file(pointer) as fh:
+                        return read_bank_group(fh, group)
+
+                try:
+                    if self._device_backend is not None:
+                        seg_key = self._device_backend.segment_key(mf.pointer, gi)
+                        self._device_backend._ensure_resident(
+                            mf.pointer, mk, seg_key, load
+                        )
+                        compile_reps.setdefault(mk, (mf.pointer, gi, load))
+                    elif self._host_bank(mf.pointer, group) is None:
+                        self._host_bank_put(mf.pointer, group, load())
+                except FileNotFoundError:
+                    break  # merged/tombstoned during warmup
+                except Exception:
+                    logger.exception("warmup: bank load failed for %r", mf.pointer)
+
+        # Compile + transfer warm: one dummy flat-AND probe per superbank
+        # shape (the dominant query shape). Fetching the result also pays
+        # any first-transfer handshake before a user query does.
+        if self._device_backend is not None and compile_reps:
+            warm_terms = compile_bloom_terms(
+                new_query().token("\x00bloomsearch-warmup\x00").build().bloom
+            )
+            for mk, (pointer, gi, load) in compile_reps.items():
+                if self._stop_event.is_set():
+                    return
+                try:
+                    self._device_backend.probe_groups(
+                        [(pointer, gi, mk, load)], warm_terms, reduce_and=True
+                    )
+                except Exception:
+                    logger.exception("warmup: probe compile failed for %s", mk)
+
+        # Serving mode: pre-pin rows up to the cache budget and compile the
+        # batched scan program, so the first query's scan is also warm.
+        if self._row_cache is not None:
+            pinned = []
+            budget = self.config.row_cache_bytes
+            for mf in maybe_files:
+                for blk in mf.metadata.data_blocks:
+                    if self._stop_event.is_set():
+                        return
+                    if self._row_cache.total_bytes() >= budget:
+                        break
+                    key = (mf.pointer, blk.offset)
+                    entry = self._row_cache.get(key)
+                    if entry is None:
+                        try:
+                            entry = self._decode_and_pin(mf.pointer, blk)
+                        except FileNotFoundError:
+                            break
+                        except Exception:
+                            logger.exception(
+                                "warmup: row pin failed for %r", mf.pointer
+                            )
+                            continue
+                    if entry is not None:
+                        pinned.append(entry)
+            if pinned:
+                try:
+                    self._row_cache.scan_many(pinned, [b"\x00bloomsearch-warmup\x00"])
+                except Exception:
+                    logger.exception("warmup: scan compile failed")
+
+    def _decode_and_pin(self, pointer: bytes, blk):
+        """Decode one block (CRC-verified) and pin its rows in the device
+        row cache — the warmup counterpart of the query path's decode+pin."""
+        from . import native as _native
+        from .scan import split_rows_arrays
+
+        with self.data_store.open_file(pointer) as fh:
+            compressed = read_block_rows_compressed(fh, blk, verify=False)
+        processed = (
+            _native.process_block(
+                compressed, blk.compression, blk.row_data_hash,
+                blk.uncompressed_size, [],
+            )
+            if _native.available()
+            else None
+        )
+        if processed is not None:
+            data_arr, offsets, lengths, _ = processed
+            data = data_arr.tobytes()
+        else:
+            from .checksum import crc32c as _crc32c
+            from .file_format import InvalidHashError
+
+            if _crc32c(compressed) != blk.row_data_hash:
+                raise InvalidHashError("row data CRC mismatch")
+            data = decompress_block(compressed, blk.compression, blk.uncompressed_size)
+            _, offsets, lengths = split_rows_arrays(data)
+        return self._row_cache.pin((pointer, blk.offset), data, offsets, lengths)
 
     def stop(self, timeout: Optional[float] = None) -> None:
         """Graceful shutdown: buffered rows are flushed to a complete file
