@@ -37,6 +37,47 @@ REF_ROWS_PER_SEC = 17.08e6
 REF_WALL_MS = 650.0
 
 
+def _timed_needle_queries(engine, store, *, reps: int = 3) -> dict:
+    """Warmup -> first-query wall -> 3 reps x 3 shapes -> p50 + rows/s."""
+    import bloomsearch_tpu as bs
+    from bloomsearch_tpu import perf
+
+    queries = [
+        ("token", bs.new_query().token(perf.NEEDLE_TOKEN).build()),
+        ("field", bs.new_query().field(perf.NEEDLE_FIELD).build()),
+        (
+            "field:token",
+            bs.new_query()
+            .field_token(perf.NEEDLE_FT_FIELD, perf.NEEDLE_FT_TOKEN)
+            .build(),
+        ),
+    ]
+    t0 = time.perf_counter()
+    engine.warmup(block=True, timeout=1800)
+    warmup_s = time.perf_counter() - t0
+    # The user-visible FIRST query, after warmup (the cold-cliff metric).
+    first = perf._run_one_query(engine, store, "first:token", queries[0][1])
+    walls = [first["wall_ms"]]
+    rows_total = first["candidate_rows"]
+    for label, built in queries[1:]:
+        perf._run_one_query(engine, store, f"warm:{label}", built)
+    for rep in range(reps):
+        for label, built in queries:
+            r = perf._run_one_query(engine, store, f"{label}#{rep}", built)
+            walls.append(r["wall_ms"])
+            rows_total = max(rows_total, r["candidate_rows"])
+    p50 = statistics.median(walls[1:])
+    rows_per_sec = rows_total / (p50 / 1e3) if p50 > 0 else 0.0
+    return {
+        "rows": rows_total,
+        "p50_ms": round(p50, 2),
+        "rows_per_sec": round(rows_per_sec),
+        "first_query_ms": round(first["wall_ms"], 2),
+        "warmup_s": round(warmup_s, 1),
+        "backend": "device" if engine._device_backend is not None else "host",
+    }
+
+
 def _e2e_variant(target_mb: int, block_items) -> dict:
     """Generate a dataset, run warm needle queries, report p50 + rows/s."""
     from bloomsearch_tpu import perf
@@ -59,38 +100,90 @@ def _e2e_variant(target_mb: int, block_items) -> dict:
 
         engine, store = perf._engine(args)
         try:
-            import bloomsearch_tpu as bs
-
-            queries = [
-                ("token", bs.new_query().token(perf.NEEDLE_TOKEN).build()),
-                ("field", bs.new_query().field(perf.NEEDLE_FIELD).build()),
-                (
-                    "field:token",
-                    bs.new_query()
-                    .field_token(perf.NEEDLE_FT_FIELD, perf.NEEDLE_FT_TOKEN)
-                    .build(),
-                ),
-            ]
-            # Warm pass (bank residency, jit, file cache), then 3 timed reps.
-            walls = []
-            rows_total = 0
-            for label, built in queries:
-                perf._run_one_query(engine, store, f"warm:{label}", built)
-            for rep in range(3):
-                for label, built in queries:
-                    r = perf._run_one_query(engine, store, f"{label}#{rep}", built)
-                    walls.append(r["wall_ms"])
-                    rows_total = max(rows_total, r["candidate_rows"])
-            p50 = statistics.median(walls)
-            rows_per_sec = rows_total / (p50 / 1e3) if p50 > 0 else 0.0
-            return {
-                "rows": rows_total,
-                "p50_ms": round(p50, 2),
-                "rows_per_sec": round(rows_per_sec),
-                "backend": "device" if engine._device_backend is not None else "host",
-            }
+            return _timed_needle_queries(engine, store)
         finally:
             engine.stop(timeout=300)
+
+
+REFSCALE_TARGET_MB = 1600
+REF_ROWS = 11_214_340  # the reference benchmark's dataset (PERFORMANCE.md:21)
+
+
+def refscale_bench() -> dict:
+    """e2e at the reference's OWN benchmark scale (PERFORMANCE.md:21-29:
+    ~11.2M rows / 1.6 GB / 10 files / 100 blocks, snappy, 00-09 partitions).
+
+    The dataset replicates the reference perf harness's shape AND physical
+    layout (bloom_tree_engine_performance_test.go:14-60: 10 MB row groups,
+    200 MB buffered flushes, block blooms sized by the 1M-row cap) and is
+    cached under ~/.cache across bench runs. rows/s follows the reference's
+    own methodology: candidate rows (the full dataset at this selectivity)
+    divided by needle-query wall time.
+    """
+    import os
+    import shutil
+
+    import bloomsearch_tpu as bs
+    from bloomsearch_tpu import perf
+    from bloomsearch_tpu.engine import _default_compression
+
+    comp = _default_compression()
+    cache = os.path.expanduser(
+        f"~/.cache/bloomsearch-refscale/v1-{comp}-{REFSCALE_TARGET_MB}mb"
+    )
+    marker = os.path.join(cache, "GENERATION_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        gen = perf.generate_fast(
+            cache, REFSCALE_TARGET_MB, seed=0, compression=comp, log=log
+        )
+        with open(marker, "w") as fh:
+            json.dump(gen, fh)
+        log(f"refscale dataset generated: {gen}")
+    else:
+        log("refscale dataset cached; reusing")
+
+    store = bs.FileSystemDataStore(cache)
+    files = store.get_maybe_files_for_query(None)
+    blocks = [b for mf in files for b in mf.metadata.data_blocks]
+    rows = sum(b.rows for b in blocks)
+    raw_bytes = sum(b.uncompressed_size for b in blocks)
+
+    config = bs.BloomSearchEngineConfig(
+        row_data_compression=comp,
+        max_row_group_bytes=10 * 1024 * 1024,
+        max_row_group_rows=1_000_000,
+        max_query_concurrency=100,
+        probe_backend="auto",
+        bank_cache_bytes=6 << 30,
+    )
+    engine = bs.BloomSearchEngine(config, store, store)
+    engine.start()
+    try:
+        out = _timed_needle_queries(engine, store)
+    finally:
+        engine.stop(timeout=600)
+    rows_per_sec = out["rows_per_sec"]
+    return {
+        "e2e_refscale_rows": rows,
+        "e2e_refscale_files": len(files),
+        "e2e_refscale_blocks": len(blocks),
+        "e2e_refscale_raw_mb": round(raw_bytes / 1e6),
+        "e2e_refscale_candidate_rows": out["rows"],
+        "e2e_refscale_p50_ms": out["p50_ms"],
+        "e2e_refscale_rows_per_sec": rows_per_sec,
+        "e2e_refscale_vs_ref": round(rows_per_sec / REF_ROWS_PER_SEC, 3),
+        "e2e_refscale_first_query_ms": out["first_query_ms"],
+        "e2e_refscale_warmup_s": out["warmup_s"],
+        "e2e_refscale_backend": out["backend"],
+        # Honesty: the reference number this compares against was measured
+        # on an M3 Max (12 cores) at ~100-way query concurrency over 11.2M
+        # rows / 1.6 GB; this runs the same dataset scale and counting
+        # methodology on this host (see cpu_count in extra).
+        "e2e_refscale_ref_rows": REF_ROWS,
+        "e2e_refscale_ref_rows_per_sec": REF_ROWS_PER_SEC,
+    }
 
 
 def ingest_bench(n_rows: int = 60_000) -> dict:
@@ -162,12 +255,18 @@ def e2e_query_bench(target_mb: int = 48) -> dict:
         "e2e_query_p50_ms": parity["p50_ms"],
         "e2e_query_rows_per_sec": parity["rows_per_sec"],
         "e2e_vs_ref_rows_per_sec": round(parity["rows_per_sec"] / REF_ROWS_PER_SEC, 3),
+        "e2e_first_query_ms": parity["first_query_ms"],
         "e2e_honest_sizing_p50_ms": honest["p50_ms"],
         "e2e_honest_sizing_rows_per_sec": honest["rows_per_sec"],
         "e2e_honest_vs_ref_rows_per_sec": round(
             honest["rows_per_sec"] / REF_ROWS_PER_SEC, 3
         ),
+        "e2e_honest_first_query_ms": honest["first_query_ms"],
         "e2e_backend": parity["backend"],
+        # Scale honesty: this phase runs at target_mb (48 MB default), far
+        # below the reference's 1.6 GB — the refscale phase is the
+        # apples-to-apples comparison.
+        "e2e_target_mb": target_mb,
         "cpu_count": os.cpu_count(),
     }
 
@@ -265,6 +364,11 @@ def main() -> None:
     except Exception as exc:  # never lose the headline metric
         log(f"e2e bench failed: {exc!r}")
         extra["e2e_error"] = repr(exc)
+    try:
+        extra.update(refscale_bench())
+    except Exception as exc:
+        log(f"refscale bench failed: {exc!r}")
+        extra["refscale_error"] = repr(exc)
 
     print(
         json.dumps(

@@ -104,6 +104,7 @@ from .objectstore import (
     ObjectStoreDataStore,
     ObjectStoreMetaStore,
 )
+from .s3 import S3ObjectStore
 from .engine import (
     BlockStats,
     BloomSearchEngine,

@@ -813,20 +813,57 @@ struct HashSink {
   uint64_t* out;      // [cap, 2]
   int64_t cap;
   int64_t count;
-  // open-addressing dedup set of full (h1, h2) pairs; empty = (0, 0),
-  // which only murmur3("") produces and empty keys never occur.
+  // Open-addressing dedup set of full (h1, h2) pairs; empty = (0, 0),
+  // which only murmur3("") produces and empty keys never occur. The set
+  // GROWS by rehash at 50% load, so memory scales with the batch's actual
+  // distinct-key count instead of the caller's output capacity (a
+  // caps-sized upfront calloc dominated ingest at scale: ~50 MB zeroed
+  // per 4k-row batch).
   uint64_t* set_keys;  // [set_size, 2]
   int64_t set_size;    // power of two
-  bool overflow;
+  bool overflow;       // out array full (caller retries with bigger caps)
+  bool oom;
+
+  static uint64_t slot_of(uint64_t h1, uint64_t h2, int64_t size) {
+    return (h1 ^ (h2 * 0x9e3779b97f4a7c15ULL)) & (uint64_t)(size - 1);
+  }
+
+  bool grow() {
+    const int64_t new_size = set_size * 2;
+    uint64_t* fresh = (uint64_t*)std::calloc((size_t)(2 * new_size), 8);
+    if (!fresh) {
+      oom = true;
+      return false;
+    }
+    for (int64_t i = 0; i < set_size; i++) {
+      const uint64_t h1 = set_keys[2 * i];
+      const uint64_t h2 = set_keys[2 * i + 1];
+      if (h1 == 0 && h2 == 0) continue;
+      uint64_t slot = slot_of(h1, h2, new_size);
+      while (fresh[2 * slot] != 0 || fresh[2 * slot + 1] != 0) {
+        slot = (slot + 1) & (uint64_t)(new_size - 1);
+      }
+      fresh[2 * slot] = h1;
+      fresh[2 * slot + 1] = h2;
+    }
+    std::free(set_keys);
+    set_keys = fresh;
+    set_size = new_size;
+    return true;
+  }
 
   bool add(uint64_t h1, uint64_t h2) {
-    uint64_t slot = (h1 ^ (h2 * 0x9e3779b97f4a7c15ULL)) & (uint64_t)(set_size - 1);
+    uint64_t slot = slot_of(h1, h2, set_size);
     while (true) {
       uint64_t* entry = set_keys + 2 * slot;
       if (entry[0] == 0 && entry[1] == 0) {
-        if (count >= cap || count * 2 >= set_size) {
+        if (count >= cap) {
           overflow = true;
           return false;
+        }
+        if (count * 2 >= set_size) {
+          if (!grow()) return false;
+          return add(h1, h2);  // re-probe in the grown set
         }
         entry[0] = h1;
         entry[1] = h2;
@@ -1286,26 +1323,25 @@ BS_EXPORT int64_t bs_ingest_tokenize(
     uint64_t* token_out, int64_t token_cap, int64_t* n_token,
     uint64_t* ft_out, int64_t ft_cap, int64_t* n_ft,
     uint8_t* row_fallback) {
-  auto pow2 = [](int64_t x) {
-    int64_t v = 64;
-    while (v < x) v <<= 1;
-    return v;
-  };
-  const int64_t fset = pow2(field_cap * 4);
-  const int64_t tset = pow2(token_cap * 4);
-  const int64_t ftset = pow2(ft_cap * 4);
-  uint64_t* sets = (uint64_t*)std::calloc((size_t)(2 * (fset + tset + ftset)), 8);
+  // Dedup sets start small and grow by rehash with the batch's actual
+  // distinct-key count; only the out arrays are caps-sized (caller memory).
+  const int64_t kInitSet = 1 << 13;
   const int64_t kBuf = 1 << 20;
   uint8_t* scratch = (uint8_t*)std::malloc(3 * kBuf);
-  if (!sets || !scratch) {
-    std::free(sets);
+  uint64_t* fset = (uint64_t*)std::calloc((size_t)(2 * kInitSet), 8);
+  uint64_t* tset = (uint64_t*)std::calloc((size_t)(2 * kInitSet), 8);
+  uint64_t* ftset = (uint64_t*)std::calloc((size_t)(2 * kInitSet), 8);
+  if (!scratch || !fset || !tset || !ftset) {
     std::free(scratch);
+    std::free(fset);
+    std::free(tset);
+    std::free(ftset);
     return -2;
   }
 
-  ingest::HashSink fields{field_out, field_cap, 0, sets, fset, false};
-  ingest::HashSink tokens{token_out, token_cap, 0, sets + 2 * fset, tset, false};
-  ingest::HashSink fts{ft_out, ft_cap, 0, sets + 2 * (fset + tset), ftset, false};
+  ingest::HashSink fields{field_out, field_cap, 0, fset, kInitSet, false, false};
+  ingest::HashSink tokens{token_out, token_cap, 0, tset, kInitSet, false, false};
+  ingest::HashSink fts{ft_out, ft_cap, 0, ftset, kInitSet, false, false};
 
   ingest::IngestSink sink{&fields, &tokens, &fts};
 
@@ -1327,6 +1363,10 @@ BS_EXPORT int64_t bs_ingest_tokenize(
     parser.sink = &sink;
     parser.delimiter = delimiter;
     parser.parse_value();
+    if (fields.oom || tokens.oom || fts.oom) {
+      rc = -2;
+      break;
+    }
     if (fields.overflow || tokens.overflow || fts.overflow) {
       rc = -1;
       break;
@@ -1336,7 +1376,9 @@ BS_EXPORT int64_t bs_ingest_tokenize(
   *n_field = fields.count;
   *n_token = tokens.count;
   *n_ft = fts.count;
-  std::free(sets);
+  std::free(fields.set_keys);
+  std::free(tokens.set_keys);
+  std::free(fts.set_keys);
   std::free(scratch);
   return rc;
 }

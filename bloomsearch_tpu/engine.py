@@ -396,15 +396,21 @@ class _PartitionBuffer:
 
 
 class _IngestRequest:
-    __slots__ = ("rows", "done", "force_flush", "serialized")
+    __slots__ = ("rows", "done", "force_flush", "serialized", "partition_id")
 
     def __init__(
-        self, rows, done: Optional[Future], force_flush: bool = False, serialized: bool = False
+        self,
+        rows,
+        done: Optional[Future],
+        force_flush: bool = False,
+        serialized: bool = False,
+        partition_id: str = "",
     ):
         self.rows = rows
         self.done = done
         self.force_flush = force_flush
         self.serialized = serialized
+        self.partition_id = partition_id
 
 
 class _FlushRequest:
@@ -887,7 +893,11 @@ class BloomSearchEngine:
         self._ingest_queue.put(_IngestRequest(rows, done), timeout=timeout)
 
     def ingest_serialized(
-        self, rows: list[bytes], done: Optional[Future] = None, timeout: Optional[float] = None
+        self,
+        rows: list[bytes],
+        done: Optional[Future] = None,
+        timeout: Optional[float] = None,
+        partition_id: str = "",
     ) -> None:
         """Fast lane for pre-serialized rows (e.g. JSON-lines log pipelines).
 
@@ -895,7 +905,10 @@ class BloomSearchEngine:
         verbatim and tokenized entirely by the native path (no Python dict
         round-trip). Requires ``partition_func`` and ``min_max_indexes`` to
         be unset — those hooks operate on parsed rows (a later byte-level
-        extractor API can lift this).
+        extractor API can lift this). ``partition_id`` routes the whole
+        batch to one partition explicitly (pre-partitioned pipelines keep
+        partition pruning without the dict round-trip a PartitionFunc
+        would need).
         """
         if self.config.partition_func is not None or self.config.min_max_indexes:
             raise InvalidConfigError(
@@ -904,7 +917,8 @@ class BloomSearchEngine:
         if self._stop_event.is_set() or not self._started:
             raise RuntimeError("engine is not running")
         self._ingest_queue.put(
-            _IngestRequest(rows, done, serialized=True), timeout=timeout
+            _IngestRequest(rows, done, serialized=True, partition_id=partition_id),
+            timeout=timeout,
         )
 
     def flush(self, timeout: Optional[float] = None) -> None:
@@ -1048,7 +1062,10 @@ class BloomSearchEngine:
         p = self.config.bloom_false_positive_rate
         for name in ("field", "token", "field_token"):
             flt = getattr(buf.filters, name)
-            ones = int(np.unpackbits(flt.words.view(np.uint8)).sum())
+            try:
+                ones = int(np.bitwise_count(flt.words).sum(dtype=np.int64))
+            except AttributeError:  # numpy < 2: popcount via unpackbits
+                ones = int(np.unpackbits(flt.words.view(np.uint8)).sum())
             fill = ones / max(flt.m_bits, 1)
             est_fpr = fill ** flt.k
             if est_fpr > max(10 * p, 1e-6):
@@ -2275,7 +2292,7 @@ class _IngestState:
             return
         try:
             if req.serialized:
-                self._ingest_serialized_rows(req.rows)
+                self._ingest_serialized_rows(req.rows, req.partition_id)
             else:
                 self._ingest_rows(req.rows)
         except Exception as exc:
@@ -2424,20 +2441,22 @@ class _IngestState:
                 getattr(buf.filters, selector).add_hashes(hashes)
                 getattr(self.file_filters, selector).add_hashes(hashes)
 
-    def _ingest_serialized_rows(self, serialized: list[bytes]) -> None:
-        """Pre-serialized fast lane: no dict round-trip, single partition."""
+    def _ingest_serialized_rows(
+        self, serialized: list[bytes], partition_id: str = ""
+    ) -> None:
+        """Pre-serialized fast lane: no dict round-trip, explicit partition."""
         config = self.config
         if self.buffer_start_time is None:
             self.buffer_start_time = time.monotonic()
-        buf = self.partition_buffers.get("")
+        buf = self.partition_buffers.get(partition_id)
         if buf is None:
             buf = _PartitionBuffer(
-                "",
+                partition_id,
                 self._block_params_for_new_buffer(),
                 config.row_data_compression,
                 config.zstd_compression_level,
             )
-            self.partition_buffers[""] = buf
+            self.partition_buffers[partition_id] = buf
 
         stream_parts: list[bytes] = []
         batch_bytes = 0
