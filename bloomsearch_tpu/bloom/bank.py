@@ -341,6 +341,7 @@ class DeviceProbeBackend:
         requests: list[tuple[bytes, int, tuple[int, int], Callable[[], np.ndarray]]],
         terms,
         reduce_and: bool = False,
+        clause_mask: Optional[np.ndarray] = None,
     ) -> dict[tuple[bytes, int], np.ndarray]:
         """Batched probe across files.
 
@@ -352,6 +353,13 @@ class DeviceProbeBackend:
         AND over terms fuses into the probe program on-device and the
         returned slices are bool[1, B] survivor vectors: a T× smaller
         device→host transfer and no host expression evaluation.
+
+        ``clause_mask`` (bool[C, T] from probe.compile_cnf_clauses) extends
+        the same fusion to arbitrary monotone AND/OR trees: the CNF
+        evaluates on-device and a bool[1, B] survivor vector returns. Pass
+        it for flat-AND too (as the identity) so combined cross-query
+        launches can fuse every member; shapes that exceed the CNF budget
+        pass None and evaluate host-side over the full bitmap.
 
         Concurrency: residency may race with invalidation/compaction, so the
         bank array and all segment placements snapshot atomically under the
@@ -394,6 +402,7 @@ class DeviceProbeBackend:
                     bit_idx.reshape(-1).astype(np.int32),
                     len(terms),
                     reduce_and,
+                    clause_mask,
                 )
 
             return {
@@ -413,6 +422,7 @@ class DeviceProbeBackend:
         shifts: np.ndarray,
         T: int,
         reduce_and: bool,
+        clause_mask: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Probe one superbank snapshot, coalescing concurrent queries.
 
@@ -424,7 +434,7 @@ class DeviceProbeBackend:
         (dominant through remote-TPU tunnels, still ~10s of µs locally)
         amortizes across queries.
         """
-        req = _PendingProbe(flat_rows, shifts, T, reduce_and)
+        req = _PendingProbe(flat_rows, shifts, T, reduce_and, clause_mask)
         key = id(bank2d)
         with self._batch_lock:
             entry = self._batch_pending.get(key)
@@ -486,10 +496,33 @@ class DeviceProbeBackend:
         rows_dev = jnp.asarray(flat_rows)
         shifts_dev = jnp.asarray(shifts)
 
-        # Solo flat-AND keeps the fully fused on-device reduction (T× less
-        # transfer); combined batches return the full bitmap and flat-AND
-        # members reduce host-side over their own term slice.
+        # Fusion ladder:
+        # 1. Solo flat-AND: the cheapest fully fused reduction (no matmuls).
+        # 2. Every member carries a CNF clause mask: fuse ALL of them via
+        #    the clause program — each member transfers only a [1, C/32]
+        #    survivor bitmap, even for OR-shaped trees and even combined.
+        # 3. Otherwise: full [T, C/32] bitmap back, host evaluation.
         solo_fused = len(batch) == 1 and batch[0].reduce_and
+        all_clauses = not solo_fused and all(
+            r.clause_mask is not None for r in batch
+        )
+        clause_dev = member_dev = None
+        if all_clauses:
+            total_c = sum(r.clause_mask.shape[0] for r in batch)
+            Cp = max(_pad_terms(total_c), 8)
+            Mp = max(_pad_terms(len(batch)), 8)
+            clause = np.zeros((Cp, Tp), dtype=np.float32)
+            member = np.zeros((Mp, Cp), dtype=np.float32)
+            c0 = t0 = 0
+            for mi, r in enumerate(batch):
+                cm = r.clause_mask
+                clause[c0 : c0 + cm.shape[0], t0 : t0 + r.T] = cm
+                member[mi, c0 : c0 + cm.shape[0]] = 1.0
+                c0 += cm.shape[0]
+                t0 += r.T
+            clause_dev = jnp.asarray(clause)
+            member_dev = jnp.asarray(member)
+
         if self.mesh is not None:
             if solo_fused:
                 from ..parallel.mesh import sharded_query_step
@@ -500,6 +533,14 @@ class DeviceProbeBackend:
                     use_pallas=use_pallas, interpret=self.pallas_interpret,
                 )
                 packed = packed[None, :]
+            elif all_clauses:
+                from ..parallel.mesh import sharded_probe_clauses
+
+                packed = sharded_probe_clauses(
+                    self.mesh, bank2d, rows_dev, shifts_dev,
+                    clause_dev, member_dev, Tp, k,
+                    use_pallas=use_pallas, interpret=self.pallas_interpret,
+                )
             else:
                 from ..parallel.mesh import sharded_probe_packed
 
@@ -512,6 +553,14 @@ class DeviceProbeBackend:
                 packed = probe_reduce_and_pack(
                     bank2d, rows_dev, shifts_dev, Tp, k,
                     jnp.asarray(np.arange(Tp) < total_t),
+                    use_pallas=use_pallas, interpret=self.pallas_interpret,
+                )
+            elif all_clauses:
+                from .pallas_kernels import probe_clauses_pack
+
+                packed = probe_clauses_pack(
+                    bank2d, rows_dev, shifts_dev, Tp, k,
+                    clause_dev, member_dev,
                     use_pallas=use_pallas, interpret=self.pallas_interpret,
                 )
             else:
@@ -527,24 +576,40 @@ class DeviceProbeBackend:
             batch[0].result = bits[:1]
             batch[0].done.set()
             return
+        if all_clauses:
+            for mi, r in enumerate(batch):
+                r.result = bits[mi : mi + 1]
+                r.done.set()
+            return
         cursor = 0
         for r in batch:
             sub = bits[cursor : cursor + r.T]
             cursor += r.T
             if r.reduce_and:
                 sub = sub.all(axis=0, keepdims=True)
+            elif r.clause_mask is not None:
+                # Mixed batch took the full-bitmap path; honor this
+                # member's fusion contract host-side so a clause request
+                # ALWAYS yields [1, B] survivors.
+                from .probe import evaluate_cnf_mask
+
+                sub = evaluate_cnf_mask(r.clause_mask, sub)[None, :]
             r.result = sub
             r.done.set()
 
 
 class _PendingProbe:
-    __slots__ = ("flat_rows", "shifts", "T", "reduce_and", "done", "result", "error")
+    __slots__ = (
+        "flat_rows", "shifts", "T", "reduce_and", "clause_mask",
+        "done", "result", "error",
+    )
 
-    def __init__(self, flat_rows, shifts, T, reduce_and):
+    def __init__(self, flat_rows, shifts, T, reduce_and, clause_mask=None):
         self.flat_rows = flat_rows
         self.shifts = shifts
         self.T = T
         self.reduce_and = reduce_and
+        self.clause_mask = clause_mask  # bool[C, T] CNF; None = host eval
         self.done = threading.Event()
         self.result = None
         self.error: Optional[BaseException] = None

@@ -185,6 +185,43 @@ def probe_reduce_and_pack(
     return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
 
 
+@functools.partial(jax.jit, static_argnames=("T", "K", "use_pallas", "interpret"))
+def probe_clauses_pack(
+    bank2d: jax.Array,
+    row_idx: jax.Array,
+    shift: jax.Array,
+    T: int,
+    K: int,
+    clause_mask: jax.Array,  # float32[Cl, T] — CNF clauses over terms
+    member_mask: jax.Array,  # float32[M, Cl] — which clauses belong to which query
+    *,
+    use_pallas: bool,
+    interpret: bool = False,
+) -> jax.Array:
+    """Probe + fused CNF evaluation -> packed uint32[M, C/32] survivors.
+
+    Arbitrary (monotone) AND/OR trees evaluate on-device as two small MXU
+    matmuls over the [T, C] match matrix: clause_or = (clause_mask @ match)
+    > 0, survivors[m] = no clause of member m is false. Per combined-launch
+    member only a [C/32] bitmap transfers — the same fused-transfer win
+    flat-AND gets from probe_reduce_and_pack, extended to every tree shape
+    compile_cnf_clauses handles. Padding clauses (all-zero member columns)
+    and padding members (all-zero clause rows) are inert by construction.
+    """
+    if use_pallas:
+        match = probe_bank_pallas_tk(bank2d, row_idx, shift, T, K, interpret=interpret) != 0
+    else:
+        match = probe_bank_xla(bank2d, row_idx, shift, K)
+    m = match.astype(jnp.float32)  # [T, C]; counts <= T << 2^24: exact in f32
+    clause_false = (clause_mask @ m) < 0.5  # [Cl, C] — true where clause FAILS
+    viol = (member_mask @ clause_false.astype(jnp.float32)) > 0.5  # [M, C]
+    survives = ~viol
+    M, C = survives.shape
+    groups = survives.reshape(M, C // 32, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("K",))
 def probe_bank_xla(bank2d: jax.Array, row_idx: jax.Array, shift: jax.Array, K: int) -> jax.Array:
     """Pure-XLA probe on the same 2D layout -> bool[T, C].

@@ -116,6 +116,114 @@ def is_flat_and_expression(expression: Optional[BloomExpression]) -> bool:
     return False
 
 
+# CNF compilation: bloom expressions are MONOTONE (AND/OR over leaf
+# conditions, no negation — query.go:448-478), so every tree converts to a
+# conjunction of disjunctions. On device that evaluates as two small
+# matmuls over the [T, B] match matrix (MXU-friendly), letting arbitrary
+# AND/OR trees fuse like flat-AND does: only a [B] survivor bitmap
+# transfers. Conversion can blow up exponentially in theory; above
+# MAX_CNF_CLAUSES the caller falls back to host evaluation of the full
+# bitmap (reference semantics either way).
+
+MAX_CNF_CLAUSES = 64
+
+_CNF_TRUE = object()
+_CNF_FALSE = object()
+
+
+def _cnf_minimize(clauses: list[frozenset]) -> list[frozenset]:
+    """Dedupe + absorption (a clause that is a superset of another is
+    implied by it and drops out)."""
+    uniq = sorted(set(clauses), key=lambda c: (len(c), sorted(c)))
+    out: list[frozenset] = []
+    for c in uniq:
+        if not any(kept <= c for kept in out):
+            out.append(c)
+    return out
+
+
+def _to_cnf(expression: Optional[BloomExpression], term_index: dict):
+    if expression is None:
+        return _CNF_TRUE
+    if expression.expression_type == BloomExprType.CONDITION:
+        cond = expression.condition
+        if cond is None:
+            return _CNF_TRUE  # nil condition passes (reference :885-905)
+        idx = term_index.get((cond.type, cond.field, cond.token))
+        if idx is None:
+            return None  # term not compiled (shouldn't happen): host path
+        return [frozenset([idx])]
+    kids = [_to_cnf(child, term_index) for child in expression.children]
+    if any(k is None for k in kids):
+        return None
+    if expression.expression_type == BloomExprType.AND:
+        out: list[frozenset] = []
+        for k in kids:
+            if k is _CNF_TRUE:
+                continue
+            if k is _CNF_FALSE:
+                return _CNF_FALSE
+            out.extend(k)
+        out = _cnf_minimize(out)
+        if len(out) > MAX_CNF_CLAUSES:
+            return None
+        return out if out else _CNF_TRUE  # empty AND = true (:854-870)
+    if expression.expression_type == BloomExprType.OR:
+        useful = []
+        for k in kids:
+            if k is _CNF_TRUE:
+                return _CNF_TRUE  # true absorbs the OR
+            if k is _CNF_FALSE:
+                continue
+            useful.append(k)
+        if not useful:
+            return _CNF_FALSE  # empty OR = false (:854-870)
+        acc = useful[0]
+        for nxt in useful[1:]:
+            # OR distributes over the two CNFs: cross-union of clauses.
+            acc = _cnf_minimize([a | b for a in acc for b in nxt])
+            if len(acc) > MAX_CNF_CLAUSES:
+                return None
+        return acc
+    return None
+
+
+def compile_cnf_clauses(
+    expression: Optional[BloomExpression], terms: CompiledBloomTerms
+) -> Optional[np.ndarray]:
+    """Compile a bloom expression to a CNF clause mask bool[C, T].
+
+    Evaluation contract (matches evaluate_match_expression exactly for
+    monotone trees): ``result[b] = all_c(any_t(mask[c, t] & match[t, b]))``.
+    Constant-true compiles to zero clauses (vacuous all); constant-false to
+    one empty clause (vacuous any = false). Returns None when the tree
+    can't compile within MAX_CNF_CLAUSES — callers evaluate host-side.
+    """
+    clauses = _to_cnf(expression, terms.term_index)
+    if clauses is None:
+        return None
+    if clauses is _CNF_TRUE:
+        return np.zeros((0, len(terms)), dtype=bool)
+    if clauses is _CNF_FALSE:
+        return np.zeros((1, len(terms)), dtype=bool)
+    mask = np.zeros((len(clauses), len(terms)), dtype=bool)
+    for i, clause in enumerate(clauses):
+        mask[i, list(clause)] = True
+    return mask
+
+
+def evaluate_cnf_mask(mask: np.ndarray, match: np.ndarray) -> np.ndarray:
+    """Host reference evaluation of a CNF mask: bool[C,T] x bool[T,B] -> bool[B].
+
+    The semantic spec the device clause reduction must match (tests
+    cross-check both against evaluate_match_expression).
+    """
+    if mask.shape[0] == 0:
+        return np.ones(match.shape[1], dtype=bool)
+    clause_or = (mask.astype(np.int32) @ match.astype(np.int32)) > 0  # [C, B]
+    return clause_or.all(axis=0)
+
+
 def probe_bank_host(
     bank: np.ndarray,
     terms: CompiledBloomTerms,

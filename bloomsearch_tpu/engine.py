@@ -1548,12 +1548,16 @@ class BloomSearchEngine:
         # the next query is resident.
         sparse: list[tuple] = []
         if self._device_backend is not None:
-            from .bloom.probe import is_flat_and_expression
+            from .bloom.probe import compile_cnf_clauses, is_flat_and_expression
 
             backend = self._device_backend
-            # Flat-AND queries (the dominant shape) fuse the expression into
-            # the device program: only a [B] survivor bitmap comes back.
+            # Fuse the expression into the device program so only a [B]
+            # survivor bitmap comes back: flat-AND (the dominant shape) via
+            # the dedicated reduction, every other monotone AND/OR tree via
+            # its CNF clause mask (compile_cnf_clauses; None = too many
+            # clauses, host evaluation of the full bitmap instead).
             flat_and = is_flat_and_expression(prune_query.expression)
+            cnf_mask = compile_cnf_clauses(prune_query.expression, terms)
             requests = []
             for pointer, gi, group in needed:
                 mk = (group.m_bits, group.k, group.params.layout)
@@ -1568,10 +1572,13 @@ class BloomSearchEngine:
                 else:
                     sparse.append((pointer, gi, group))
             if requests:
-                matches = backend.probe_groups(requests, terms, reduce_and=flat_and)
+                matches = backend.probe_groups(
+                    requests, terms, reduce_and=flat_and, clause_mask=cnf_mask
+                )
                 for pointer, gi, mk, _loader in requests:
                     match = matches[(pointer, gi)]
-                    if flat_and:
+                    if match.shape[0] == 1 and (flat_and or cnf_mask is not None):
+                        # Expression fused on-device: [1, B] survivors.
                         result[(pointer, gi)] = np.asarray(match[0])
                     else:
                         result[(pointer, gi)] = np.asarray(

@@ -210,6 +210,48 @@ def sharded_query_step(
     return packed, total
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "T", "K", "use_pallas", "interpret"))
+def sharded_probe_clauses(
+    mesh: Mesh,
+    bank2d: jax.Array,  # [rows, C] sharded P(None, "blocks")
+    row_idx: jax.Array,
+    shift: jax.Array,
+    clause_mask: jax.Array,  # float32[Cl, T] replicated
+    member_mask: jax.Array,  # float32[M, Cl] replicated
+    T: int,
+    K: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Sharded probe + fused CNF evaluation -> packed uint32[M, C/32].
+
+    The multi-chip form of pallas_kernels.probe_clauses_pack: each chip
+    probes its block shard and reduces the CNF locally (two small matmuls
+    riding the MXU); only the per-member survivor bitmaps cross ICI when
+    the replicated result gathers.
+    """
+
+    def local(bank_local, fr, sh, cmask, mmask):
+        if use_pallas:
+            match = probe_bank_pallas_tk(bank_local, fr, sh, T, K, interpret=interpret) != 0
+        else:
+            match = probe_bank_xla(bank_local, fr, sh, K)
+        m = match.astype(jnp.float32)
+        clause_false = (cmask @ m) < 0.5
+        viol = (mmask @ clause_false.astype(jnp.float32)) > 0.5
+        return _pack_bitmap(~viol)
+
+    shmapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, BLOCK_AXIS), P(), P(), P(), P()),
+        out_specs=P(None, BLOCK_AXIS),
+        check_vma=False,
+    )
+    packed = shmapped(bank2d, row_idx, shift, clause_mask, member_mask)
+    return jax.lax.with_sharding_constraint(packed, NamedSharding(mesh, P()))
+
+
 def unpack_bitmap(packed: np.ndarray, num_cols: int) -> np.ndarray:
     """uint32[..., C/32] -> bool[..., num_cols]."""
     bits = np.unpackbits(

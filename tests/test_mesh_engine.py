@@ -218,9 +218,11 @@ class TestFusedFlatAnd:
             calls = []
             orig = backend.probe_groups
 
-            def spy(requests, terms, reduce_and=False):
+            def spy(requests, terms, reduce_and=False, clause_mask=None):
                 calls.append(reduce_and)
-                return orig(requests, terms, reduce_and=reduce_and)
+                return orig(
+                    requests, terms, reduce_and=reduce_and, clause_mask=clause_mask
+                )
 
             backend.probe_groups = spy
             files = dataset(n_files=2, rows_per_file=15)
