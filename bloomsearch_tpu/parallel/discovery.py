@@ -150,6 +150,15 @@ class Heartbeat:
         self.stop()
 
 
+@dataclass(frozen=True)
+class MaybeFileStub:
+    """(pointer, size) pair for reassignment — assign_files_by_capacity only
+    reads these two fields of a MaybeFile."""
+
+    pointer: bytes
+    size: int
+
+
 def assign_files_by_capacity(maybe_files, peers: Sequence[PeerInfo]):
     """Greedy LPT: largest file onto the relatively least-loaded peer.
 
@@ -180,9 +189,12 @@ class CapacityScatterCoordinator:
     per-peer errors forwarded while others continue.
     """
 
-    def __init__(self, meta_store, registry: PeerRegistry):
+    def __init__(self, meta_store, registry: PeerRegistry, max_retries: int = 1):
         self.meta_store = meta_store
         self.registry = registry
+        # Failed-peer retries: a dead peer's disjoint file subset reassigns
+        # to the surviving peers this many times before the error surfaces.
+        self.max_retries = max_retries
 
     def query(
         self,
@@ -203,43 +215,93 @@ class CapacityScatterCoordinator:
             result_queue.put(None)
             return
         assignment = assign_files_by_capacity(maybe_files, peers)
+        sizes = {mf.pointer: mf.size for mf in maybe_files}
 
-        active = [i for i, pointers in assignment.items() if pointers]
-        done_counter = {"remaining": len(active)}
+        state = {"remaining": 0}
         lock = threading.Lock()
 
         def finish() -> None:
             with lock:
-                done_counter["remaining"] -= 1
-                if done_counter["remaining"] == 0:
+                state["remaining"] -= 1
+                if state["remaining"] == 0:
                     result_queue.put(None)
 
-        def funnel(peer: PeerInfo, pointers: set) -> None:
+        def launch(peer: PeerInfo, pointers: set, attempt: int) -> None:
+            with lock:
+                state["remaining"] += 1
+            threading.Thread(
+                target=funnel, args=(peer, pointers, attempt), daemon=True
+            ).start()
+
+        def forward_error(exc: BaseException) -> None:
+            if error_queue is not None:
+                try:
+                    error_queue.put_nowait(exc)
+                except queue.Full:
+                    pass
+
+        def funnel(peer: PeerInfo, pointers: set, attempt: int) -> None:
+            # Rows buffer until the peer's stream completes CLEANLY: a
+            # mid-stream peer death then discards the partial buffer and the
+            # subset re-runs on survivors — exactly-once is preserved because
+            # subsets are disjoint and nothing partial ever reached the
+            # caller. (With max_retries=0 rows stream straight through.)
             peer_results: queue.Queue = queue.Queue()
+            peer_errors: queue.Queue = queue.Queue()
+            buffered: Optional[list] = [] if self.max_retries > 0 else None
+            failure: Optional[BaseException] = None
             try:
                 peer.remote().query(
-                    q, peer_results, error_queue, stats_queue,
-                    file_pointers=pointers,
+                    q, peer_results,
+                    peer_errors if buffered is not None else error_queue,
+                    stats_queue, file_pointers=pointers,
                 )
+                while True:
+                    item = peer_results.get()
+                    if item is None:
+                        break
+                    if buffered is not None:
+                        buffered.append(item)
+                    else:
+                        result_queue.put(item)
             except Exception as exc:
-                if error_queue is not None:
-                    try:
-                        error_queue.put_nowait(exc)
-                    except queue.Full:
-                        pass
+                failure = exc
+            if failure is None and not peer_errors.empty():
+                failure = peer_errors.get_nowait()
+            if failure is None:
+                for row in buffered or ():
+                    result_queue.put(row)
                 finish()
                 return
-            while True:
-                item = peer_results.get()
-                if item is None:
-                    break
-                result_queue.put(item)
+            # Peer failed. Reassign its disjoint subset to survivors.
+            if attempt < self.max_retries:
+                survivors = [
+                    p for p in self.registry.live_peers() if p.peer_id != peer.peer_id
+                ]
+                if survivors:
+                    logger.warning(
+                        "peer %s failed (%s); reassigning %d file(s) to %d survivor(s)",
+                        peer.peer_id, failure, len(pointers), len(survivors),
+                    )
+                    stubs = [
+                        MaybeFileStub(pointer, sizes.get(pointer, 1))
+                        for pointer in pointers
+                    ]
+                    sub = assign_files_by_capacity(stubs, survivors)
+                    for i, sub_pointers in sub.items():
+                        if sub_pointers:
+                            launch(survivors[i], sub_pointers, attempt + 1)
+                    finish()
+                    return
+            forward_error(failure)
             finish()
 
-        for i in active:
-            threading.Thread(
-                target=funnel, args=(peers[i], assignment[i]), daemon=True
-            ).start()
+        with lock:
+            state["remaining"] += 1  # guard: hold the sentinel until all launch
+        for i, pointers in assignment.items():
+            if pointers:
+                launch(peers[i], pointers, 0)
+        finish()  # release the guard
 
     def query_sync(self, q: Optional[Query], timeout: Optional[float] = None) -> list[dict]:
         result_queue: queue.Queue = queue.Queue()

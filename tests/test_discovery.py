@@ -165,6 +165,139 @@ class TestSharedStorageScatterGather:
                 server.stop()
                 e.stop(timeout=TIMEOUT)
 
+    def test_dead_peer_files_reassigned_to_survivor(self):
+        """A peer that is registered but unreachable (connection refused):
+        its disjoint file subset must re-run on the survivor and the full
+        result set must come back — no loss, no duplicates."""
+        client = InMemoryObjectStore()
+        data = ObjectStoreDataStore(client)
+        meta = ObjectStoreMetaStore(client)
+        writer = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"), meta, data
+        )
+        writer.start()
+        for i in range(6):
+            writer.ingest_rows([{"n": i, "tag": "common"}], timeout=TIMEOUT)
+            writer.flush(timeout=TIMEOUT)
+        writer.stop(timeout=TIMEOUT)
+
+        reg = PeerRegistry(client, ttl_seconds=60)
+        live = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"),
+            ObjectStoreMetaStore(client), ObjectStoreDataStore(client),
+        )
+        live.start()
+        server = QueryServer(live)
+        server.start()
+        try:
+            reg.announce("alive", *server.address, capacity=1.0)
+            # Reserve a port, then close it: connecting gets refused.
+            import socket as _socket
+
+            s = _socket.socket()
+            s.bind(("127.0.0.1", 0))
+            dead_port = s.getsockname()[1]
+            s.close()
+            reg.announce("dead", "127.0.0.1", dead_port, capacity=1.0)
+
+            coord = CapacityScatterCoordinator(meta, reg)
+            rows = coord.query_sync(
+                bs.new_query().token("common").build(), timeout=TIMEOUT
+            )
+            assert sorted(r["n"] for r in rows) == list(range(6))
+        finally:
+            server.stop()
+            live.stop(timeout=TIMEOUT)
+
+    def test_mid_stream_death_retries_exactly_once(self):
+        """A peer that streams SOME rows then dies mid-stream: the partial
+        buffer is discarded and its subset re-runs on the survivor — the
+        gathered rows are exact (no duplicates of the partial stream)."""
+        import socket as _socket
+        import threading as _threading
+
+        from bloomsearch_tpu.parallel.remote import recv_frame, send_frame
+
+        client = InMemoryObjectStore()
+        data = ObjectStoreDataStore(client)
+        meta = ObjectStoreMetaStore(client)
+        writer = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"), meta, data
+        )
+        writer.start()
+        for i in range(6):
+            writer.ingest_rows([{"n": i, "tag": "common"}], timeout=TIMEOUT)
+            writer.flush(timeout=TIMEOUT)
+        writer.stop(timeout=TIMEOUT)
+
+        # Flaky peer: accepts, reads the request, emits ONE (duplicate-bait)
+        # row, then slams the connection shut.
+        lsock = _socket.socket()
+        lsock.bind(("127.0.0.1", 0))
+        lsock.listen(4)
+
+        def flaky():
+            while True:
+                try:
+                    conn, _ = lsock.accept()
+                except OSError:
+                    return
+                try:
+                    recv_frame(conn)
+                    send_frame(conn, {"row": {"n": 0, "tag": "common"}})
+                finally:
+                    conn.close()
+
+        t = _threading.Thread(target=flaky, daemon=True)
+        t.start()
+
+        reg = PeerRegistry(client, ttl_seconds=60)
+        live = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"),
+            ObjectStoreMetaStore(client), ObjectStoreDataStore(client),
+        )
+        live.start()
+        server = QueryServer(live)
+        server.start()
+        try:
+            reg.announce("alive", *server.address, capacity=1.0)
+            reg.announce("flaky", "127.0.0.1", lsock.getsockname()[1], capacity=1.0)
+            coord = CapacityScatterCoordinator(meta, reg)
+            rows = coord.query_sync(
+                bs.new_query().token("common").build(), timeout=TIMEOUT
+            )
+            # Exactly one of each row: the flaky peer's partial "n": 0 row
+            # was discarded with its buffer, and the retry rescanned its
+            # subset from storage.
+            assert sorted(r["n"] for r in rows) == list(range(6))
+        finally:
+            lsock.close()
+            server.stop()
+            live.stop(timeout=TIMEOUT)
+
+    def test_all_peers_dead_surfaces_error(self):
+        client = InMemoryObjectStore()
+        data = ObjectStoreDataStore(client)
+        meta = ObjectStoreMetaStore(client)
+        writer = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"), meta, data
+        )
+        writer.start()
+        writer.ingest_rows([{"x": 1, "tag": "t"}], timeout=TIMEOUT)
+        writer.stop(timeout=TIMEOUT)
+
+        import socket as _socket
+
+        s = _socket.socket()
+        s.bind(("127.0.0.1", 0))
+        dead_port = s.getsockname()[1]
+        s.close()
+        reg = PeerRegistry(client, ttl_seconds=60)
+        reg.announce("dead", "127.0.0.1", dead_port)
+        coord = CapacityScatterCoordinator(meta, reg)
+        with pytest.raises(ConnectionError):
+            coord.query_sync(bs.new_query().token("t").build(), timeout=TIMEOUT)
+
     def test_no_live_peers_reports_error(self):
         client = InMemoryObjectStore()
         data = ObjectStoreDataStore(client)
