@@ -369,6 +369,17 @@ def main() -> None:
     except Exception as exc:
         log(f"refscale bench failed: {exc!r}")
         extra["refscale_error"] = repr(exc)
+    # Multicore hosts: block-pipeline scaling (skipped at nproc=1 — nothing
+    # to measure; the cpu-gated test asserts >= 0.7x linear where cores exist).
+    import os as _os
+
+    if (_os.cpu_count() or 1) > 1:
+        try:
+            from bloomsearch_tpu.perf import measure_block_pipeline_scaling
+
+            extra["block_pipeline_scaling"] = measure_block_pipeline_scaling(log=log)
+        except Exception as exc:
+            log(f"scaling bench failed: {exc!r}")
 
     print(
         json.dumps(

@@ -487,17 +487,95 @@ BS_EXPORT int64_t bs_snappy_decompress_block(const uint8_t* in, int64_t n,
 
   uint8_t* op = out;
   uint8_t* op_end = out + out_cap;
-  // Fast-path limits: whenever the cursor is at least 32/16 bytes from the
-  // end, short literals and copies move as FIXED-size 16/32-byte chunks
-  // (two/four 8-byte loads+stores, no variable-length memcpy dispatch) with
-  // the extra slop bytes overwritten by later ops. Tags within the tail
-  // margin take the exact, fully-checked slow path. JSON rows compress to
-  // short literals + short small-offset copies, so these paths dominate.
-  // Strict (<) comparisons: when the buffer is smaller than the slop the
-  // sentinel equals the base pointer and the fast paths are unreachable
-  // (op < out is always false) — a <= comparison would let the FIRST op
-  // write 32 slop bytes into a tiny output buffer (heap overflow; caught
-  // by the malformed-input fuzz).
+
+  // FAST LOOP (klauspost-style): while both cursors are >= 64 bytes from
+  // their ends, ops move as fixed-size 16/32/64-byte copies with the slop
+  // overwritten by later ops, and per-op bounds checks reduce to the two
+  // loop guards. The tail (and rare shapes) falls through to the exact,
+  // fully-checked loop below. JSON rows compress to short literals + short
+  // copies, so this loop carries nearly all bytes.
+  {
+    const int64_t n_fast = n - 64;
+    uint8_t* const out_fast64 = (out_cap >= 65) ? op_end - 64 : out;
+    while (i < n_fast && op < out_fast64) {
+      const uint8_t tag = in[i++];
+      const uint32_t kind = tag & 3;
+      if (kind == 0) {
+        int64_t len = (tag >> 2) + 1;
+        if (len <= 16) {
+          std::memcpy(op, in + i, 16);
+        } else if (len <= 60) {
+          std::memcpy(op, in + i, 16);
+          std::memcpy(op + 16, in + i + 16, 16);
+          if (len > 32) {
+            std::memcpy(op + 32, in + i + 32, 16);
+            std::memcpy(op + 48, in + i + 48, 16);
+          }
+        } else {
+          // Long literal: decode the extra length bytes, exact-check, bulk
+          // memcpy (memory-speed for incompressible spans).
+          const int extra = (int)(len - 60);
+          if (i + extra > n) return -1;
+          len = 0;
+          for (int b = extra - 1; b >= 0; b--) len = (len << 8) | in[i + b];
+          len += 1;
+          i += extra;
+          if (i + len > n || op + len > op_end) return -1;
+          std::memcpy(op, in + i, (size_t)len);
+        }
+        i += len;
+        op += len;
+        continue;
+      }
+      int64_t len, offset;
+      if (kind == 1) {
+        len = ((tag >> 2) & 7) + 4;
+        offset = ((int64_t)(tag >> 5) << 8) | in[i++];
+      } else if (kind == 2) {
+        len = (tag >> 2) + 1;
+        offset = (int64_t)in[i] | ((int64_t)in[i + 1] << 8);
+        i += 2;
+      } else {
+        len = (tag >> 2) + 1;
+        offset = (int64_t)in[i] | ((int64_t)in[i + 1] << 8) |
+                 ((int64_t)in[i + 2] << 16) | ((int64_t)in[i + 3] << 24);
+        i += 4;
+      }
+      if (offset <= 0 || op - out < offset) return -1;
+      const uint8_t* src = op - offset;
+      if (offset >= 16) {
+        // Non-overlapping for len <= 64 (len caps at 64 for copy tags):
+        // unconditional 16-byte strides, slop overwritten later.
+        std::memcpy(op, src, 16);
+        if (len > 16) std::memcpy(op + 16, src + 16, 16);
+        if (len > 32) {
+          std::memcpy(op + 32, src + 32, 16);
+          std::memcpy(op + 48, src + 48, 16);
+        }
+      } else if (offset >= len) {
+        std::memcpy(op, src, 16);  // short non-overlap (len < offset < 16)
+      } else {
+        // Overlapping: period replication, doubling the realized prefix.
+        int64_t done = offset;
+        std::memcpy(op, src, (size_t)offset);
+        while (done < len) {
+          const int64_t chunk = (done < len - done) ? done : len - done;
+          std::memcpy(op + done, op, (size_t)chunk);
+          done += chunk;
+        }
+      }
+      op += len;
+    }
+  }
+
+  // Exact tail loop (also the whole path for tiny buffers). Fast-path
+  // limits: whenever the cursor is at least 32/16 bytes from the end,
+  // short literals and copies move as FIXED-size chunks with the slop
+  // overwritten by later ops. Strict (<) comparisons: when the buffer is
+  // smaller than the slop the sentinel equals the base pointer and the
+  // fast paths are unreachable (op < out is always false) — a <= would let
+  // the FIRST op write slop into a tiny output buffer (heap overflow;
+  // caught by the malformed-input fuzz).
   const uint8_t* const in_fast = (n >= 33) ? in + n - 32 : in;
   uint8_t* const out_fast = (out_cap >= 33) ? op_end - 32 : out;
   while (i < n) {

@@ -212,6 +212,12 @@ class BloomSearchEngineConfig:
     # when the device probe backend is active.
     row_cache_bytes: int = 0
 
+    # Shared block-decode pool size (None = policy below). The fused native
+    # pipeline releases the GIL, so ~1 worker per core saturates CPU and a
+    # 2x oversubscription covers disk stalls; measure YOUR host with
+    # `python -m bloomsearch_tpu.perf scaling` and set this from data.
+    block_pool_workers: Optional[int] = None
+
     # Warm the engine at start(): pre-load existing files' filter banks,
     # pre-compile the device probe (and serving-mode scan) programs, and —
     # in serving mode — pre-pin rows, all on the background warm thread, so
@@ -580,13 +586,19 @@ class BloomSearchEngine:
         # (the reference's goroutine pool under the global semaphore; Go
         # goroutines are free, Python threads are not — per-query thread
         # spawning meant ~9 threads per concurrent query). Threads spawn
-        # lazily up to the cap.
+        # lazily up to the cap. Sizing: the GIL-free native pipeline
+        # saturates a core per worker, so 2x cores covers disk stalls
+        # without oversubscription thrash (floor 8 keeps tiny hosts
+        # concurrent for I/O-bound stores); measure with
+        # `python -m bloomsearch_tpu.perf scaling` and override via
+        # config.block_pool_workers.
         import os as _os
 
+        workers = config.block_pool_workers
+        if workers is None:
+            workers = max(8, 2 * (_os.cpu_count() or 1))
         self._block_pool = ThreadPoolExecutor(
-            max_workers=min(
-                config.max_query_concurrency, max(8, 4 * (_os.cpu_count() or 1))
-            ),
+            max_workers=min(config.max_query_concurrency, workers),
             thread_name_prefix="bloomsearch-block",
         )
 

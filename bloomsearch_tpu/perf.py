@@ -25,7 +25,7 @@ import random
 import string
 import sys
 import time
-from typing import Optional
+from typing import Optional, Sequence
 
 from .engine import BlockStats, BloomSearchEngine, BloomSearchEngineConfig
 from .stores import FileSystemDataStore
@@ -288,6 +288,95 @@ def cmd_generate_fast(args) -> None:
     )
 
 
+def measure_block_pipeline_scaling(
+    worker_counts: Sequence[int] = (1, 2, 4, 8),
+    n_blocks: int = 16,
+    rows_per_block: int = 30_000,
+    compression: str = "snappy",
+    log=lambda msg: print(msg, file=sys.stderr),
+) -> dict[int, int]:
+    """Block-pipeline rows/s at each worker count -> {workers: rows_per_sec}.
+
+    The query stage's scaling claim made falsifiable: the fused native
+    block pipeline (CRC + decompress + split + scan) releases the GIL, so a
+    worker pool should scale near-linearly with cores. Builds reference-
+    shaped compressed blocks in memory, then times a fixed batch of block
+    tasks through ThreadPoolExecutors of each size. Worker counts above
+    cpu_count are skipped (nothing to measure).
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from . import native
+    from .checksum import crc32c
+    from .compression import StreamEncoder, compression_available
+
+    if not native.available():
+        raise RuntimeError("scaling harness requires the native library")
+    if not compression_available(compression):
+        compression = "none"
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choices(string.ascii_lowercase, k=rng.randrange(4, 10)))
+        for _ in range(4096)
+    ]
+    blocks = []
+    for b in range(n_blocks):
+        enc = StreamEncoder(compression, 3)
+        raw_len = 0
+        for i in range(rows_per_block):
+            row = json.dumps(
+                {
+                    "svc": words[(b * 31 + i) % 977],
+                    "msg": " ".join(words[(i * 7 + j) % 4096] for j in range(6)),
+                    "n": i,
+                },
+                separators=(",", ":"),
+            ).encode()
+            import struct as _struct
+
+            framed = _struct.pack("<I", len(row)) + row
+            enc.write(framed)
+            raw_len += len(framed)
+        compressed = enc.finish()
+        blocks.append((compressed, crc32c(compressed), raw_len))
+
+    def task(block):
+        compressed, crc, raw_len = block
+        res = native.process_block(compressed, compression, crc, raw_len, [b"needle"])
+        assert res is not None
+
+    cpu = os.cpu_count() or 1
+    out: dict[int, int] = {}
+    total_rows = n_blocks * rows_per_block
+    reps = 4
+    for w in worker_counts:
+        if w > cpu:
+            continue
+        pool = ThreadPoolExecutor(w)
+        try:
+            list(pool.map(task, blocks))  # warm (page in, code paths)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                list(pool.map(task, blocks))
+            dt = time.perf_counter() - t0
+        finally:
+            pool.shutdown(wait=False)
+        rate = round(reps * total_rows / dt)
+        out[w] = rate
+        log(f"  block pipeline @ {w} workers: {format_rate(rate)} rows/s")
+    return out
+
+
+def cmd_scaling(args) -> None:
+    result = measure_block_pipeline_scaling(
+        worker_counts=tuple(int(w) for w in args.workers.split(",")),
+        compression=args.compression,
+    )
+    print(json.dumps(result))
+
+
 def cmd_inspect(args) -> None:
     store = FileSystemDataStore(args.dir)
     files = store.get_maybe_files_for_query(None)
@@ -474,6 +563,13 @@ def main(argv=None) -> None:
     ing.add_argument("--rows", type=int, default=100_000)
     ing.add_argument("--seed", type=int, default=0)
     ing.set_defaults(func=cmd_ingest)
+
+    sc = sub.add_parser(
+        "scaling", help="block-pipeline rows/s at 1/2/4/8 workers (multicore hosts)"
+    )
+    sc.add_argument("--workers", default="1,2,4,8")
+    sc.add_argument("--compression", default="snappy")
+    sc.set_defaults(func=cmd_scaling)
 
     args = parser.parse_args(argv)
     if args.compression is None:
