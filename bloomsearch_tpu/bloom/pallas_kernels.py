@@ -332,3 +332,129 @@ def byte_scan_pallas(
     groups = match.reshape(N, G // 32, 32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
     return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# SWAR byte-scan kernel: 4 bytes per int32 lane. The original byte_scan_pallas
+# put ONE byte in each 32-bit lane (Mosaic's dynamic roll is 32-bit-only), so
+# every vector op wasted 3/4 of the VPU. Here rows are packed little-endian
+# into int32 words on the XLA side; a needle match starting at byte
+# s = 4*lane + a is then a word-aligned masked compare over the
+# ceil((a+len)/4) words it spans, with per-(needle, alignment, word) pattern
+# and mask words precomputed as scalars. Mismatch bits OR-accumulate so the
+# inner loop is 3 vector ops (xor/and/or) per word — ~3.5x fewer lane-ops
+# than the byte-per-lane kernel, on tiles 4x narrower.
+# ---------------------------------------------------------------------------
+
+# Max packed words a needle can span: start alignment 3 + 32 bytes -> 35
+# bytes -> 9 words.
+_SCAN_WMAX = (MAX_SCAN_WINDOW + 3 + 3) // 4
+
+
+def _make_byte_scan_swar_kernel(n_real: int, n_out: int, RT: int, P4p: int, P_real: int):
+    def kernel(pat_ref, msk_ref, lens_ref, rows_ref, out_ref):
+        tile = rows_ref[:, :]  # int32 (RT, P4p) — packed row bytes
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RT, P4p), 1)
+        # Lane p of rolled[w] holds word p+w (wrapped lanes are excluded by
+        # the valid-start mask: s + len <= P_real keeps every spanned word
+        # index below P4p).
+        rolled = [tile]
+        for w in range(1, _SCAN_WMAX):
+            rolled.append(pltpu.roll(tile, P4p - w, 1))
+        for n in range(n_out):
+            if n >= n_real:
+                out_ref[n, :] = jnp.zeros((RT,), jnp.int32)
+                continue
+            hit_n = jnp.zeros((RT,), jnp.int32)
+            for a in range(4):
+                base = (n * 4 + a) * _SCAN_WMAX
+                # OR-accumulate mismatch bits; words beyond the needle have
+                # msk == 0 and contribute nothing.
+                mismatch = jnp.zeros((RT, P4p), jnp.int32)
+                for w in range(_SCAN_WMAX):
+                    mismatch = mismatch | (
+                        (rolled[w] ^ pat_ref[base + w]) & msk_ref[base + w]
+                    )
+                matched = (mismatch == 0).astype(jnp.int32)
+                # Start byte s = 4*lane + a must leave room for the needle.
+                valid = ((lane * 4 + a) <= (P_real - lens_ref[n])).astype(jnp.int32)
+                hit_n = jnp.maximum(hit_n, jnp.max(matched & valid, axis=1))
+            out_ref[n, :] = hit_n
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_real", "interpret"))
+def byte_scan_pallas_swar(
+    rows: jax.Array,  # uint8[G, P]; G % 128 == 0, P % 128 == 0, rows lowered
+    needles: jax.Array,  # int32[N, MAX_SCAN_WINDOW] byte values, N <= 8
+    lens: jax.Array,  # int32[N]
+    *,
+    n_real: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> packed uint32[N, G/32] hit bitmap (1 = needle occurs in the row)."""
+    G, P = rows.shape
+    N = needles.shape[0]
+    assert G % _SCAN_ROW_TILE == 0 and P % 128 == 0 and N <= MAX_SCAN_NEEDLES
+    assert N % 8 == 0, "pad the needle axis to 8 (Mosaic sublane tiling)"
+    assert 0 < n_real <= N
+
+    # Pack 4 row bytes per int32 lane, explicit little-endian (platform
+    # independent; XLA fuses this into the upstream gather). Lane axis pads
+    # to the 128-lane tile.
+    P4 = P // 4
+    r = rows.reshape(G, P4, 4).astype(jnp.int32)
+    words = r[..., 0] | (r[..., 1] << 8) | (r[..., 2] << 16) | (r[..., 3] << 24)
+    P4p = ((P4 + 127) // 128) * 128
+    if P4p != P4:
+        words = jnp.pad(words, ((0, 0), (0, P4p - P4)))
+
+    # Per-(needle, alignment, word) pattern/mask words, same little-endian
+    # convention. Byte b of word w at alignment a is needle byte 4w + b - a.
+    j = (
+        4 * jnp.arange(_SCAN_WMAX)[None, :, None]
+        + jnp.arange(4)[None, None, :]
+        - jnp.arange(4)[:, None, None]
+    )  # [4, WMAX, 4]
+    in_needle = (j >= 0) & (j < lens[:, None, None, None])  # [N, 4, WMAX, 4]
+    jc = jnp.clip(j, 0, MAX_SCAN_WINDOW - 1)
+    nb = jnp.where(in_needle, needles[:, jc], 0)  # [N, 4, WMAX, 4]
+    pat = nb[..., 0] | (nb[..., 1] << 8) | (nb[..., 2] << 16) | (nb[..., 3] << 24)
+    mb = jnp.where(in_needle, 0xFF, 0)
+    msk = mb[..., 0] | (mb[..., 1] << 8) | (mb[..., 2] << 16) | (mb[..., 3] << 24)
+    pat = pat.reshape(-1).astype(jnp.int32)
+    msk = msk.reshape(-1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # pat, msk, lens
+        grid=(G // _SCAN_ROW_TILE,),
+        in_specs=[
+            pl.BlockSpec(
+                (_SCAN_ROW_TILE, P4p),
+                lambda g, pat_ref, msk_ref, lens_ref: (g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (N, _SCAN_ROW_TILE),
+            lambda g, pat_ref, msk_ref, lens_ref: (0, g),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    hit = pl.pallas_call(
+        _make_byte_scan_swar_kernel(n_real, N, _SCAN_ROW_TILE, P4p, P),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, G), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n_real * 4 * _SCAN_WMAX * G * P4p,
+            bytes_accessed=G * P4p * 4 + N * G * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pat, msk, lens, words)
+
+    match = hit != 0  # bool[N, G]
+    groups = match.reshape(N, G // 32, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)

@@ -74,9 +74,9 @@ def _device_scan_fn():
         """
         gathered = jnp.take(rows2d, row_idx, axis=0)  # [G, P]
         if use_pallas:
-            from .bloom.pallas_kernels import byte_scan_pallas
+            from .bloom.pallas_kernels import byte_scan_pallas_swar
 
-            return byte_scan_pallas(
+            return byte_scan_pallas_swar(
                 gathered, needles_padded, needle_lens,
                 n_real=n_real, interpret=interpret,
             )

@@ -12,7 +12,10 @@ import pytest
 
 import bloomsearch_tpu as bs
 
-TIMEOUT = 30.0
+# Generous: the kitchen-sink variant jit-compiles sharded probe programs on
+# a 1-core container, and under full-suite load compile storms alone can eat
+# tens of seconds. A real deadlock still fails — just later.
+TIMEOUT = 120.0
 
 
 @pytest.mark.parametrize("store_kind", ["fs", "object"])

@@ -251,6 +251,58 @@ class TestPallasByteScanParity:
                 assert pl_scan[qi, ri] == (nd in raw), (nd, ri)
 
 
+class TestSwarKernelFuzz:
+    def test_swar_alignments_lengths_and_high_bytes(self):
+        """Direct kernel fuzz vs a bytes-in oracle: every start alignment
+        mod 4, needle lengths 1..32 (the packed-word spans 1..9), bytes
+        >= 0x80 (sign bits in the int32 lanes), and matches flush against
+        the valid-start boundary."""
+        import jax.numpy as jnp
+
+        from bloomsearch_tpu.bloom.pallas_kernels import (
+            MAX_SCAN_NEEDLES,
+            byte_scan_pallas_swar,
+        )
+        from bloomsearch_tpu.rowcache import MAX_NEEDLE
+
+        rng = np.random.default_rng(7)
+        G, P = 128, 256
+        rows = rng.integers(0, 256, size=(G, P), dtype=np.uint8)
+        needles = []
+        for ln in (1, 2, 3, 4, 5, 7, 8, 31, 32):
+            nd = bytes(rng.integers(0, 256, size=ln, dtype=np.uint8))
+            needles.append(nd)
+        # Plant occurrences at every alignment and at the last legal start.
+        for i, nd in enumerate(needles):
+            for a in range(4):
+                g = rng.integers(0, G)
+                s = int(rng.integers(0, (P - len(nd)) // 4)) * 4 + a
+                rows[g, s : s + len(nd)] = np.frombuffer(nd, np.uint8)
+            g = rng.integers(0, G)
+            rows[g, P - len(nd) :] = np.frombuffer(nd, np.uint8)
+
+        for base in range(0, len(needles), MAX_SCAN_NEEDLES):
+            part = needles[base : base + MAX_SCAN_NEEDLES]
+            n_pad = max(8, len(part))
+            padded = np.zeros((n_pad, MAX_NEEDLE), dtype=np.int32)
+            lens = np.zeros(n_pad, dtype=np.int32)
+            for r, nd in enumerate(part):
+                padded[r, : len(nd)] = np.frombuffer(nd, np.uint8)
+                lens[r] = len(nd)
+            packed = np.asarray(
+                byte_scan_pallas_swar(
+                    jnp.asarray(rows), jnp.asarray(padded), jnp.asarray(lens),
+                    n_real=len(part), interpret=True,
+                )
+            )
+            bits = np.unpackbits(
+                packed.view(np.uint8), axis=1, bitorder="little"
+            ).astype(bool)
+            for r, nd in enumerate(part):
+                expect = np.array([nd in rows[g].tobytes() for g in range(G)])
+                np.testing.assert_array_equal(bits[r, :G], expect, err_msg=repr(nd))
+
+
 class TestMeshShardedRowCache:
     def test_superbatch_shards_across_devices(self):
         import jax
