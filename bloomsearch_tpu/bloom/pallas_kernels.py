@@ -238,188 +238,121 @@ def probe_bank_xla(bank2d: jax.Array, row_idx: jax.Array, shift: jax.Array, K: i
 
 
 # ---------------------------------------------------------------------------
-# Byte-scan kernel: case-already-lowered substring scan over HBM-pinned rows
-# (the device row cache's hot op). The XLA sliding-window formulation
-# re-reads each row's bytes once per window offset (MAX_SCAN_WINDOW x the
-# traffic; measured ~100 ms for a 1.7 GB gather on v5e); this kernel loads
-# each row tile into VMEM ONCE, lane-rolls it in-register per offset, and
-# AND-accumulates per-needle match masks — traffic equals the gathered rows.
+# SWAR byte-scan kernel: case-already-lowered substring scan over the HBM-
+# pinned row matrix (the device row cache's hot op), 4 bytes per int32 lane.
+#
+# Three measured facts (v5e, through the axon tunnel) shape this design:
+#   1. XLA's row gather runs ~1.3-4 GB/s — gathering a candidate subset
+#      costs 10-100x more than streaming the whole resident matrix, so the
+#      kernel scans ALL resident rows and callers slice span bitmaps.
+#   2. Mosaic's dynamic roll is 32-bit-only; a byte-per-lane formulation
+#      wastes 3/4 of every VPU op. Rows are therefore stored PACKED
+#      little-endian into int32 words (free on the host via .view) and a
+#      match starting at byte s = 4*lane + a becomes a masked compare over
+#      the ceil((a+len)/4) words it spans, with per-(needle, alignment,
+#      word) pattern/mask words precomputed on the XLA side.
+#   3. The VPU, not HBM, bounds the scan, so the word loop is bounded by
+#      the LAUNCH's longest needle (static, bucketed) instead of the
+#      32-byte worst case — mismatch bits OR-accumulate, 3 vector ops
+#      (xor/and/or) per word.
 # ---------------------------------------------------------------------------
 
 MAX_SCAN_WINDOW = 32  # must equal rowcache.MAX_NEEDLE
 MAX_SCAN_NEEDLES = 8  # per-launch needle cap (callers chunk above this)
-# Mosaic block tiling: the output block's last two dims must divide (8, 128),
-# so the row tile is 128 and callers pad the needle axis to 8.
-_SCAN_ROW_TILE = 128
+# Row tile: 512 rows x 128 packed lanes = 256 KiB per input block. Large
+# tiles amortize per-grid-step overhead (the matrices stream through
+# thousands of steps); VMEM worst case is the 9 rolled copies + the tile
+# (~2.6 MiB), comfortably under budget. Callers pad row capacity to a
+# multiple of this; the needle axis pads to 8 (Mosaic sublane tiling).
+_SCAN_ROW_TILE = 512
+
+# Word-loop buckets: a needle of len L at alignment a spans ceil((a+L)/4)
+# <= ceil((L+3)/4) packed words. Launches bucket their longest needle here
+# so short-needle queries (the common case) compile and run ~2-4x less
+# VPU work than the 9-word worst case.
+SCAN_WORD_BUCKETS = (2, 4, 6, 9)
 
 
-def _make_byte_scan_kernel(n_real: int, n_out: int, RT: int, P: int):
-    def kernel(needles_ref, lens_ref, rows_ref, out_ref):
-        # int32 lanes: Mosaic's dynamic_rotate (pltpu.roll) only supports
-        # 32-bit data on this hardware generation.
-        tile = rows_ref[:, :].astype(jnp.int32)  # (RT, P) from uint8
-        pos = jax.lax.broadcasted_iota(jnp.int32, (RT, P), 1)
-        # int32 masks throughout: Mosaic can't legalize vector i1 selects on
-        # this hardware generation.
-        accs = [jnp.ones((RT, P), dtype=jnp.int32)] * n_real
-        for l in range(MAX_SCAN_WINDOW):
-            # Byte at p+l moves to lane p — a LEFT roll by l, spelled as a
-            # non-negative forward roll by P - l (wrapped lanes are excluded
-            # by the valid-start mask below: active l < len and start <=
-            # P - len together keep p + l < P).
-            rolled = pltpu.roll(tile, P - l, 1) if l else tile
-            for n in range(n_real):
-                match_l = (rolled == needles_ref[n * MAX_SCAN_WINDOW + l]).astype(
-                    jnp.int32
-                )
-                active = l < lens_ref[n]
-                accs[n] = accs[n] & jnp.where(active, match_l, 1)
-        for n in range(n_out):
-            if n < n_real:
-                valid = (pos <= P - lens_ref[n]).astype(jnp.int32)
-                out_ref[n, :] = jnp.max(accs[n] & valid, axis=1)
-            else:
-                out_ref[n, :] = jnp.zeros((RT,), jnp.int32)
-
-    return kernel
+def scan_word_bucket(max_len: int) -> int:
+    need = (max_len + 3 + 3) // 4
+    for b in SCAN_WORD_BUCKETS:
+        if need <= b:
+            return b
+    return SCAN_WORD_BUCKETS[-1]
 
 
-@functools.partial(jax.jit, static_argnames=("n_real", "interpret"))
-def byte_scan_pallas(
-    rows: jax.Array,  # uint8[G, P]; G % 128 == 0, P % 128 == 0, rows lowered
-    needles: jax.Array,  # int32[N, MAX_SCAN_WINDOW] byte values, N <= 8
-    lens: jax.Array,  # int32[N]
-    *,
-    n_real: int,  # needles actually present; padding rows compute nothing
-    interpret: bool = False,
-) -> jax.Array:
-    """-> packed uint32[N, G/32] hit bitmap (1 = needle occurs in the row)."""
-    G, P = rows.shape
-    N = needles.shape[0]
-    assert G % _SCAN_ROW_TILE == 0 and P % 128 == 0 and N <= MAX_SCAN_NEEDLES
-    assert N % 8 == 0, "pad the needle axis to 8 (Mosaic sublane tiling)"
-    assert 0 < n_real <= N
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # needles (flattened), lens
-        grid=(G // _SCAN_ROW_TILE,),
-        in_specs=[
-            pl.BlockSpec(
-                (_SCAN_ROW_TILE, P),
-                lambda g, needles_ref, lens_ref: (g, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (N, _SCAN_ROW_TILE),
-            lambda g, needles_ref, lens_ref: (0, g),
-            memory_space=pltpu.VMEM,
-        ),
-    )
-    hit = pl.pallas_call(
-        _make_byte_scan_kernel(n_real, N, _SCAN_ROW_TILE, P),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, G), jnp.int32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_real * MAX_SCAN_WINDOW * G * P,
-            bytes_accessed=G * P + N * G * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(needles.reshape(-1), lens, rows)
-
-    match = hit != 0  # bool[N, G]
-    groups = match.reshape(N, G // 32, 32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
-
-
-# ---------------------------------------------------------------------------
-# SWAR byte-scan kernel: 4 bytes per int32 lane. The original byte_scan_pallas
-# put ONE byte in each 32-bit lane (Mosaic's dynamic roll is 32-bit-only), so
-# every vector op wasted 3/4 of the VPU. Here rows are packed little-endian
-# into int32 words on the XLA side; a needle match starting at byte
-# s = 4*lane + a is then a word-aligned masked compare over the
-# ceil((a+len)/4) words it spans, with per-(needle, alignment, word) pattern
-# and mask words precomputed as scalars. Mismatch bits OR-accumulate so the
-# inner loop is 3 vector ops (xor/and/or) per word — ~3.5x fewer lane-ops
-# than the byte-per-lane kernel, on tiles 4x narrower.
-# ---------------------------------------------------------------------------
-
-# Max packed words a needle can span: start alignment 3 + 32 bytes -> 35
-# bytes -> 9 words.
-_SCAN_WMAX = (MAX_SCAN_WINDOW + 3 + 3) // 4
-
-
-def _make_byte_scan_swar_kernel(n_real: int, n_out: int, RT: int, P4p: int, P_real: int):
+def _make_byte_scan_swar_kernel(n_real: int, n_out: int, RT: int, P4: int,
+                                P_real: int, W: int):
     def kernel(pat_ref, msk_ref, lens_ref, rows_ref, out_ref):
-        tile = rows_ref[:, :]  # int32 (RT, P4p) — packed row bytes
-        lane = jax.lax.broadcasted_iota(jnp.int32, (RT, P4p), 1)
+        tile = rows_ref[:, :]  # int32 (RT, P4) — packed row bytes
+        lane4 = 4 * jax.lax.broadcasted_iota(jnp.int32, (RT, P4), 1)
         # Lane p of rolled[w] holds word p+w (wrapped lanes are excluded by
         # the valid-start mask: s + len <= P_real keeps every spanned word
-        # index below P4p).
+        # index below P4).
         rolled = [tile]
-        for w in range(1, _SCAN_WMAX):
-            rolled.append(pltpu.roll(tile, P4p - w, 1))
+        for w in range(1, W):
+            rolled.append(pltpu.roll(tile, P4 - w, 1))
         for n in range(n_out):
             if n >= n_real:
                 out_ref[n, :] = jnp.zeros((RT,), jnp.int32)
                 continue
-            hit_n = jnp.zeros((RT,), jnp.int32)
+            smax = P_real - lens_ref[n]  # last valid start byte
+            # int32 masks throughout: Mosaic can't legalize vector i1
+            # selects/logic on this hardware generation.
+            hit = jnp.zeros((RT, P4), dtype=jnp.int32)
             for a in range(4):
-                base = (n * 4 + a) * _SCAN_WMAX
+                base = (n * 4 + a) * W
                 # OR-accumulate mismatch bits; words beyond the needle have
                 # msk == 0 and contribute nothing.
-                mismatch = jnp.zeros((RT, P4p), jnp.int32)
-                for w in range(_SCAN_WMAX):
+                mismatch = jnp.zeros((RT, P4), jnp.int32)
+                for w in range(W):
                     mismatch = mismatch | (
                         (rolled[w] ^ pat_ref[base + w]) & msk_ref[base + w]
                     )
+                # Fold alignments elementwise; ONE cross-lane reduction per
+                # needle below (reductions are the expensive ops here).
                 matched = (mismatch == 0).astype(jnp.int32)
-                # Start byte s = 4*lane + a must leave room for the needle.
-                valid = ((lane * 4 + a) <= (P_real - lens_ref[n])).astype(jnp.int32)
-                hit_n = jnp.maximum(hit_n, jnp.max(matched & valid, axis=1))
-            out_ref[n, :] = hit_n
+                valid = (lane4 + a <= smax).astype(jnp.int32)
+                hit = hit | (matched & valid)
+            out_ref[n, :] = jnp.max(hit, axis=1)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_real", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_real", "max_words", "interpret"))
 def byte_scan_pallas_swar(
-    rows: jax.Array,  # uint8[G, P]; G % 128 == 0, P % 128 == 0, rows lowered
+    rows32: jax.Array,  # int32[G, P4]: packed LE row bytes; G % 128 == 0, P4 % 128 == 0
     needles: jax.Array,  # int32[N, MAX_SCAN_WINDOW] byte values, N <= 8
     lens: jax.Array,  # int32[N]
     *,
     n_real: int,
+    max_words: int = SCAN_WORD_BUCKETS[-1],  # word-loop bound (scan_word_bucket)
     interpret: bool = False,
 ) -> jax.Array:
-    """-> packed uint32[N, G/32] hit bitmap (1 = needle occurs in the row)."""
-    G, P = rows.shape
+    """-> packed uint32[N, G/32] hit bitmap (1 = needle occurs in the row).
+
+    Every needle in the launch must span <= max_words packed words at any
+    alignment, i.e. len <= 4*max_words - 3 (callers bucket via
+    scan_word_bucket on the longest needle).
+    """
+    G, P4 = rows32.shape
     N = needles.shape[0]
-    assert G % _SCAN_ROW_TILE == 0 and P % 128 == 0 and N <= MAX_SCAN_NEEDLES
+    assert G % _SCAN_ROW_TILE == 0 and P4 % 128 == 0 and N <= MAX_SCAN_NEEDLES
     assert N % 8 == 0, "pad the needle axis to 8 (Mosaic sublane tiling)"
     assert 0 < n_real <= N
+    W = max_words
 
-    # Pack 4 row bytes per int32 lane, explicit little-endian (platform
-    # independent; XLA fuses this into the upstream gather). Lane axis pads
-    # to the 128-lane tile.
-    P4 = P // 4
-    r = rows.reshape(G, P4, 4).astype(jnp.int32)
-    words = r[..., 0] | (r[..., 1] << 8) | (r[..., 2] << 16) | (r[..., 3] << 24)
-    P4p = ((P4 + 127) // 128) * 128
-    if P4p != P4:
-        words = jnp.pad(words, ((0, 0), (0, P4p - P4)))
-
-    # Per-(needle, alignment, word) pattern/mask words, same little-endian
-    # convention. Byte b of word w at alignment a is needle byte 4w + b - a.
+    # Per-(needle, alignment, word) pattern/mask words, little-endian like
+    # the packed rows. Byte b of word w at alignment a is needle byte
+    # 4w + b - a.
     j = (
-        4 * jnp.arange(_SCAN_WMAX)[None, :, None]
+        4 * jnp.arange(W)[None, :, None]
         + jnp.arange(4)[None, None, :]
         - jnp.arange(4)[:, None, None]
-    )  # [4, WMAX, 4]
-    in_needle = (j >= 0) & (j < lens[:, None, None, None])  # [N, 4, WMAX, 4]
+    )  # [4, W, 4]
+    in_needle = (j >= 0) & (j < lens[:, None, None, None])  # [N, 4, W, 4]
     jc = jnp.clip(j, 0, MAX_SCAN_WINDOW - 1)
-    nb = jnp.where(in_needle, needles[:, jc], 0)  # [N, 4, WMAX, 4]
+    nb = jnp.where(in_needle, needles[:, jc], 0)  # [N, 4, W, 4]
     pat = nb[..., 0] | (nb[..., 1] << 8) | (nb[..., 2] << 16) | (nb[..., 3] << 24)
     mb = jnp.where(in_needle, 0xFF, 0)
     msk = mb[..., 0] | (mb[..., 1] << 8) | (mb[..., 2] << 16) | (mb[..., 3] << 24)
@@ -431,7 +364,7 @@ def byte_scan_pallas_swar(
         grid=(G // _SCAN_ROW_TILE,),
         in_specs=[
             pl.BlockSpec(
-                (_SCAN_ROW_TILE, P4p),
+                (_SCAN_ROW_TILE, P4),
                 lambda g, pat_ref, msk_ref, lens_ref: (g, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -443,16 +376,16 @@ def byte_scan_pallas_swar(
         ),
     )
     hit = pl.pallas_call(
-        _make_byte_scan_swar_kernel(n_real, N, _SCAN_ROW_TILE, P4p, P),
+        _make_byte_scan_swar_kernel(n_real, N, _SCAN_ROW_TILE, P4, 4 * P4, W),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, G), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=3 * n_real * 4 * _SCAN_WMAX * G * P4p,
-            bytes_accessed=G * P4p * 4 + N * G * 4,
+            flops=3 * n_real * 4 * W * G * P4,
+            bytes_accessed=G * P4 * 4 + N * G * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(pat, msk, lens, words)
+    )(pat, msk, lens, rows32)
 
     match = hit != 0  # bool[N, G]
     groups = match.reshape(N, G // 32, 32)

@@ -784,6 +784,17 @@ class BloomSearchEngine:
                 except Exception:
                     logger.exception("warmup: probe compile failed for %s", mk)
 
+        # Pre-spawn the block pool's worker threads (ThreadPoolExecutor
+        # creates them lazily; measured ~50 ms of thread startup landing on
+        # the first query at refscale otherwise).
+        try:
+            spin = threading.Barrier(self._block_pool._max_workers + 1, timeout=5)
+            for _ in range(self._block_pool._max_workers):
+                self._block_pool.submit(spin.wait)
+            spin.wait()
+        except Exception:
+            pass  # best-effort; threads spawn on first use regardless
+
         # Serving mode: pre-pin rows up to the cache budget and compile the
         # batched scan program, so the first query's scan is also warm.
         if self._row_cache is not None:

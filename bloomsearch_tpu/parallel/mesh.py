@@ -276,9 +276,11 @@ def _constrain_rows(x: jax.Array, mesh: Optional[Mesh]) -> jax.Array:
     return x if mesh is None else jax.lax.with_sharding_constraint(x, rows_sharding(mesh))
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "rows", "cols"))
-def sharded_zeros_rows(mesh: Optional[Mesh], rows: int, cols: int) -> jax.Array:
-    return _constrain_rows(jnp.zeros((rows, cols), jnp.uint8), mesh)
+@functools.partial(jax.jit, static_argnames=("mesh", "rows", "cols", "dtype"))
+def sharded_zeros_rows(
+    mesh: Optional[Mesh], rows: int, cols: int, dtype=jnp.uint8
+) -> jax.Array:
+    return _constrain_rows(jnp.zeros((rows, cols), dtype), mesh)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "new_rows"))
@@ -299,6 +301,46 @@ def sharded_take_rows(
     mesh: Optional[Mesh], mat: jax.Array, idx: jax.Array, new_rows: int
 ) -> jax.Array:
     live = jnp.take(mat, idx, axis=0)
-    out = jnp.zeros((new_rows, mat.shape[1]), jnp.uint8)
+    out = jnp.zeros((new_rows, mat.shape[1]), mat.dtype)
     out = jax.lax.dynamic_update_slice(out, live, (0, 0))
     return _constrain_rows(out, mesh)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "n_real", "max_words", "interpret")
+)
+def sharded_scan_all_rows(
+    mesh: Mesh,
+    rows32: jax.Array,  # int32[R, P4] packed rows, sharded P("blocks", None)
+    needles: jax.Array,  # int32[N, MAX_SCAN_WINDOW]
+    lens: jax.Array,  # int32[N]
+    *,
+    n_real: int,
+    max_words: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Scan every resident row on its own chip -> packed uint32[N, R/32].
+
+    Each device runs the SWAR byte-scan kernel over its local row shard;
+    the per-shard bitmaps concatenate along the word axis (the row axis /
+    32), so the result is bit-for-bit the unsharded kernel's output. The
+    row cache pads capacities to 128 x mesh size, making every local shard
+    kernel-tileable.
+    """
+    from ..bloom.pallas_kernels import byte_scan_pallas_swar
+
+    def local_scan(rows_l, needles_l, lens_l):
+        return byte_scan_pallas_swar(
+            rows_l, needles_l, lens_l,
+            n_real=n_real, max_words=max_words, interpret=interpret,
+        )
+
+    shmapped = shard_map(
+        local_scan,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(), P()),
+        out_specs=P(None, BLOCK_AXIS),
+        check_vma=False,
+    )
+    packed = shmapped(rows32, needles, lens)
+    return jax.lax.with_sharding_constraint(packed, NamedSharding(mesh, P()))

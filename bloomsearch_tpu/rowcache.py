@@ -3,10 +3,12 @@
 Serving mode for hot data. The host candidate scan (scan.py) avoids
 JSON-parsing non-matching rows but still burns host CPU re-reading and
 re-scanning block bytes on every query. Here a block's decompressed rows are
-pinned in HBM **once** — lowercased and padded into rows of a width-bucketed
-**superbatch matrix** ``uint8[cap_rows, width]`` shared by every pinned
-block of similar row width — and each query's needle scan runs on the TPU
-as ONE vectorized sliding-window launch per bucket:
+pinned in HBM **once** — lowercased, padded, and packed 4-bytes-per-word
+into rows of a width-bucketed **superbatch matrix** ``int32[cap_rows,
+width/4]`` shared by every pinned block of similar row width — and each
+query's needle scan runs on the TPU as ONE SWAR kernel launch per bucket
+over ALL resident rows (scan-all: XLA row gathers run ~1.3-4 GB/s on v5e,
+so streaming the whole matrix beats gathering any subset):
 
 - all of a query's needles scan together (needle axis vectorized, padded to
   a small bucket), and
@@ -27,6 +29,7 @@ still runs on every candidate.
 
 from __future__ import annotations
 
+import sys
 import threading
 from typing import Optional
 
@@ -34,6 +37,10 @@ import numpy as np
 
 ROW_WIDTH_CAP = 4096  # rows longer than this are always-candidates
 _LANE = 128
+# Bucket widths are multiples of 512 bytes = 128 packed int32 lanes, so the
+# packed matrix tiles the SWAR kernel's 128-lane axis exactly (<= 9 width
+# buckets total; bounded compiles).
+_WIDTH_UNIT = 512
 
 MAX_NEEDLE = 32  # longer needles fall back to always-candidate
 
@@ -49,53 +56,71 @@ def _round_up_pow2(n: int) -> int:
     return p
 
 
-def _device_scan_fn():
+def _device_scan_fn(mesh):
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("n_real", "use_pallas", "interpret"))
-    def scan_rows(rows2d, row_idx, needles_padded, needle_lens, *,
-                  n_real: int, use_pallas: bool, interpret: bool):
-        """rows2d uint8[R, P] (lowercased bucket matrix), row_idx int32[G]
-        (the REQUESTED rows — gathered on-device so compute is O(requested),
-        not O(resident)), needles int32[N, MAX_NEEDLE] byte values,
-        lens int32[N] -> packed uint32[N, G/32] hit bitmap.
+    @functools.partial(
+        jax.jit,
+        static_argnames=("n_real", "max_words", "use_pallas", "interpret"),
+    )
+    def scan_all(rows32, needles_padded, needle_lens, *,
+                 n_real: int, max_words: int, use_pallas: bool, interpret: bool):
+        """rows32 int32[R, P/4] (lowercased bucket matrix, bytes packed
+        little-endian 4-per-word), needles int32[N, MAX_NEEDLE] byte
+        values, lens int32[N] -> packed uint32[N, R/32] hit bitmap over
+        EVERY resident row.
 
-        One launch serves every pending block scan of a bucket: all needles
-        vectorized, MAX_NEEDLE fixed window offsets with positions >= each
-        needle's length masked true — the program compiles once per (bucket
-        shape, G bucket, N bucket), never per needle/length/block. On TPU
-        the scan body is the Pallas byte-scan kernel (each gathered row tile
-        loads into VMEM once and lane-rolls in-register — the XLA
-        sliding-window formulation re-reads the bytes once per offset, 32x
-        the traffic).
+        Scan-all, not gather-then-scan: XLA's row gather measures ~1.3-4
+        GB/s on v5e while the SWAR kernel streams the resident matrix at
+        VPU speed, so scanning everything and slicing span bitmaps beats
+        gathering any non-trivial subset by 10-100x — and the program
+        compiles once per (bucket cap, width, N bucket, word bucket),
+        independent of which rows a query asks for. One launch serves
+        every pending block scan of a bucket; on a mesh each chip scans
+        its own row shard (parallel.mesh.sharded_scan_all_rows).
         """
-        gathered = jnp.take(rows2d, row_idx, axis=0)  # [G, P]
         if use_pallas:
             from .bloom.pallas_kernels import byte_scan_pallas_swar
 
+            if mesh is not None:
+                from .parallel.mesh import sharded_scan_all_rows
+
+                return sharded_scan_all_rows(
+                    mesh, rows32, needles_padded, needle_lens,
+                    n_real=n_real, max_words=max_words, interpret=interpret,
+                )
             return byte_scan_pallas_swar(
-                gathered, needles_padded, needle_lens,
-                n_real=n_real, interpret=interpret,
+                rows32, needles_padded, needle_lens,
+                n_real=n_real, max_words=max_words, interpret=interpret,
             )
-        G, P = gathered.shape
+        # XLA fallback (non-TPU platforms): unpack to bytes and run the
+        # sliding-window formulation over all resident rows.
+        R, P4 = rows32.shape
+        w = rows32.astype(jnp.uint32)  # bit-identical (mod 2^32)
+        b = jnp.stack(
+            [(w >> jnp.uint32(8 * i)) & jnp.uint32(0xFF) for i in range(4)],
+            axis=-1,
+        ).astype(jnp.uint8)
+        rows2d = b.reshape(R, P4 * 4)
+        P = P4 * 4
         W = P - MAX_NEEDLE + 1
         N = needles_padded.shape[0]
-        acc = jnp.ones((N, G, W), dtype=bool)
+        acc = jnp.ones((N, R, W), dtype=bool)
         for l in range(MAX_NEEDLE):
-            window = jax.lax.dynamic_slice_in_dim(gathered, l, W, axis=1)  # [G, W]
+            window = jax.lax.dynamic_slice_in_dim(rows2d, l, W, axis=1)  # [R, W]
             cmp = window[None, :, :].astype(jnp.int32) == needles_padded[:, l, None, None]
             acc = acc & jnp.where((l < needle_lens)[:, None, None], cmp, True)
-        hit = jnp.any(acc, axis=2)  # bool[N, G]
+        hit = jnp.any(acc, axis=2)  # bool[N, R]
         # Pack to bitmap words on-device (32x smaller device->host transfer;
-        # G is padded to a multiple of 32 by the caller).
-        groups = hit.reshape(N, G // 32, 32)
+        # R is a multiple of the 128-row unit).
+        groups = hit.reshape(N, R // 32, 32)
         weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
         return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
 
-    return scan_rows
+    return scan_all
 
 
 class _PinnedBlock:
@@ -174,22 +199,22 @@ class DeviceRowCache:
             from .parallel.mesh import default_mesh
 
             self.mesh = default_mesh(n_devices=want)
-            self._row_unit = 32 * want  # uint8 sublane tile x even shard split
+            # 512-row kernel tile x even shard split: every local shard of
+            # the packed matrix is tileable by the SWAR scan kernel.
+            self._row_unit = 512 * want
         else:
             self.mesh = None
-            self._row_unit = 32
+            self._row_unit = 512
         self._lock = threading.Lock()
         self._blocks: dict[tuple[bytes, int], _PinnedBlock] = {}
         self._buckets: dict[int, _RowBucket] = {}
-        self._scan = _device_scan_fn()
-        # The Pallas byte-scan kernel exists (pallas_kernels.byte_scan_pallas)
-        # but measured SLOWER than the XLA sliding-window fusion on v5e
-        # (185 vs 164 ms warm serving p50 on the 48 MB benchmark): Mosaic's
-        # dynamic_rotate only supports 32-bit lanes, so each of the 32 window
-        # offsets materializes a full int32 tile copy. XLA's fusion wins
-        # until a SWAR (4-bytes-per-lane) kernel formulation lands; opt in
-        # via use_pallas for experiments, pallas_interpret for CPU tests.
-        self.use_pallas = False
+        self._scan = _device_scan_fn(self.mesh)
+        # On TPU the SWAR byte-scan kernel is the production path (the
+        # byte-per-lane predecessor lost to XLA fusion; the packed-word
+        # rewrite + scan-all wins — see docs/PERFORMANCE.md). Non-TPU
+        # platforms use the XLA sliding-window fallback; CPU tests exercise
+        # the kernel via pallas_interpret.
+        self.use_pallas = jax.default_backend() == "tpu"
         self.pallas_interpret = False
         self.launches = 0  # observability
         self.scan_requests = 0
@@ -264,7 +289,9 @@ class DeviceRowCache:
                 idx = jnp.asarray(np.asarray(rows, dtype=np.int32))
                 new_matrix = sharded_take_rows(self.mesh, bucket.matrix, idx, new_cap)
             else:
-                new_matrix = sharded_zeros_rows(self.mesh, new_cap, bucket.width)
+                new_matrix = sharded_zeros_rows(
+                    self.mesh, new_cap, bucket.width // 4, dtype=jnp.int32
+                )
             bucket.matrix = new_matrix
             bucket.cap = new_cap
             bucket.used = cursor
@@ -288,9 +315,9 @@ class DeviceRowCache:
         width = min(width, ROW_WIDTH_CAP)
         # MAX_NEEDLE tail headroom so fixed-size scan windows cover every
         # start position of the longest row; then bucket the width to a
-        # power of two of lanes so blocks share matrices (bounded compiles).
-        width = max(_round_up(width + MAX_NEEDLE, _LANE), _LANE)
-        width = _LANE * _round_up_pow2(width // _LANE)
+        # multiple of 512 bytes (128 packed int32 lanes) so blocks share
+        # kernel-tileable matrices (<= 9 width buckets; bounded compiles).
+        width = max(_round_up(width + MAX_NEEDLE, _WIDTH_UNIT), _WIDTH_UNIT)
 
         matrix = np.zeros((max(num_rows, 1), width), dtype=np.uint8)
         buf = np.frombuffer(data, dtype=np.uint8)
@@ -317,6 +344,17 @@ class DeviceRowCache:
         always_candidate = overlong.copy()
         always_candidate |= (nonascii | escapes)[: always_candidate.shape[0]]
 
+        # Pack 4 bytes per int32 word, little-endian (what the SWAR scan
+        # kernel and its host-computed pattern words assume). A pure
+        # reinterpret on little-endian hosts; explicit shifts otherwise.
+        if sys.byteorder == "little":
+            packed = matrix.view(np.int32)
+        else:
+            m32 = matrix.reshape(matrix.shape[0], -1, 4).astype(np.uint32)
+            packed = (
+                m32[..., 0] | (m32[..., 1] << 8) | (m32[..., 2] << 16) | (m32[..., 3] << 24)
+            ).view(np.int32)
+
         with self._lock:
             existing = self._blocks.get(key)
             if existing is not None:
@@ -338,13 +376,15 @@ class DeviceRowCache:
                     self._row_unit,
                 )
                 if bucket.matrix is None:
-                    bucket.matrix = sharded_zeros_rows(self.mesh, new_cap, width)
+                    bucket.matrix = sharded_zeros_rows(
+                        self.mesh, new_cap, width // 4, dtype=jnp.int32
+                    )
                 else:
                     bucket.matrix = sharded_pad_rows(self.mesh, bucket.matrix, new_cap)
                 bucket.cap = new_cap
             if num_rows > 0:
                 bucket.matrix = sharded_update_rows(
-                    self.mesh, bucket.matrix, jnp.asarray(matrix), jnp.int32(bucket.used)
+                    self.mesh, bucket.matrix, jnp.asarray(packed), jnp.int32(bucket.used)
                 )
             block = _PinnedBlock(
                 key, width, bucket.used, num_rows, always_candidate,
@@ -452,10 +492,9 @@ class DeviceRowCache:
         return req.hits
 
     def _launch_bucket_scan(self, matrix, batch: list[_PendingScan]) -> None:
-        """ONE launch for every pending request: gather the union of the
-        requested row ranges on-device (compute scales with the rows asked
-        for, not with residency) and scan them against the union of the
-        requested needles; each waiter slices its own span."""
+        """ONE launch for every pending request: scan the WHOLE bucket
+        matrix against the union of the requested needles; each waiter
+        slices its blocks' spans out of the full-residency bitmap."""
         jnp = self._jnp
         self.launches += 1
         self.scan_requests += len(batch)
@@ -467,30 +506,14 @@ class DeviceRowCache:
                     seen.add(n)
                     union.append(n)
 
-        idx_parts: list[np.ndarray] = []
-        spans: list[list[Optional[tuple[int, int]]]] = []
-        cursor = 0
-        for r in batch:
-            r_spans: list[Optional[tuple[int, int]]] = []
-            for seg in r.segments:
-                if seg is None:
-                    r_spans.append(None)
-                    continue
-                start, n = seg
-                idx_parts.append(np.arange(start, start + n, dtype=np.int32))
-                r_spans.append((cursor, n))
-                cursor += n
-            spans.append(r_spans)
-        # Multiple of 128 (the kernel's row tile) and of 32 (bit packing).
-        g_pad = _round_up_pow2(max(cursor, 128))
-        row_idx = np.zeros(g_pad, dtype=np.int32)  # pad rows sliced out below
-        if idx_parts:
-            row_idx[:cursor] = np.concatenate(idx_parts)
-        row_idx_dev = jnp.asarray(row_idx)
+        # Scan-all: every resident row of the bucket scans in one kernel
+        # pass per needle chunk (gathering a candidate subset costs more
+        # than streaming the whole matrix — see _device_scan_fn); waiters
+        # slice their blocks' spans straight out of the full bitmap using
+        # the segment coordinates snapshotted with this matrix.
+        from .bloom.pallas_kernels import MAX_SCAN_NEEDLES, scan_word_bucket
 
-        # Needles in chunks of the kernel's per-launch cap (rarely >1 chunk).
-        from .bloom.pallas_kernels import MAX_SCAN_NEEDLES
-
+        max_words = scan_word_bucket(max(len(n) for n in union))
         chunk = MAX_SCAN_NEEDLES if self.use_pallas or self.pallas_interpret else 64
         hit_rows: list[np.ndarray] = []
         for base in range(0, len(union), chunk):
@@ -504,8 +527,9 @@ class DeviceRowCache:
                 lens[row] = len(needle)
             packed = np.asarray(
                 self._scan(
-                    matrix, row_idx_dev, jnp.asarray(padded), jnp.asarray(lens),
+                    matrix, jnp.asarray(padded), jnp.asarray(lens),
                     n_real=len(part),
+                    max_words=max_words,
                     use_pallas=self.use_pallas or self.pallas_interpret,
                     interpret=self.pallas_interpret,
                 )
@@ -514,17 +538,18 @@ class DeviceRowCache:
                 packed.view(np.uint8), axis=1, bitorder="little"
             ).astype(bool)
             hit_rows.extend(bits[: len(part)])
-        device_hits = np.stack(hit_rows) if hit_rows else np.zeros((0, g_pad), bool)
+        cap = int(matrix.shape[0])
+        device_hits = np.stack(hit_rows) if hit_rows else np.zeros((0, cap), bool)
         needle_row = {needle: i for i, needle in enumerate(union)}
-        for r, r_spans in zip(batch, spans):
+        for r in batch:
             hits: dict[tuple, Optional[dict]] = {}
-            for key, span in zip(r.keys, r_spans):
-                if span is None:
+            for key, seg in zip(r.keys, r.segments):
+                if seg is None:
                     hits[key] = None
                 else:
-                    c, n = span
+                    start, n = seg
                     hits[key] = {
-                        needle: device_hits[needle_row[needle], c : c + n]
+                        needle: device_hits[needle_row[needle], start : start + n]
                         for needle in r.needles
                     }
             r.hits = hits

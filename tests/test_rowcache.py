@@ -262,11 +262,12 @@ class TestSwarKernelFuzz:
         from bloomsearch_tpu.bloom.pallas_kernels import (
             MAX_SCAN_NEEDLES,
             byte_scan_pallas_swar,
+            scan_word_bucket,
         )
         from bloomsearch_tpu.rowcache import MAX_NEEDLE
 
         rng = np.random.default_rng(7)
-        G, P = 128, 256
+        G, P = 512, 512
         rows = rng.integers(0, 256, size=(G, P), dtype=np.uint8)
         needles = []
         for ln in (1, 2, 3, 4, 5, 7, 8, 31, 32):
@@ -281,6 +282,7 @@ class TestSwarKernelFuzz:
             g = rng.integers(0, G)
             rows[g, P - len(nd) :] = np.frombuffer(nd, np.uint8)
 
+        rows32 = rows.view(np.int32)  # little-endian test hosts
         for base in range(0, len(needles), MAX_SCAN_NEEDLES):
             part = needles[base : base + MAX_SCAN_NEEDLES]
             n_pad = max(8, len(part))
@@ -291,8 +293,10 @@ class TestSwarKernelFuzz:
                 lens[r] = len(nd)
             packed = np.asarray(
                 byte_scan_pallas_swar(
-                    jnp.asarray(rows), jnp.asarray(padded), jnp.asarray(lens),
-                    n_real=len(part), interpret=True,
+                    jnp.asarray(rows32), jnp.asarray(padded), jnp.asarray(lens),
+                    n_real=len(part),
+                    max_words=scan_word_bucket(max(len(nd) for nd in part)),
+                    interpret=True,
                 )
             )
             bits = np.unpackbits(
@@ -318,7 +322,7 @@ class TestMeshShardedRowCache:
             blocks[b] = cache.pin((f"f{b}".encode(), 0), data, offs, lens)
         bucket = next(iter(cache._buckets.values()))
         assert len(bucket.matrix.sharding.device_set) == 8, bucket.matrix.sharding
-        assert bucket.cap % (32 * 8) == 0
+        assert bucket.cap % (512 * 8) == 0
 
         # Exact scans over the sharded superbatch, including after
         # tombstone-driven compaction.
