@@ -78,7 +78,7 @@ def _timed_needle_queries(engine, store, *, reps: int = 3) -> dict:
     }
 
 
-def _e2e_variant(target_mb: int, block_items) -> dict:
+def _e2e_variant(target_mb: int, block_items, **engine_overrides) -> dict:
     """Generate a dataset, run warm needle queries, report p50 + rows/s."""
     from bloomsearch_tpu import perf
     from bloomsearch_tpu.engine import _default_compression
@@ -98,7 +98,11 @@ def _e2e_variant(target_mb: int, block_items) -> dict:
         perf.cmd_generate(args)
         log(f"e2e dataset ({block_items=}) generated in {time.perf_counter() - t0:.1f}s")
 
-        engine, store = perf._engine(args)
+        engine, store = perf._engine(args, **engine_overrides)
+        if engine._row_cache is not None:
+            # Measure the real scan path: the needle-bitmap cache would turn
+            # repeated benchmark needles into pure cache hits.
+            engine._row_cache.needle_cache_enabled = False
         try:
             return _timed_needle_queries(engine, store)
         finally:
@@ -162,6 +166,7 @@ def refscale_bench() -> dict:
     engine.start()
     try:
         out = _timed_needle_queries(engine, store)
+        conc = _concurrent_queries(engine, rows, n_threads=16)
     finally:
         engine.stop(timeout=600)
     rows_per_sec = out["rows_per_sec"]
@@ -183,6 +188,52 @@ def refscale_bench() -> dict:
         # methodology on this host (see cpu_count in extra).
         "e2e_refscale_ref_rows": REF_ROWS,
         "e2e_refscale_ref_rows_per_sec": REF_ROWS_PER_SEC,
+        **conc,
+    }
+
+
+def _concurrent_queries(engine, dataset_rows: int, n_threads: int = 16) -> dict:
+    """N warm needle queries in flight at once (the reference's own numbers
+    ran at ~100-way concurrency INSIDE one query; this measures cross-query
+    amortization — probe/scan launch combiners coalesce concurrent queries
+    into shared device launches)."""
+    import threading
+
+    import bloomsearch_tpu as bs
+    from bloomsearch_tpu import perf
+
+    shapes = [
+        bs.new_query().token(perf.NEEDLE_TOKEN).build(),
+        bs.new_query().field(perf.NEEDLE_FIELD).build(),
+        bs.new_query().field_token(perf.NEEDLE_FT_FIELD, perf.NEEDLE_FT_TOKEN).build(),
+    ]
+    errors: list = []
+
+    def one(i: int):
+        try:
+            engine.query_sync(shapes[i % len(shapes)], timeout=600)
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=one, args=(i,), daemon=True)
+        for i in range(n_threads)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=900)
+    wall = time.perf_counter() - t0
+    if errors:
+        return {"e2e_refscale_concurrent_error": repr(errors[0])}
+    return {
+        "e2e_refscale_concurrent_queries": n_threads,
+        "e2e_refscale_concurrent_wall_ms": round(wall * 1e3, 1),
+        "e2e_refscale_concurrent_qps": round(n_threads / wall, 1),
+        "e2e_refscale_concurrent_agg_rows_per_sec": round(
+            n_threads * dataset_rows / wall
+        ),
     }
 
 
@@ -245,10 +296,15 @@ def e2e_query_bench(target_mb: int = 48) -> dict:
 
     The reference's 650 ms / 17.08M rows/s ran at ~51x effective concurrency
     on an M3 Max; cpu_count is reported so per-core throughput is comparable.
+
+    The parity variant runs in serving mode (device row cache): saturated
+    filters make every query scan-bound, and the documented production
+    answer is pinning rows in HBM — the SWAR scan-all path measured 82 vs
+    133 ms p50 against the host scan on this dataset (round 3).
     """
     import os
 
-    parity = _e2e_variant(target_mb, block_items=None)
+    parity = _e2e_variant(target_mb, block_items=None, row_cache_bytes=2 << 30)
     honest = _e2e_variant(target_mb, block_items=131_072)
     return {
         "e2e_rows": parity["rows"],

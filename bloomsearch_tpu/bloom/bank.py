@@ -568,7 +568,10 @@ class DeviceProbeBackend:
                     bank2d, rows_dev, shifts_dev, Tp, k,
                     use_pallas=use_pallas, interpret=self.pallas_interpret,
                 )
-        packed_host = np.asarray(packed)
+        # ascontiguousarray: arrays fetched from a TPU can come back with
+        # non-contiguous last axes (observed under concurrent fetches
+        # through the axon tunnel), and .view() requires contiguity.
+        packed_host = np.ascontiguousarray(np.asarray(packed))
         bits = np.unpackbits(packed_host.view(np.uint8), axis=1, bitorder="little")
         bits = bits[:, :capacity].astype(bool)
 

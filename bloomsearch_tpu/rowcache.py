@@ -43,6 +43,8 @@ _LANE = 128
 _WIDTH_UNIT = 512
 
 MAX_NEEDLE = 32  # longer needles fall back to always-candidate
+# Per-bucket needle-bitmap cache entries (packed ~cap/8 bytes each).
+_NEEDLE_CACHE_MAX = 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -148,12 +150,12 @@ class _RowBucket:
 
     __slots__ = (
         "width", "matrix", "cap", "used", "dead", "segments",
-        "pending", "launch_lock",
+        "pending", "launch_lock", "version", "needle_cache",
     )
 
     def __init__(self, width: int):
         self.width = width
-        self.matrix = None  # jax uint8[cap, width]
+        self.matrix = None  # jax int32[cap, width/4] (packed row bytes)
         self.cap = 0
         self.used = 0
         self.dead = 0
@@ -162,6 +164,12 @@ class _RowBucket:
         # launch_lock — see DeviceRowCache.scan).
         self.pending: list["_PendingScan"] = []
         self.launch_lock = threading.Lock()
+        # Needle-bitmap cache: scan-all computes hits for EVERY resident
+        # row, so a needle's packed bitmap stays valid until the matrix
+        # changes. version bumps on every matrix reassignment; entries are
+        # {needle: (version, packed uint32[cap/32])}, LRU-capped.
+        self.version = 0
+        self.needle_cache: dict[bytes, tuple[int, np.ndarray]] = {}
 
 
 class _PendingScan:
@@ -216,6 +224,10 @@ class DeviceRowCache:
         # the kernel via pallas_interpret.
         self.use_pallas = jax.default_backend() == "tpu"
         self.pallas_interpret = False
+        # Version-keyed needle-bitmap cache (scan-all bitmaps outlive the
+        # query that computed them); benchmarks disable this to measure the
+        # uncached scan path.
+        self.needle_cache_enabled = True
         self.launches = 0  # observability
         self.scan_requests = 0
 
@@ -297,6 +309,8 @@ class DeviceRowCache:
             bucket.used = cursor
             bucket.dead = 0
             bucket.segments = new_segments
+            bucket.version += 1
+            bucket.needle_cache.clear()
 
     def pin(
         self,
@@ -386,6 +400,8 @@ class DeviceRowCache:
                 bucket.matrix = sharded_update_rows(
                     self.mesh, bucket.matrix, jnp.asarray(packed), jnp.int32(bucket.used)
                 )
+                bucket.version += 1
+                bucket.needle_cache.clear()
             block = _PinnedBlock(
                 key, width, bucket.used, num_rows, always_candidate,
                 data, row_offsets, row_lengths,
@@ -478,10 +494,11 @@ class DeviceRowCache:
                     # segment coordinates under one lock acquisition
                     # (compaction may move rows at any time).
                     matrix = bucket.matrix
+                    version = bucket.version
                     for r in batch:
                         r.segments = [bucket.segments.get(k) for k in r.keys]
                 try:
-                    self._launch_bucket_scan(matrix, batch)
+                    self._launch_bucket_scan(bucket, matrix, version, batch)
                 except BaseException as exc:
                     for r in batch:
                         r.error = exc
@@ -491,12 +508,14 @@ class DeviceRowCache:
             raise req.error
         return req.hits
 
-    def _launch_bucket_scan(self, matrix, batch: list[_PendingScan]) -> None:
+    def _launch_bucket_scan(
+        self, bucket: _RowBucket, matrix, version: int,
+        batch: list[_PendingScan],
+    ) -> None:
         """ONE launch for every pending request: scan the WHOLE bucket
         matrix against the union of the requested needles; each waiter
         slices its blocks' spans out of the full-residency bitmap."""
         jnp = self._jnp
-        self.launches += 1
         self.scan_requests += len(batch)
         union: list[bytes] = []
         seen = set()
@@ -506,6 +525,19 @@ class DeviceRowCache:
                     seen.add(n)
                     union.append(n)
 
+        # Needle-bitmap cache: a scan-all bitmap covers every resident row,
+        # so it stays valid as long as the matrix does (version-checked).
+        # Repeated needles — dashboards, retried queries — skip the device
+        # round-trip entirely.
+        cached: dict[bytes, np.ndarray] = {}
+        if self.needle_cache_enabled:
+            with self._lock:
+                for nd in union:
+                    ent = bucket.needle_cache.get(nd)
+                    if ent is not None and ent[0] == version:
+                        cached[nd] = ent[1]
+        missing = [nd for nd in union if nd not in cached]
+
         # Scan-all: every resident row of the bucket scans in one kernel
         # pass per needle chunk (gathering a candidate subset costs more
         # than streaming the whole matrix — see _device_scan_fn); waiters
@@ -513,32 +545,53 @@ class DeviceRowCache:
         # the segment coordinates snapshotted with this matrix.
         from .bloom.pallas_kernels import MAX_SCAN_NEEDLES, scan_word_bucket
 
-        max_words = scan_word_bucket(max(len(n) for n in union))
         chunk = MAX_SCAN_NEEDLES if self.use_pallas or self.pallas_interpret else 64
-        hit_rows: list[np.ndarray] = []
-        for base in range(0, len(union), chunk):
-            part = union[base : base + chunk]
-            # >= 8: Mosaic sublane tiling on the kernel's needle axis.
-            n_bucket = max(8, _round_up_pow2(len(part)))
-            padded = np.zeros((n_bucket, MAX_NEEDLE), dtype=np.int32)
-            lens = np.zeros(n_bucket, dtype=np.int32)
-            for row, needle in enumerate(part):
-                padded[row, : len(needle)] = np.frombuffer(needle, dtype=np.uint8)
-                lens[row] = len(needle)
-            packed = np.asarray(
-                self._scan(
-                    matrix, jnp.asarray(padded), jnp.asarray(lens),
-                    n_real=len(part),
-                    max_words=max_words,
-                    use_pallas=self.use_pallas or self.pallas_interpret,
-                    interpret=self.pallas_interpret,
+        fresh: dict[bytes, np.ndarray] = {}
+        if missing:
+            self.launches += 1
+            max_words = scan_word_bucket(max(len(n) for n in missing))
+            for base in range(0, len(missing), chunk):
+                part = missing[base : base + chunk]
+                # >= 8: Mosaic sublane tiling on the kernel's needle axis.
+                n_bucket = max(8, _round_up_pow2(len(part)))
+                padded = np.zeros((n_bucket, MAX_NEEDLE), dtype=np.int32)
+                lens = np.zeros(n_bucket, dtype=np.int32)
+                for row, needle in enumerate(part):
+                    padded[row, : len(needle)] = np.frombuffer(needle, dtype=np.uint8)
+                    lens[row] = len(needle)
+                packed = np.asarray(
+                    self._scan(
+                        matrix, jnp.asarray(padded), jnp.asarray(lens),
+                        n_real=len(part),
+                        max_words=max_words,
+                        use_pallas=self.use_pallas or self.pallas_interpret,
+                        interpret=self.pallas_interpret,
+                    )
                 )
-            )
-            bits = np.unpackbits(
-                packed.view(np.uint8), axis=1, bitorder="little"
-            ).astype(bool)
-            hit_rows.extend(bits[: len(part)])
+                for row, needle in enumerate(part):
+                    fresh[needle] = packed[row]
+            if self.needle_cache_enabled:
+                with self._lock:
+                    if bucket.version == version:
+                        for needle, row in fresh.items():
+                            # own copy: a view would pin the whole launch
+                            # result array in memory
+                            bucket.needle_cache[needle] = (
+                                version, np.ascontiguousarray(row),
+                            )
+                        while len(bucket.needle_cache) > _NEEDLE_CACHE_MAX:
+                            bucket.needle_cache.pop(next(iter(bucket.needle_cache)))
+
         cap = int(matrix.shape[0])
+        hit_rows = [
+            np.unpackbits(
+                np.ascontiguousarray(
+                    cached.get(nd) if nd in cached else fresh[nd]
+                ).view(np.uint8),
+                bitorder="little",
+            )[:cap].astype(bool)
+            for nd in union
+        ]
         device_hits = np.stack(hit_rows) if hit_rows else np.zeros((0, cap), bool)
         needle_row = {needle: i for i, needle in enumerate(union)}
         for r in batch:

@@ -307,6 +307,43 @@ class TestSwarKernelFuzz:
                 np.testing.assert_array_equal(bits[r, :G], expect, err_msg=repr(nd))
 
 
+class TestNeedleBitmapCache:
+    def test_repeat_needle_skips_launch_until_matrix_changes(self):
+        cache = DeviceRowCache(64 << 20)
+        rows = [{"m": f"tok{i} filler"} for i in range(40)]
+        data = make_stream(rows)
+        buf, offs, lens = split_rows_arrays(data)
+        b0 = cache.pin((b"f0", 0), data, offs, lens)
+
+        first = cache.scan(b0, [b"tok7"])
+        launches = cache.launches
+        second = cache.scan(b0, [b"tok7"])
+        assert cache.launches == launches, "cached needle re-launched"
+        np.testing.assert_array_equal(first, second)
+        assert second[0].sum() == 1 and second[0][7]
+
+        # New pin changes the matrix -> version bump -> cache invalid.
+        rows2 = [{"m": f"other{i}"} for i in range(10)]
+        data2 = make_stream(rows2)
+        _, offs2, lens2 = split_rows_arrays(data2)
+        cache.pin((b"f1", 0), data2, offs2, lens2)
+        third = cache.scan(b0, [b"tok7"])
+        assert cache.launches == launches + 1, "stale cache served after pin"
+        np.testing.assert_array_equal(first, third)
+
+    def test_disabled_cache_always_launches(self):
+        cache = DeviceRowCache(64 << 20)
+        cache.needle_cache_enabled = False
+        rows = [{"m": f"tok{i}"} for i in range(10)]
+        data = make_stream(rows)
+        _, offs, lens = split_rows_arrays(data)
+        b0 = cache.pin((b"f0", 0), data, offs, lens)
+        cache.scan(b0, [b"tok3"])
+        launches = cache.launches
+        cache.scan(b0, [b"tok3"])
+        assert cache.launches == launches + 1
+
+
 class TestMeshShardedRowCache:
     def test_superbatch_shards_across_devices(self):
         import jax
