@@ -266,11 +266,21 @@ MAX_SCAN_NEEDLES = 8  # per-launch needle cap (callers chunk above this)
 # multiple of this; the needle axis pads to 8 (Mosaic sublane tiling).
 _SCAN_ROW_TILE = 512
 
+
+def _scan_row_tile(P4: int) -> int:
+    """Shrink the row tile for wide buckets so the W rolled tile copies
+    stay within VMEM (tile bytes ~= RT * P4 * 4 * (W + 2))."""
+    rt = _SCAN_ROW_TILE
+    while rt > 128 and rt * P4 * 4 * 11 > 8 << 20:
+        rt //= 2
+    return rt
+
 # Word-loop buckets: a needle of len L at alignment a spans ceil((a+L)/4)
 # <= ceil((L+3)/4) packed words. Launches bucket their longest needle here
-# so short-needle queries (the common case) compile and run ~2-4x less
-# VPU work than the 9-word worst case.
-SCAN_WORD_BUCKETS = (2, 4, 6, 9)
+# so short-needle queries (the common case) compile and run ~2x less VPU
+# work than the 9-word worst case. Two buckets only: every bucket is a
+# separate jit program per matrix shape, and warmup pre-compiles them all.
+SCAN_WORD_BUCKETS = (4, 9)
 
 
 def scan_word_bucket(max_len: int) -> int:
@@ -282,21 +292,31 @@ def scan_word_bucket(max_len: int) -> int:
 
 
 def _make_byte_scan_swar_kernel(n_real: int, n_out: int, RT: int, P4: int,
-                                P_real: int, W: int):
+                                W: int, slots: int):
+    # Each physical matrix row packs `slots` logical rows of
+    # slot_bytes = 4*P4/slots bytes each (narrow rows share a 512-byte
+    # physical row so HBM isn't wasted on lane-tile padding). A valid start
+    # never crosses its slot: s mod slot_bytes <= slot_bytes - len keeps
+    # s + len inside the slot, so per-slot hits are exact.
+    slot_bytes = 4 * P4 // slots
+    lanes_per_slot = P4 // slots
+
     def kernel(pat_ref, msk_ref, lens_ref, rows_ref, out_ref):
         tile = rows_ref[:, :]  # int32 (RT, P4) — packed row bytes
         lane4 = 4 * jax.lax.broadcasted_iota(jnp.int32, (RT, P4), 1)
+        sloc = lane4 % slot_bytes  # start byte within its slot (alignment 0)
         # Lane p of rolled[w] holds word p+w (wrapped lanes are excluded by
-        # the valid-start mask: s + len <= P_real keeps every spanned word
-        # index below P4).
+        # the valid-start mask: s + len staying inside the slot keeps every
+        # spanned word index below P4).
         rolled = [tile]
         for w in range(1, W):
             rolled.append(pltpu.roll(tile, P4 - w, 1))
         for n in range(n_out):
             if n >= n_real:
-                out_ref[n, :] = jnp.zeros((RT,), jnp.int32)
+                for s in range(slots):
+                    out_ref[n * slots + s, :] = jnp.zeros((RT,), jnp.int32)
                 continue
-            smax = P_real - lens_ref[n]  # last valid start byte
+            smax = slot_bytes - lens_ref[n]  # last valid in-slot start byte
             # int32 masks throughout: Mosaic can't legalize vector i1
             # selects/logic on this hardware generation.
             hit = jnp.zeros((RT, P4), dtype=jnp.int32)
@@ -309,17 +329,22 @@ def _make_byte_scan_swar_kernel(n_real: int, n_out: int, RT: int, P4: int,
                     mismatch = mismatch | (
                         (rolled[w] ^ pat_ref[base + w]) & msk_ref[base + w]
                     )
-                # Fold alignments elementwise; ONE cross-lane reduction per
-                # needle below (reductions are the expensive ops here).
+                # Fold alignments elementwise; one cross-lane reduction per
+                # (needle, slot) below (reductions are the expensive ops).
                 matched = (mismatch == 0).astype(jnp.int32)
-                valid = (lane4 + a <= smax).astype(jnp.int32)
+                valid = (sloc + a <= smax).astype(jnp.int32)
                 hit = hit | (matched & valid)
-            out_ref[n, :] = jnp.max(hit, axis=1)
+            for s in range(slots):
+                out_ref[n * slots + s, :] = jnp.max(
+                    hit[:, s * lanes_per_slot : (s + 1) * lanes_per_slot], axis=1
+                )
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_real", "max_words", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_real", "max_words", "slots", "interpret")
+)
 def byte_scan_pallas_swar(
     rows32: jax.Array,  # int32[G, P4]: packed LE row bytes; G % 128 == 0, P4 % 128 == 0
     needles: jax.Array,  # int32[N, MAX_SCAN_WINDOW] byte values, N <= 8
@@ -327,9 +352,15 @@ def byte_scan_pallas_swar(
     *,
     n_real: int,
     max_words: int = SCAN_WORD_BUCKETS[-1],  # word-loop bound (scan_word_bucket)
+    slots: int = 1,  # logical rows per physical row (narrow-row packing)
     interpret: bool = False,
 ) -> jax.Array:
-    """-> packed uint32[N, G/32] hit bitmap (1 = needle occurs in the row).
+    """-> packed uint32[n_real, G*slots/32] hit bitmap over LOGICAL rows.
+
+    Physical row g packs logical rows g*slots .. g*slots+slots-1; the
+    kernel emits per-(needle, slot) hits and this wrapper interleaves them
+    back to logical row order on-device before bit-packing, so callers are
+    slot-agnostic. With slots == 1 this is a plain per-row bitmap.
 
     Every needle in the launch must span <= max_words packed words at any
     alignment, i.e. len <= 4*max_words - 3 (callers bucket via
@@ -337,9 +368,11 @@ def byte_scan_pallas_swar(
     """
     G, P4 = rows32.shape
     N = needles.shape[0]
-    assert G % _SCAN_ROW_TILE == 0 and P4 % 128 == 0 and N <= MAX_SCAN_NEEDLES
+    RT = _scan_row_tile(P4)
+    assert G % RT == 0 and P4 % 128 == 0 and N <= MAX_SCAN_NEEDLES
     assert N % 8 == 0, "pad the needle axis to 8 (Mosaic sublane tiling)"
     assert 0 < n_real <= N
+    assert slots in (1, 2, 4) and P4 % (slots * 32) == 0
     W = max_words
 
     # Per-(needle, alignment, word) pattern/mask words, little-endian like
@@ -359,35 +392,41 @@ def byte_scan_pallas_swar(
     pat = pat.reshape(-1).astype(jnp.int32)
     msk = msk.reshape(-1).astype(jnp.int32)
 
+    NS = N * slots
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # pat, msk, lens
-        grid=(G // _SCAN_ROW_TILE,),
+        grid=(G // RT,),
         in_specs=[
             pl.BlockSpec(
-                (_SCAN_ROW_TILE, P4),
+                (RT, P4),
                 lambda g, pat_ref, msk_ref, lens_ref: (g, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (N, _SCAN_ROW_TILE),
+            (NS, RT),
             lambda g, pat_ref, msk_ref, lens_ref: (0, g),
             memory_space=pltpu.VMEM,
         ),
     )
     hit = pl.pallas_call(
-        _make_byte_scan_swar_kernel(n_real, N, _SCAN_ROW_TILE, P4, 4 * P4, W),
+        _make_byte_scan_swar_kernel(n_real, N, RT, P4, W, slots),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, G), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((NS, G), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=3 * n_real * 4 * W * G * P4,
-            bytes_accessed=G * P4 * 4 + N * G * 4,
+            bytes_accessed=G * P4 * 4 + NS * G * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(pat, msk, lens, rows32)
 
-    match = hit != 0  # bool[N, G]
-    groups = match.reshape(N, G // 32, 32)
+    # Interleave (needle, slot, phys) -> logical row order, then pack only
+    # the REAL needle rows (padding rows would multiply the device->host
+    # bitmap transfer for nothing).
+    hit = hit[: n_real * slots]
+    logical = hit.reshape(n_real, slots, G).transpose(0, 2, 1).reshape(n_real, G * slots)
+    match = logical != 0  # bool[n_real, G*slots]
+    groups = match.reshape(n_real, (G * slots) // 32, 32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
     return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)

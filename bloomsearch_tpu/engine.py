@@ -821,10 +821,20 @@ class BloomSearchEngine:
                     if entry is not None:
                         pinned.append(entry)
             if pinned:
-                try:
-                    self._row_cache.scan_many(pinned, [b"\x00bloomsearch-warmup\x00"])
-                except Exception:
-                    logger.exception("warmup: scan compile failed")
+                # One dense scan per word bucket: each (matrix shape, word
+                # bucket) pair is its own jit program, and an uncompiled
+                # bucket would otherwise land its multi-second compile on
+                # the first user query with a needle of that length.
+                from .bloom.pallas_kernels import SCAN_WORD_BUCKETS
+
+                for wb in SCAN_WORD_BUCKETS:
+                    ln = min(4 * wb - 3, 32)  # longest length in this bucket
+                    needle = (b"\x00warm" + b"\x00" * ln)[:ln]
+                    try:
+                        self._row_cache.scan_many(pinned, [needle])
+                    except Exception:
+                        logger.exception("warmup: scan compile failed")
+                        break
 
     def _decode_and_pin(self, pointer: bytes, blk):
         """Decode one block (CRC-verified) and pin its rows in the device

@@ -307,7 +307,7 @@ def sharded_take_rows(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "n_real", "max_words", "interpret")
+    jax.jit, static_argnames=("mesh", "n_real", "max_words", "slots", "interpret")
 )
 def sharded_scan_all_rows(
     mesh: Mesh,
@@ -317,22 +317,24 @@ def sharded_scan_all_rows(
     *,
     n_real: int,
     max_words: int,
+    slots: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
-    """Scan every resident row on its own chip -> packed uint32[N, R/32].
+    """Scan every resident row on its own chip -> packed uint32[N, R*slots/32]
+    over LOGICAL rows.
 
-    Each device runs the SWAR byte-scan kernel over its local row shard;
-    the per-shard bitmaps concatenate along the word axis (the row axis /
-    32), so the result is bit-for-bit the unsharded kernel's output. The
-    row cache pads capacities to 128 x mesh size, making every local shard
-    kernel-tileable.
+    Each device runs the SWAR byte-scan kernel over its local physical-row
+    shard (logical rows stay contiguous per shard, so the per-shard logical
+    bitmaps concatenate along the word axis bit-for-bit with the unsharded
+    kernel's output). The row cache pads capacities to 512 x mesh size
+    physical rows, making every local shard kernel-tileable.
     """
     from ..bloom.pallas_kernels import byte_scan_pallas_swar
 
     def local_scan(rows_l, needles_l, lens_l):
         return byte_scan_pallas_swar(
             rows_l, needles_l, lens_l,
-            n_real=n_real, max_words=max_words, interpret=interpret,
+            n_real=n_real, max_words=max_words, slots=slots, interpret=interpret,
         )
 
     shmapped = shard_map(

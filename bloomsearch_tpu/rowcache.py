@@ -37,14 +37,30 @@ import numpy as np
 
 ROW_WIDTH_CAP = 4096  # rows longer than this are always-candidates
 _LANE = 128
-# Bucket widths are multiples of 512 bytes = 128 packed int32 lanes, so the
-# packed matrix tiles the SWAR kernel's 128-lane axis exactly (<= 9 width
-# buckets total; bounded compiles).
-_WIDTH_UNIT = 512
+# Physical matrix rows are 512 bytes = 128 packed int32 lanes (the SWAR
+# kernel's exact lane tile). Narrow logical rows SHARE a physical row
+# (slots = 512/width for width buckets 128/256) so HBM isn't wasted padding
+# log-sized rows to the tile; wider buckets are 512-byte multiples.
+_PHYS_ROW_BYTES = 512
+
+
+def _width_bucket(real_width: int) -> tuple[int, int]:
+    """-> (logical row width, slots per physical row) for a block whose
+    longest row is real_width bytes (MAX_NEEDLE tail headroom included so
+    fixed-size scan windows cover every start of the longest row)."""
+    w = min(real_width, ROW_WIDTH_CAP) + MAX_NEEDLE
+    if w <= 128:
+        return 128, 4
+    if w <= 256:
+        return 256, 2
+    return _round_up(w, _PHYS_ROW_BYTES), 1
 
 MAX_NEEDLE = 32  # longer needles fall back to always-candidate
 # Per-bucket needle-bitmap cache entries (packed ~cap/8 bytes each).
 _NEEDLE_CACHE_MAX = 128
+# Bucket growth increment once doubling would exceed this many bytes (the
+# grow-copy holds old+new matrices concurrently in HBM).
+_GROWTH_STEP_BYTES = 512 << 20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -64,65 +80,112 @@ def _device_scan_fn(mesh):
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(
-        jax.jit,
-        static_argnames=("n_real", "max_words", "use_pallas", "interpret"),
-    )
-    def scan_all(rows32, needles_padded, needle_lens, *,
-                 n_real: int, max_words: int, use_pallas: bool, interpret: bool):
-        """rows32 int32[R, P/4] (lowercased bucket matrix, bytes packed
-        little-endian 4-per-word), needles int32[N, MAX_NEEDLE] byte
-        values, lens int32[N] -> packed uint32[N, R/32] hit bitmap over
-        EVERY resident row.
-
-        Scan-all, not gather-then-scan: XLA's row gather measures ~1.3-4
-        GB/s on v5e while the SWAR kernel streams the resident matrix at
-        VPU speed, so scanning everything and slicing span bitmaps beats
-        gathering any non-trivial subset by 10-100x — and the program
-        compiles once per (bucket cap, width, N bucket, word bucket),
-        independent of which rows a query asks for. One launch serves
-        every pending block scan of a bucket; on a mesh each chip scans
-        its own row shard (parallel.mesh.sharded_scan_all_rows).
-        """
+    def _scan_matrix(rows32, needles_padded, needle_lens, *,
+                     n_real, max_words, slots, use_pallas, interpret):
+        """Core dispatch: SWAR kernel on TPU, sliding windows elsewhere.
+        -> packed uint32[n_real, R_phys*slots/32] over logical rows."""
         if use_pallas:
             from .bloom.pallas_kernels import byte_scan_pallas_swar
 
-            if mesh is not None:
-                from .parallel.mesh import sharded_scan_all_rows
-
-                return sharded_scan_all_rows(
-                    mesh, rows32, needles_padded, needle_lens,
-                    n_real=n_real, max_words=max_words, interpret=interpret,
-                )
             return byte_scan_pallas_swar(
                 rows32, needles_padded, needle_lens,
-                n_real=n_real, max_words=max_words, interpret=interpret,
+                n_real=n_real, max_words=max_words, slots=slots,
+                interpret=interpret,
             )
-        # XLA fallback (non-TPU platforms): unpack to bytes and run the
-        # sliding-window formulation over all resident rows.
-        R, P4 = rows32.shape
+        # XLA fallback (non-TPU platforms): unpack to bytes, split physical
+        # rows into logical rows, and run the sliding-window formulation.
+        Rp, P4 = rows32.shape
         w = rows32.astype(jnp.uint32)  # bit-identical (mod 2^32)
         b = jnp.stack(
             [(w >> jnp.uint32(8 * i)) & jnp.uint32(0xFF) for i in range(4)],
             axis=-1,
         ).astype(jnp.uint8)
-        rows2d = b.reshape(R, P4 * 4)
-        P = P4 * 4
+        R = Rp * slots
+        P = P4 * 4 // slots  # logical row width
+        rows2d = b.reshape(R, P)
         W = P - MAX_NEEDLE + 1
-        N = needles_padded.shape[0]
-        acc = jnp.ones((N, R, W), dtype=bool)
+        acc = jnp.ones((n_real, R, W), dtype=bool)
         for l in range(MAX_NEEDLE):
             window = jax.lax.dynamic_slice_in_dim(rows2d, l, W, axis=1)  # [R, W]
-            cmp = window[None, :, :].astype(jnp.int32) == needles_padded[:, l, None, None]
-            acc = acc & jnp.where((l < needle_lens)[:, None, None], cmp, True)
-        hit = jnp.any(acc, axis=2)  # bool[N, R]
+            cmp = (
+                window[None, :, :].astype(jnp.int32)
+                == needles_padded[:n_real, l, None, None]
+            )
+            acc = acc & jnp.where((l < needle_lens[:n_real])[:, None, None], cmp, True)
+        hit = jnp.any(acc, axis=2)  # bool[n_real, R]
         # Pack to bitmap words on-device (32x smaller device->host transfer;
-        # R is a multiple of the 128-row unit).
-        groups = hit.reshape(N, R // 32, 32)
+        # R is a multiple of the row unit).
+        groups = hit.reshape(n_real, R // 32, 32)
         weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
         return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
 
-    return scan_all
+    @functools.partial(
+        jax.jit,
+        static_argnames=("n_real", "max_words", "slots", "use_pallas", "interpret"),
+    )
+    def scan_all(rows32, needles_padded, needle_lens, *,
+                 n_real: int, max_words: int, slots: int,
+                 use_pallas: bool, interpret: bool):
+        """rows32 int32[R_phys, W4] (lowercased bucket matrix, bytes packed
+        little-endian 4-per-word, `slots` logical rows per physical row),
+        needles int32[N, MAX_NEEDLE] byte values, lens int32[N] -> packed
+        uint32[n_real, R_phys*slots/32] hit bitmap over EVERY resident
+        LOGICAL row.
+
+        Scan-all, not gather-then-scan: XLA's row gather measures ~1.3-4
+        GB/s on v5e while the SWAR kernel streams the resident matrix at
+        VPU speed, and the full-residency bitmap is cacheable per needle.
+        The program compiles once per (bucket cap, width, N bucket, word
+        bucket), independent of which rows a query asks for. On a mesh
+        each chip scans its own row shard
+        (parallel.mesh.sharded_scan_all_rows).
+        """
+        if use_pallas and mesh is not None:
+            from .parallel.mesh import sharded_scan_all_rows
+
+            return sharded_scan_all_rows(
+                mesh, rows32, needles_padded, needle_lens,
+                n_real=n_real, max_words=max_words, slots=slots,
+                interpret=interpret,
+            )
+        return _scan_matrix(
+            rows32, needles_padded, needle_lens,
+            n_real=n_real, max_words=max_words, slots=slots,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "n_real", "max_words", "slots", "seg_rows", "use_pallas", "interpret"
+        ),
+    )
+    def scan_segments(rows32, seg_starts, needles_padded, needle_lens, *,
+                      n_real: int, max_words: int, slots: int, seg_rows: int,
+                      use_pallas: bool, interpret: bool):
+        """Slice `len(seg_starts)` contiguous physical-row ranges of
+        seg_rows each out of the matrix and scan only those -> packed
+        uint32[n_real, n_segs*seg_rows*slots/32].
+
+        The sparse-request path: when a query's blocks cover a small
+        fraction of a big bucket (needle queries at reference scale ask
+        for 3 of 240 blocks), slicing whole segments with dynamic_slice is
+        memory-bound — unlike row gathers — and scans + transfers orders
+        of magnitude less than full residency. Single-device only (the
+        mesh path always scans its shards in full).
+        """
+        parts = [
+            jax.lax.dynamic_slice_in_dim(rows32, seg_starts[s], seg_rows, axis=0)
+            for s in range(seg_starts.shape[0])
+        ]
+        sub = jnp.concatenate(parts, axis=0)
+        return _scan_matrix(
+            sub, needles_padded, needle_lens,
+            n_real=n_real, max_words=max_words, slots=slots,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+
+    return scan_all, scan_segments
 
 
 class _PinnedBlock:
@@ -149,13 +212,18 @@ class _RowBucket:
     """One width bucket's superbatch matrix; blocks occupy row ranges."""
 
     __slots__ = (
-        "width", "matrix", "cap", "used", "dead", "segments",
+        "width", "slots", "matrix", "cap", "used", "dead", "segments",
         "pending", "launch_lock", "version", "needle_cache",
     )
 
-    def __init__(self, width: int):
-        self.width = width
-        self.matrix = None  # jax int32[cap, width/4] (packed row bytes)
+    def __init__(self, width: int, slots: int):
+        self.width = width  # logical row bytes
+        self.slots = slots  # logical rows per 512-byte physical row
+        # Packed row bytes, PHYSICAL layout [cap/slots, 128] int32; cap,
+        # used, dead, and segment coordinates are all in LOGICAL rows
+        # (segment starts are always slot-aligned: blocks own whole
+        # physical rows).
+        self.matrix = None
         self.cap = 0
         self.used = 0
         self.dead = 0
@@ -216,7 +284,7 @@ class DeviceRowCache:
         self._lock = threading.Lock()
         self._blocks: dict[tuple[bytes, int], _PinnedBlock] = {}
         self._buckets: dict[int, _RowBucket] = {}
-        self._scan = _device_scan_fn(self.mesh)
+        self._scan, self._scan_segments = _device_scan_fn(self.mesh)
         # On TPU the SWAR byte-scan kernel is the production path (the
         # byte-per-lane predecessor lost to XLA fusion; the packed-word
         # rewrite + scan-all wins — see docs/PERFORMANCE.md). Non-TPU
@@ -276,7 +344,8 @@ class DeviceRowCache:
         if bucket is not None:
             seg = bucket.segments.pop(key, None)
             if seg is not None:
-                bucket.dead += seg[1]
+                # The block's whole physical footprint becomes reclaimable.
+                bucket.dead += -(-seg[1] // bucket.slots) * bucket.slots
 
     def _maybe_compact_locked(self) -> None:
         from .parallel.mesh import sharded_take_rows, sharded_zeros_rows
@@ -285,28 +354,36 @@ class DeviceRowCache:
         for bucket in self._buckets.values():
             if bucket.dead == 0 or bucket.dead * 2 < bucket.used:
                 continue
+            S = bucket.slots
             order = sorted(bucket.segments.items(), key=lambda kv: kv[1][0])
-            rows = []
-            cursor = 0
+            phys_rows = []  # physical row indices to keep, in order
+            cursor = 0  # logical
             new_segments = {}
             for key, (start, n) in order:
-                rows.extend(range(start, start + n))
+                pn = -(-n // S)  # physical rows this block owns
+                phys_rows.extend(range(start // S, start // S + pn))
                 new_segments[key] = (cursor, n)
                 block = self._blocks.get(key)
                 if block is not None:
                     block.row_start = cursor
-                cursor += n
-            new_cap = max(self._row_unit, _round_up(max(cursor, 1), self._row_unit))
-            if rows:
-                idx = jnp.asarray(np.asarray(rows, dtype=np.int32))
-                new_matrix = sharded_take_rows(self.mesh, bucket.matrix, idx, new_cap)
+                cursor += pn * S
+            unit = self._row_unit * S  # logical row unit
+            new_cap = max(unit, _round_up(max(cursor, 1), unit))
+            if phys_rows:
+                idx = jnp.asarray(np.asarray(phys_rows, dtype=np.int32))
+                new_matrix = sharded_take_rows(
+                    self.mesh, bucket.matrix, idx, new_cap // S
+                )
             else:
                 new_matrix = sharded_zeros_rows(
-                    self.mesh, new_cap, bucket.width // 4, dtype=jnp.int32
+                    self.mesh, new_cap // S, bucket.width * S // 4, dtype=jnp.int32
                 )
             bucket.matrix = new_matrix
             bucket.cap = new_cap
             bucket.used = cursor
+            # dead counts only RECLAIMABLE rows (removed blocks' physical
+            # footprints) — slot-padding tails inside live blocks are not
+            # compactable and must not re-trigger compaction.
             bucket.dead = 0
             bucket.segments = new_segments
             bucket.version += 1
@@ -324,23 +401,24 @@ class DeviceRowCache:
         jax = self._jax
         jnp = self._jnp
         num_rows = row_offsets.shape[0]
-        width = int(row_lengths.max()) if num_rows else 0
         overlong = np.asarray(row_lengths > ROW_WIDTH_CAP)
-        width = min(width, ROW_WIDTH_CAP)
-        # MAX_NEEDLE tail headroom so fixed-size scan windows cover every
-        # start position of the longest row; then bucket the width to a
-        # multiple of 512 bytes (128 packed int32 lanes) so blocks share
-        # kernel-tileable matrices (<= 9 width buckets; bounded compiles).
-        width = max(_round_up(width + MAX_NEEDLE, _WIDTH_UNIT), _WIDTH_UNIT)
+        width, slots = _width_bucket(int(row_lengths.max()) if num_rows else 0)
+        pn = -(-num_rows // slots)  # physical rows this block will own
+        n_pad = pn * slots
 
-        matrix = np.zeros((max(num_rows, 1), width), dtype=np.uint8)
+        matrix = np.zeros((max(n_pad, 1), width), dtype=np.uint8)
         buf = np.frombuffer(data, dtype=np.uint8)
-        for i in range(num_rows):
-            if overlong[i]:
-                continue
-            length = int(row_lengths[i])
-            start = int(row_offsets[i])
-            matrix[i, :length] = buf[start : start + length]
+        if num_rows:
+            # Vectorized fill (one flat scatter instead of a Python loop per
+            # row — the loop was ~40s for a 12M-row warmup pin pass).
+            lens_c = np.where(overlong, 0, row_lengths).astype(np.int64)
+            total = int(lens_c.sum())
+            if total:
+                row_ids = np.repeat(np.arange(num_rows, dtype=np.int64), lens_c)
+                ends = np.cumsum(lens_c)
+                pos = np.arange(total, dtype=np.int64) - np.repeat(ends - lens_c, lens_c)
+                src = np.repeat(row_offsets.astype(np.int64), lens_c) + pos
+                matrix.reshape(-1)[row_ids * width + pos] = buf[src]
         # ASCII lowercase in one vectorized pass.
         upper = (matrix >= ord("A")) & (matrix <= ord("Z"))
         matrix = np.where(upper, matrix + 32, matrix).astype(np.uint8)
@@ -359,8 +437,9 @@ class DeviceRowCache:
         always_candidate |= (nonascii | escapes)[: always_candidate.shape[0]]
 
         # Pack 4 bytes per int32 word, little-endian (what the SWAR scan
-        # kernel and its host-computed pattern words assume). A pure
-        # reinterpret on little-endian hosts; explicit shifts otherwise.
+        # kernel and its host-computed pattern words assume), and fold
+        # `slots` consecutive logical rows into each 512-byte physical row.
+        # A pure reinterpret+reshape on little-endian hosts.
         if sys.byteorder == "little":
             packed = matrix.view(np.int32)
         else:
@@ -368,6 +447,8 @@ class DeviceRowCache:
             packed = (
                 m32[..., 0] | (m32[..., 1] << 8) | (m32[..., 2] << 16) | (m32[..., 3] << 24)
             ).view(np.int32)
+        if num_rows > 0:
+            packed = packed.reshape(pn, width * slots // 4)
 
         with self._lock:
             existing = self._blocks.get(key)
@@ -381,24 +462,33 @@ class DeviceRowCache:
 
             bucket = self._buckets.get(width)
             if bucket is None:
-                bucket = _RowBucket(width)
+                bucket = _RowBucket(width, slots)
                 self._buckets[width] = bucket
-            if bucket.used + num_rows > bucket.cap:
+            unit = self._row_unit * slots  # logical row unit
+            if bucket.used + n_pad > bucket.cap:
+                # Growth: double while small, then bounded increments — the
+                # copy in sharded_pad_rows holds old+new concurrently, and
+                # unbounded doubling at multi-GB bucket sizes OOMs HBM.
+                grow = min(bucket.cap, max(_GROWTH_STEP_BYTES // width, 1))
                 new_cap = max(
-                    _round_up(bucket.used + num_rows, self._row_unit),
-                    bucket.cap * 2,
-                    self._row_unit,
+                    _round_up(bucket.used + n_pad, unit),
+                    _round_up(bucket.cap + grow, unit),
+                    unit,
                 )
                 if bucket.matrix is None:
                     bucket.matrix = sharded_zeros_rows(
-                        self.mesh, new_cap, width // 4, dtype=jnp.int32
+                        self.mesh, new_cap // slots, width * slots // 4,
+                        dtype=jnp.int32,
                     )
                 else:
-                    bucket.matrix = sharded_pad_rows(self.mesh, bucket.matrix, new_cap)
+                    bucket.matrix = sharded_pad_rows(
+                        self.mesh, bucket.matrix, new_cap // slots
+                    )
                 bucket.cap = new_cap
             if num_rows > 0:
                 bucket.matrix = sharded_update_rows(
-                    self.mesh, bucket.matrix, jnp.asarray(packed), jnp.int32(bucket.used)
+                    self.mesh, bucket.matrix, jnp.asarray(packed),
+                    jnp.int32(bucket.used // slots),
                 )
                 bucket.version += 1
                 bucket.needle_cache.clear()
@@ -407,7 +497,7 @@ class DeviceRowCache:
                 data, row_offsets, row_lengths,
             )
             bucket.segments[key] = (bucket.used, num_rows)
-            bucket.used += num_rows
+            bucket.used += n_pad
             self._blocks[key] = block
             # LRU eviction under the byte budget.
             while (
@@ -512,9 +602,10 @@ class DeviceRowCache:
         self, bucket: _RowBucket, matrix, version: int,
         batch: list[_PendingScan],
     ) -> None:
-        """ONE launch for every pending request: scan the WHOLE bucket
-        matrix against the union of the requested needles; each waiter
-        slices its blocks' spans out of the full-residency bitmap."""
+        """ONE launch for every pending request: scan the bucket matrix
+        (all of it, or just the requested segments when they're a small
+        fraction of residency) against the union of the requested needles;
+        each waiter slices its blocks' spans out of the result bitmap."""
         jnp = self._jnp
         self.scan_requests += len(batch)
         union: list[bytes] = []
@@ -538,12 +629,47 @@ class DeviceRowCache:
                         cached[nd] = ent[1]
         missing = [nd for nd in union if nd not in cached]
 
-        # Scan-all: every resident row of the bucket scans in one kernel
-        # pass per needle chunk (gathering a candidate subset costs more
-        # than streaming the whole matrix — see _device_scan_fn); waiters
-        # slice their blocks' spans straight out of the full bitmap using
-        # the segment coordinates snapshotted with this matrix.
+        # Adaptive scan shape for needles not served from cache:
+        #  - DENSE (requests cover a meaningful fraction of residency, or a
+        #    mesh shards the matrix): scan EVERY resident row; the
+        #    full-residency bitmap also feeds the needle cache.
+        #  - SPARSE (few blocks of a big bucket — needle queries at
+        #    reference scale ask for 3 of 240): dynamic-slice just the
+        #    requested segments on-device and scan those; both the scanned
+        #    bytes and the returned bitmap shrink by the sparsity factor.
         from .bloom.pallas_kernels import MAX_SCAN_NEEDLES, scan_word_bucket
+
+        S = bucket.slots
+        phys_cap = int(matrix.shape[0])
+        # Unique requested physical ranges (phys_start, phys_rows).
+        ranges = sorted(
+            {
+                (seg[0] // S, -(-seg[1] // S))
+                for r in batch
+                for seg in r.segments
+                if seg is not None and seg[1] > 0
+            }
+        )
+        seg_rows = _round_up_pow2(max((pn for _, pn in ranges), default=1))
+        seg_rows = max(seg_rows, 512)  # kernel row-tile multiple
+        n_segs = len(ranges)
+        sparse = (
+            self.mesh is None
+            and n_segs > 0
+            and seg_rows <= phys_cap
+            and n_segs * seg_rows * 4 <= phys_cap
+        )
+        if sparse:
+            # Clamped slice starts; each range sits at a fixed offset
+            # inside its part of the concatenated sub-matrix.
+            starts = np.empty(n_segs, dtype=np.int32)
+            part_off: dict[tuple[int, int], tuple[int, int]] = {}
+            for p, (ps, pn) in enumerate(ranges):
+                cl = min(ps, phys_cap - seg_rows)
+                starts[p] = cl
+                part_off[(ps, pn)] = (p, ps - cl)
+            starts_dev = jnp.asarray(starts)
+        logical_rows = (n_segs * seg_rows if sparse else phys_cap) * S
 
         chunk = MAX_SCAN_NEEDLES if self.use_pallas or self.pallas_interpret else 64
         fresh: dict[bytes, np.ndarray] = {}
@@ -559,18 +685,30 @@ class DeviceRowCache:
                 for row, needle in enumerate(part):
                     padded[row, : len(needle)] = np.frombuffer(needle, dtype=np.uint8)
                     lens[row] = len(needle)
-                packed = np.asarray(
-                    self._scan(
-                        matrix, jnp.asarray(padded), jnp.asarray(lens),
-                        n_real=len(part),
-                        max_words=max_words,
-                        use_pallas=self.use_pallas or self.pallas_interpret,
-                        interpret=self.pallas_interpret,
-                    )
+                common = dict(
+                    n_real=len(part),
+                    max_words=max_words,
+                    slots=S,
+                    use_pallas=self.use_pallas or self.pallas_interpret,
+                    interpret=self.pallas_interpret,
                 )
+                if sparse:
+                    packed = np.asarray(
+                        self._scan_segments(
+                            matrix, starts_dev,
+                            jnp.asarray(padded), jnp.asarray(lens), **common,
+                        )
+                    )
+                else:
+                    packed = np.asarray(
+                        self._scan(
+                            matrix, jnp.asarray(padded), jnp.asarray(lens), **common
+                        )
+                    )
                 for row, needle in enumerate(part):
                     fresh[needle] = packed[row]
-            if self.needle_cache_enabled:
+            # Only full-residency bitmaps are cacheable.
+            if self.needle_cache_enabled and not sparse:
                 with self._lock:
                     if bucket.version == version:
                         for needle, row in fresh.items():
@@ -582,28 +720,31 @@ class DeviceRowCache:
                         while len(bucket.needle_cache) > _NEEDLE_CACHE_MAX:
                             bucket.needle_cache.pop(next(iter(bucket.needle_cache)))
 
-        cap = int(matrix.shape[0])
-        hit_rows = [
-            np.unpackbits(
-                np.ascontiguousarray(
-                    cached.get(nd) if nd in cached else fresh[nd]
-                ).view(np.uint8),
-                bitorder="little",
-            )[:cap].astype(bool)
-            for nd in union
-        ]
-        device_hits = np.stack(hit_rows) if hit_rows else np.zeros((0, cap), bool)
-        needle_row = {needle: i for i, needle in enumerate(union)}
+        cap = phys_cap * S  # logical residency
+        bits: dict[bytes, tuple[bool, np.ndarray]] = {}  # needle -> (full?, bits)
+        for nd in union:
+            full = nd in cached
+            raw = cached[nd] if full else fresh[nd]
+            arr = np.unpackbits(
+                np.ascontiguousarray(raw).view(np.uint8), bitorder="little"
+            )[: cap if full else logical_rows].astype(bool)
+            bits[nd] = (full or not sparse, arr)
         for r in batch:
             hits: dict[tuple, Optional[dict]] = {}
             for key, seg in zip(r.keys, r.segments):
                 if seg is None:
                     hits[key] = None
-                else:
-                    start, n = seg
-                    hits[key] = {
-                        needle: device_hits[needle_row[needle], start : start + n]
-                        for needle in r.needles
-                    }
+                    continue
+                start, n = seg
+                per_needle = {}
+                for needle in r.needles:
+                    full, arr = bits[needle]
+                    if full or n == 0:
+                        per_needle[needle] = arr[start : start + n]
+                    else:
+                        p, off = part_off[(start // S, -(-n // S))]
+                        base = (p * seg_rows + off) * S
+                        per_needle[needle] = arr[base : base + n]
+                hits[key] = per_needle
             r.hits = hits
             r.done.set()

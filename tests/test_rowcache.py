@@ -160,10 +160,13 @@ class TestSuperbatchBuckets:
             cache2.invalidate_file(f"f{b}".encode())
         bucket = next(iter(cache2._buckets.values()))
         # dead*2 >= used triggered at least one compaction along the way;
-        # exactly the two live blocks' rows remain live.
+        # exactly the two live blocks' footprints remain live (each block
+        # owns whole physical rows: 10 rows round up to a slot multiple).
+        S = bucket.slots
+        footprint = -(-10 // S) * S
         assert len(bucket.segments) == 2
-        assert bucket.used - bucket.dead == 20
-        assert bucket.used < 60  # proof a compaction ran
+        assert bucket.used - bucket.dead == 2 * footprint
+        assert bucket.used < 6 * footprint  # proof a compaction ran
         for b in (4, 5):
             scan = cache2.scan(blocks[b], [f"tok{b}_3".encode(), b"absent"])
             assert scan[0].sum() == 1 and scan[0][3]
@@ -305,6 +308,103 @@ class TestSwarKernelFuzz:
             for r, nd in enumerate(part):
                 expect = np.array([nd in rows[g].tobytes() for g in range(G)])
                 np.testing.assert_array_equal(bits[r, :G], expect, err_msg=repr(nd))
+
+
+class TestSlotPacking:
+    @pytest.mark.parametrize("slots,width", [(2, 256), (4, 128)])
+    def test_slotted_kernel_matches_oracle(self, slots, width):
+        """Narrow rows packed `slots`-per-physical-row must scan exactly:
+        no cross-slot matches, per-slot valid bounds, logical row order."""
+        import jax.numpy as jnp
+
+        from bloomsearch_tpu.bloom.pallas_kernels import (
+            byte_scan_pallas_swar,
+            scan_word_bucket,
+        )
+        from bloomsearch_tpu.rowcache import MAX_NEEDLE
+
+        rng = np.random.default_rng(13 + slots)
+        phys = 512
+        n_logical = phys * slots
+        rows = rng.integers(97, 123, size=(n_logical, width), dtype=np.uint8)
+        rows[:, width - MAX_NEEDLE :] = 0  # tail headroom like pin()
+        needles = [b"qq", b"abcdefg", bytes(rng.integers(97, 123, size=13, dtype=np.uint8))]
+        # Plant: inside rows, flush at the last legal start, and a decoy
+        # SPLIT across a slot boundary (last bytes of row 4k+s, first of
+        # the next) which must NOT match.
+        for nd in needles:
+            for _ in range(8):
+                g = int(rng.integers(0, n_logical))
+                s = int(rng.integers(0, width - MAX_NEEDLE - len(nd)))
+                rows[g, s : s + len(nd)] = np.frombuffer(nd, np.uint8)
+            g = int(rng.integers(0, n_logical))
+            rows[g, width - MAX_NEEDLE - len(nd) : width - MAX_NEEDLE] = np.frombuffer(nd, np.uint8)
+
+        packed = rows.reshape(phys, width * slots // 4, 4)
+        packed = (
+            packed[..., 0].astype(np.int64)
+            | (packed[..., 1].astype(np.int64) << 8)
+            | (packed[..., 2].astype(np.int64) << 16)
+            | (packed[..., 3].astype(np.int64) << 24)
+        ).astype(np.uint32).view(np.int32)
+
+        N = 8
+        padded = np.zeros((N, MAX_NEEDLE), np.int32)
+        lens = np.zeros(N, np.int32)
+        for r, nd in enumerate(needles):
+            padded[r, : len(nd)] = np.frombuffer(nd, np.uint8)
+            lens[r] = len(nd)
+        out = np.asarray(
+            byte_scan_pallas_swar(
+                jnp.asarray(packed), jnp.asarray(padded), jnp.asarray(lens),
+                n_real=len(needles),
+                max_words=scan_word_bucket(max(len(nd) for nd in needles)),
+                slots=slots, interpret=True,
+            )
+        )
+        bits = np.unpackbits(out.view(np.uint8), axis=1, bitorder="little")
+        for r, nd in enumerate(needles):
+            expect = np.array([nd in rows[g].tobytes() for g in range(n_logical)])
+            np.testing.assert_array_equal(
+                bits[r, :n_logical].astype(bool), expect, err_msg=repr(nd)
+            )
+
+
+class TestSparseSegmentScan:
+    def test_sparse_request_on_big_bucket_is_exact(self):
+        """A scan touching few blocks of a big bucket takes the
+        dynamic-slice segment path; results must match the dense scan-all
+        path bit for bit."""
+        cache = DeviceRowCache(1 << 30)
+        cache.needle_cache_enabled = False
+        blocks = {}
+        NB, RPB = 40, 600
+        for b in range(NB):
+            rows = [{"m": f"blk{b} tok{b}_{i} x"} for i in range(RPB)]
+            data = make_stream(rows)
+            buf, offs, lens = split_rows_arrays(data)
+            blocks[b] = cache.pin((f"f{b}".encode(), 0), data, offs, lens)
+        bucket = next(iter(cache._buckets.values()))
+        # Requesting 1-2 blocks of this bucket must qualify as sparse.
+        pn = -(-RPB // bucket.slots)
+        seg_rows = max(512, 1 << (pn - 1).bit_length())
+        assert 2 * seg_rows * 4 <= bucket.cap // bucket.slots, (
+            "test no longer exercises the sparse path; grow the bucket")
+
+        for b in (0, 17, NB - 1):
+            scan = cache.scan(blocks[b], [f"tok{b}_7 ".encode(), b"absent", f"blk{b}".encode()])
+            assert scan[0].sum() == 1 and scan[0][7], b
+            assert not scan[1].any(), b
+            assert scan[2].all(), b
+        # Two blocks in one request (two segments, one launch).
+        out = cache.scan_many([blocks[3], blocks[29]], [b"tok3_11 ", b"tok29_0 "])
+        assert out[blocks[3].key][0].sum() == 1 and out[blocks[3].key][0][11]
+        assert not out[blocks[3].key][1].any()
+        assert out[blocks[29].key][1].sum() == 1 and out[blocks[29].key][1][0]
+        # Dense path (every block requested) agrees with the sparse slices.
+        dense = cache.scan_many(list(blocks.values()), [b"tok17_7 "])
+        sparse = cache.scan(blocks[17], [b"tok17_7 "])
+        np.testing.assert_array_equal(dense[blocks[17].key][0], sparse[0])
 
 
 class TestNeedleBitmapCache:
