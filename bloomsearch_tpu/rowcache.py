@@ -696,7 +696,8 @@ class DeviceRowCache:
                     packed = np.asarray(
                         self._scan_segments(
                             matrix, starts_dev,
-                            jnp.asarray(padded), jnp.asarray(lens), **common,
+                            jnp.asarray(padded), jnp.asarray(lens),
+                            seg_rows=seg_rows, **common,
                         )
                     )
                 else:

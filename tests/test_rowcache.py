@@ -375,7 +375,9 @@ class TestSparseSegmentScan:
         """A scan touching few blocks of a big bucket takes the
         dynamic-slice segment path; results must match the dense scan-all
         path bit for bit."""
-        cache = DeviceRowCache(1 << 30)
+        # mesh_devices=1: the sparse path is single-device only (a mesh
+        # always scans its shards in full).
+        cache = DeviceRowCache(1 << 30, mesh_devices=1)
         cache.needle_cache_enabled = False
         blocks = {}
         NB, RPB = 40, 600
