@@ -26,22 +26,32 @@ _load_failed = False
 
 
 def _compile() -> bool:
+    # Build to a temp path and rename into place: `g++ -o` truncates the
+    # output in place, which SIGBUSes any running process that has the old
+    # .so mapped (and races concurrent compiles in sibling processes).
+    tmp = f"{_SO}.build.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-fvisibility=hidden", "-o", _SO, _SRC, "-lzstd",
+        "-fvisibility=hidden", "-o", tmp, _SRC, "-lzstd",
     ]
     try:
         result = subprocess.run(cmd, capture_output=True, timeout=120)
+        if result.returncode != 0:
+            # -march=native can fail on exotic hosts; retry generic.
+            cmd.remove("-march=native")
+            result = subprocess.run(cmd, capture_output=True, timeout=120)
+        if result.returncode != 0:
+            return False
+        os.replace(tmp, _SO)
+        return True
     except (OSError, subprocess.TimeoutExpired):
         return False
-    if result.returncode != 0:
-        # -march=native can fail on exotic hosts; retry generic.
-        cmd.remove("-march=native")
-        try:
-            result = subprocess.run(cmd, capture_output=True, timeout=120)
-        except (OSError, subprocess.TimeoutExpired):
-            return False
-    return result.returncode == 0
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -142,6 +152,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
         ]
         lib.bs_process_block.restype = ctypes.c_int64
+        if hasattr(lib, "bs_pack_rows"):  # absent in pre-round-3 cached .so
+            lib.bs_pack_rows.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.bs_pack_rows.restype = None
         _lib = lib
         return _lib
 
@@ -399,6 +417,40 @@ def scan_candidates(
     if rc != 0:
         return None
     return out.astype(bool)
+
+
+def pack_rows(
+    data: bytes,
+    row_offsets: np.ndarray,
+    row_lengths: np.ndarray,
+    width: int,
+    n_pad: int,
+    width_cap: int,
+) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """Serving-mode row pack: lowered fixed-width matrix + conservative
+    always-candidate flags in one native pass (rowcache.py pin hot path).
+
+    Returns (matrix uint8[max(n_pad,1), width], always_candidate
+    uint8[n_rows]) bit-identical to rowcache.py's numpy fallback, or None
+    when the native library (or symbol) is unavailable.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "bs_pack_rows"):
+        return None
+    n_rows = row_offsets.shape[0]
+    matrix = np.zeros((max(n_pad, 1), width), dtype=np.uint8)
+    flags = np.zeros(max(n_rows, 1), dtype=np.uint8)
+    if n_rows:
+        buf = np.frombuffer(data, dtype=np.uint8) if data else np.empty(0, dtype=np.uint8)
+        row_offsets = np.ascontiguousarray(row_offsets, dtype=np.int64)
+        row_lengths = np.ascontiguousarray(row_lengths, dtype=np.int64)
+        lib.bs_pack_rows(
+            _ptr(buf), buf.size,
+            _ptr(row_offsets), _ptr(row_lengths), n_rows,
+            width, width_cap,
+            _ptr(matrix), _ptr(flags),
+        )
+    return matrix, flags[:n_rows]
 
 
 def ingest_tokenize(

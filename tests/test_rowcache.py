@@ -98,6 +98,49 @@ class TestDeviceRowCache:
         assert cache.get((b"g", 0)) is not None
 
 
+class TestNativePackParity:
+    def test_native_pack_matches_numpy_spec(self, monkeypatch):
+        """bs_pack_rows (C++ copy+lowercase+flag single pass) must produce
+        the exact matrix and always-candidate flags of the vectorized-numpy
+        spec path in pin(), including the adversarial cases: uppercase \\U
+        escapes (lowered before the pair test), non-ASCII bytes, \\/ and
+        literal backslashes, overlong rows, empty rows, and 8-byte SWAR
+        boundary alignments."""
+        if not native.available() or native.pack_rows(b"", np.empty(0, np.int64), np.empty(0, np.int64), 128, 0, ROW_WIDTH_CAP) is None:
+            pytest.skip("native pack_rows unavailable")
+        rng = random.Random(7)
+        specials = ["\\u0041", "\\U0041", "\\/", "\\\\", "café", "A" * 7, "Z" * 9, ""]
+        rows = []
+        for i in range(300):
+            parts = [
+                "".join(rng.choice("abcXYZ  09_-") for _ in range(rng.randrange(0, 40)))
+            ]
+            if rng.random() < 0.5:
+                parts.append(rng.choice(specials))
+            if rng.random() < 0.02:
+                parts.append("x" * (ROW_WIDTH_CAP + 5))
+            rows.append({"k": "".join(parts)})
+        data = make_stream(rows)
+        _, offsets, lengths = split_rows_arrays(data)
+
+        cache_native = DeviceRowCache(256 << 20, mesh_devices=1)
+        pin_native = cache_native.pin((b"n", 0), data, offsets, lengths)
+
+        from bloomsearch_tpu import rowcache as rc_mod
+
+        monkeypatch.setattr(rc_mod._native, "pack_rows", lambda *a, **k: None)
+        cache_numpy = DeviceRowCache(256 << 20, mesh_devices=1)
+        pin_numpy = cache_numpy.pin((b"n", 0), data, offsets, lengths)
+
+        np.testing.assert_array_equal(
+            pin_native.always_candidate, pin_numpy.always_candidate
+        )
+        (wn, bn), = cache_native._buckets.items()
+        (wp, bp), = cache_numpy._buckets.items()
+        assert wn == wp
+        np.testing.assert_array_equal(np.asarray(bn.matrix), np.asarray(bp.matrix))
+
+
 class TestEngineServingMode:
     def test_row_cache_query_parity(self, tmp_path):
         store = bs.FileSystemDataStore(str(tmp_path / "data"))
