@@ -37,8 +37,12 @@ REF_ROWS_PER_SEC = 17.08e6
 REF_WALL_MS = 650.0
 
 
-def _timed_needle_queries(engine, store, *, reps: int = 3) -> dict:
-    """Warmup -> first-query wall -> 3 reps x 3 shapes -> p50 + rows/s."""
+def _timed_needle_queries(engine, store, *, reps: int = 5) -> dict:
+    """Warmup -> first-query wall -> reps x 3 shapes -> p50 + rows/s.
+
+    reps=5 (15 warm samples): single tunnel stalls of 1s+ have been
+    observed mid-benchmark; a larger warm population keeps the p50 a
+    statement about the engine rather than about one bad RTT."""
     import bloomsearch_tpu as bs
     from bloomsearch_tpu import perf
 
@@ -161,12 +165,25 @@ def refscale_bench() -> dict:
         max_query_concurrency=100,
         probe_backend="auto",
         bank_cache_bytes=6 << 30,
+        # Serving mode: pin all ~8 GB of packed rows in HBM; needle scans
+        # run on-device (sparse segment slices for needle queries). Measured
+        # p50 89.5 vs 149 ms against the host-decode path on the same
+        # (degraded) tunnel day. Warmup pays the one-time pin uploads —
+        # dominated here by the tunnel's ~25 MB/s h2d, not the engine.
+        row_cache_bytes=10 << 30,
     )
     engine = bs.BloomSearchEngine(config, store, store)
     engine.start()
     try:
+        if engine._row_cache is not None:
+            # Measure the real scan path (repeated benchmark needles would
+            # otherwise become pure bitmap-cache hits).
+            engine._row_cache.needle_cache_enabled = False
         out = _timed_needle_queries(engine, store)
         conc = _concurrent_queries(engine, rows, n_threads=16)
+        rc_stats = (
+            engine._row_cache.stats() if engine._row_cache is not None else None
+        )
     finally:
         engine.stop(timeout=600)
     rows_per_sec = out["rows_per_sec"]
@@ -188,6 +205,14 @@ def refscale_bench() -> dict:
         # methodology on this host (see cpu_count in extra).
         "e2e_refscale_ref_rows": REF_ROWS,
         "e2e_refscale_ref_rows_per_sec": REF_ROWS_PER_SEC,
+        **(
+            {
+                "e2e_refscale_serving_pinned_blocks": rc_stats["pinned_blocks"],
+                "e2e_refscale_serving_gb": round(rc_stats["bytes"] / 1e9, 2),
+            }
+            if rc_stats
+            else {}
+        ),
         **conc,
     }
 
@@ -370,34 +395,36 @@ def main() -> None:
             return probe_bank_pallas_tk(bank, fr, sh, t_terms, k)
         return probe_bank_xla(bank, fr, sh, k).astype(jnp.int32)
 
-    def make_chained(n):
-        @jax.jit
-        def chained(bank, frs, shs):
-            total = jnp.zeros((), jnp.int32)
-            for i in range(n):
-                # Serialize launches: without the barrier XLA may overlap
-                # independent kernels and the slope under-counts per-launch
-                # time (observed: impossible >HBM-bandwidth readings).
-                fr_i, _ = jax.lax.optimization_barrier((frs[i], total))
-                out = probe(bank, fr_i, shs[i])
-                total = total + out[0, 0] + out[-1, -1]
-            return total
+    @jax.jit
+    def chained(bank, frs, shs):
+        # lax.scan keeps compile time flat in chain length, so the chains
+        # can be long enough that per-fetch tunnel jitter (tens of ms on a
+        # bad day) divides down below the per-launch signal.
+        def body(total, fs):
+            fr_i, sh_i = fs
+            # Serialize launches: the barrier makes launch i+1 depend on
+            # launch i's reduced output. Without it XLA may overlap
+            # independent kernels and the slope under-counts per-launch
+            # time (observed: impossible >HBM-bandwidth readings).
+            fr_i, _ = jax.lax.optimization_barrier((fr_i, total))
+            out = probe(bank, fr_i, sh_i)
+            return total + out[0, 0] + out[-1, -1], ()
 
-        return chained
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), (frs, shs))
+        return total
 
     def run(n: int) -> float:
         frs = jnp.asarray(rng.integers(0, 3 * w, size=(n, t_terms * k)).astype(np.int32))
         shs = jnp.asarray(rng.integers(0, 32, size=(n, t_terms * k)).astype(np.int32))
-        fn = make_chained(n)
-        float(fn(bank2d, frs, shs))  # compile + warm
+        float(chained(bank2d, frs, shs))  # compile + warm
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
-            float(fn(bank2d, frs, shs))
+            float(chained(bank2d, frs, shs))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    n_small, n_large = 4, 128
+    n_small, n_large = 8, 512
     t_small = run(n_small)
     t_large = run(n_large)
     per_launch = max((t_large - t_small) / (n_large - n_small), 1e-9)

@@ -8,6 +8,7 @@
 //
 // Exposed via a plain C ABI for ctypes (no pybind11 in this image).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 
@@ -1647,40 +1648,66 @@ BS_EXPORT int64_t bs_process_block(
 }
 
 // ---------------------------------------------------------------------------
-// Serving-mode row packing (rowcache.py pin): copy each row into its slot of
-// a fixed-width matrix, ASCII-lowercasing in the same pass, and flag rows
-// whose stored bytes cannot PROVE a needle's absence — non-ASCII bytes
-// (Unicode lowercase may be pure ASCII) and "\u" / "\/" escape pairs checked
-// on the LOWERED bytes (so "\U" flags exactly like "\u") — or that exceed
-// width_cap (overlong rows stay zeroed and flagged). Bit-compatible with the
-// vectorized-numpy fallback in rowcache.py (the semantic spec); parity is
-// asserted by tests/test_rowcache.py. The numpy flat-scatter ran ~8 MB/s on
-// the 16M-element index arrays it builds; this single pass runs at GB/s and
-// is the difference between a ~5-minute and a ~10-second refscale warmup.
+// Serving-mode stream packing (rowcache.py pin): chunk a block's raw row
+// buffer into fixed chunk_bytes device rows with (chunk_bytes - stride)
+// bytes of overlap, ASCII-lowercasing in the same pass, so every <=overlap+1
+// byte window starting in a chunk's first `stride` bytes is fully contained
+// in that chunk. Rows whose bytes cannot PROVE a needle's absence (non-ASCII
+// bytes; "\u" / "\/" pairs checked with the next byte lowered so "\U" flags
+// like "\u") are flagged always-candidate — the same conservative rule as
+// the host scanner (bs_scan_candidates above) and the numpy spec path in
+// rowcache.py. Unlike the fixed-width row matrix this replaces, rows are
+// NOT padded to a width bucket: the stream carries ~1.07x the raw bytes
+// instead of ~3.6x, which is the difference in HBM footprint, upload time,
+// and scan traffic.
 // ---------------------------------------------------------------------------
-BS_EXPORT void bs_pack_rows(
+BS_EXPORT void bs_pack_stream(
     const uint8_t* data, int64_t data_len,
     const int64_t* row_offsets, const int64_t* row_lengths, int64_t n_rows,
-    int64_t width, int64_t width_cap,
-    uint8_t* matrix,            // [>=n_rows, width], pre-zeroed
+    int64_t stride, int64_t chunk_bytes,
+    uint8_t* chunks,            // [ceil(data_len/stride), chunk_bytes], pre-zeroed
     uint8_t* always_candidate)  // [n_rows], pre-zeroed
 {
   const uint64_t HI = 0x8080808080808080ULL;
   const uint64_t L7 = 0x7F7F7F7F7F7F7F7FULL;
-  const uint64_t BS = 0x5C5C5C5C5C5C5C5CULL;  // '\\' splat
+  // Lowercase the whole buffer once into the chunk rows (the overlap tail
+  // of each chunk is re-copied from the already-lowered previous chunk).
+  const int64_t n_chunks = data_len > 0 ? (data_len + stride - 1) / stride : 0;
+  const int64_t overlap = chunk_bytes - stride;
+  for (int64_t c = 0; c < n_chunks; c++) {
+    const int64_t src_off = c * stride;
+    const int64_t len = std::min<int64_t>(stride, data_len - src_off);
+    const uint8_t* src = data + src_off;
+    uint8_t* dst = chunks + c * chunk_bytes;
+    int64_t i = 0;
+    for (; i + 8 <= len; i += 8) {
+      uint64_t w;
+      std::memcpy(&w, src + i, 8);
+      const uint64_t x7 = w & L7;
+      const uint64_t ge_A = (x7 + 0x3F3F3F3F3F3F3F3FULL) & HI;
+      const uint64_t gt_Z = (x7 + 0x2525252525252525ULL) & HI;
+      const uint64_t up = ge_A & ~gt_Z & ~(w & HI);
+      w += (up >> 2);
+      std::memcpy(dst + i, &w, 8);
+    }
+    for (; i < len; i++) dst[i] = scan_simd::lower1(src[i]);
+    if (c > 0) {
+      // Previous chunk's overlap tail = this chunk's first bytes, already
+      // lowered (zero-filled past end of data by the caller's pre-zeroing).
+      std::memcpy(chunks + (c - 1) * chunk_bytes + stride, dst,
+                  (size_t)std::min<int64_t>(overlap, len));
+    }
+  }
+  // Conservative per-row flags (independent of the chunk layout).
+  const uint64_t BS = 0x5C5C5C5C5C5C5C5CULL;
   for (int64_t r = 0; r < n_rows; r++) {
     const int64_t len = row_lengths[r];
-    if (len > width_cap || len > width) {  // overlong: zeroed + flagged
-      always_candidate[r] = 1;
-      continue;
-    }
     const int64_t off = row_offsets[r];
     if (off < 0 || len < 0 || off + len > data_len) {  // defensive: include
       always_candidate[r] = 1;
       continue;
     }
     const uint8_t* src = data + off;
-    uint8_t* dst = matrix + r * width;
     uint64_t non_ascii = 0;
     bool has_backslash = false;
     int64_t i = 0;
@@ -1688,33 +1715,20 @@ BS_EXPORT void bs_pack_rows(
       uint64_t w;
       std::memcpy(&w, src + i, 8);
       non_ascii |= (w & HI);
-      // Exact zero-byte test on w ^ BS: any byte == '\\' ?
       const uint64_t d = w ^ BS;
       if ((((d - 0x0101010101010101ULL) & ~d) & HI) != 0) has_backslash = true;
-      // SWAR ASCII lowercase: per 7-bit byte x, x>='A' <=> x+0x3F wraps to
-      // the high bit, x>'Z' <=> x+0x25 does; no inter-byte carry (max
-      // 0x7F+0x3F=0xBE). Bytes with the high bit set are excluded.
-      const uint64_t x7 = w & L7;
-      const uint64_t ge_A = (x7 + 0x3F3F3F3F3F3F3F3FULL) & HI;
-      const uint64_t gt_Z = (x7 + 0x2525252525252525ULL) & HI;
-      const uint64_t up = ge_A & ~gt_Z & ~(w & HI);
-      w += (up >> 2);  // 0x80 >> 2 == 0x20 per flagged byte
-      std::memcpy(dst + i, &w, 8);
     }
     for (; i < len; i++) {
       const uint8_t c = src[i];
       if (c & 0x80) non_ascii = 1;
       if (c == '\\') has_backslash = true;
-      dst[i] = scan_simd::lower1(c);
     }
     if (non_ascii) {
       always_candidate[r] = 1;
     } else if (has_backslash) {
-      // Rare slow path: pair test on the lowered bytes. dst[len] is a zero
-      // pad byte, never 'u'/'/', so stopping at len-1 matches the numpy
-      // full-width pair check.
       for (int64_t j = 0; j + 1 < len; j++) {
-        if (dst[j] == '\\' && (dst[j + 1] == 'u' || dst[j + 1] == '/')) {
+        const uint8_t nxt = scan_simd::lower1(src[j + 1]);
+        if (src[j] == '\\' && (nxt == 'u' || nxt == '/')) {
           always_candidate[r] = 1;
           break;
         }

@@ -292,12 +292,19 @@ def scan_word_bucket(max_len: int) -> int:
 
 
 def _make_byte_scan_swar_kernel(n_real: int, n_out: int, RT: int, P4: int,
-                                W: int, slots: int):
+                                W: int, slots: int, stream_stride: int):
     # Each physical matrix row packs `slots` logical rows of
     # slot_bytes = 4*P4/slots bytes each (narrow rows share a 512-byte
     # physical row so HBM isn't wasted on lane-tile padding). A valid start
     # never crosses its slot: s mod slot_bytes <= slot_bytes - len keeps
     # s + len inside the slot, so per-slot hits are exact.
+    #
+    # stream_stride > 0 switches to STREAM chunks: each physical row is a
+    # chunk of a contiguous byte stream whose last (slot_bytes -
+    # stream_stride) bytes duplicate the next chunk's head, so every window
+    # of <= overlap+1 bytes starting in the first stream_stride bytes is
+    # fully contained — valid starts are s < stream_stride, independent of
+    # needle length (slots must be 1).
     slot_bytes = 4 * P4 // slots
     lanes_per_slot = P4 // slots
 
@@ -316,7 +323,12 @@ def _make_byte_scan_swar_kernel(n_real: int, n_out: int, RT: int, P4: int,
                 for s in range(slots):
                     out_ref[n * slots + s, :] = jnp.zeros((RT,), jnp.int32)
                 continue
-            smax = slot_bytes - lens_ref[n]  # last valid in-slot start byte
+            # Last valid start byte (exclusive bound via <=): stream chunks
+            # accept any start in the payload region; slot rows keep
+            # s + len inside the slot.
+            smax = (
+                stream_stride - 1 if stream_stride else slot_bytes - lens_ref[n]
+            )
             # int32 masks throughout: Mosaic can't legalize vector i1
             # selects/logic on this hardware generation.
             hit = jnp.zeros((RT, P4), dtype=jnp.int32)
@@ -343,7 +355,8 @@ def _make_byte_scan_swar_kernel(n_real: int, n_out: int, RT: int, P4: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_real", "max_words", "slots", "interpret")
+    jax.jit,
+    static_argnames=("n_real", "max_words", "slots", "stream_stride", "interpret"),
 )
 def byte_scan_pallas_swar(
     rows32: jax.Array,  # int32[G, P4]: packed LE row bytes; G % 128 == 0, P4 % 128 == 0
@@ -353,6 +366,7 @@ def byte_scan_pallas_swar(
     n_real: int,
     max_words: int = SCAN_WORD_BUCKETS[-1],  # word-loop bound (scan_word_bucket)
     slots: int = 1,  # logical rows per physical row (narrow-row packing)
+    stream_stride: int = 0,  # >0: stream-chunk mode (see kernel maker)
     interpret: bool = False,
 ) -> jax.Array:
     """-> packed uint32[n_real, G*slots/32] hit bitmap over LOGICAL rows.
@@ -361,6 +375,11 @@ def byte_scan_pallas_swar(
     kernel emits per-(needle, slot) hits and this wrapper interleaves them
     back to logical row order on-device before bit-packing, so callers are
     slot-agnostic. With slots == 1 this is a plain per-row bitmap.
+
+    With stream_stride > 0 (slots must be 1), physical rows are overlapped
+    chunks of a byte stream and the bitmap is per CHUNK: bit g is set iff
+    the needle matches at some start in chunk g's first stream_stride
+    bytes (the caller maps chunk hits back to its row spans).
 
     Every needle in the launch must span <= max_words packed words at any
     alignment, i.e. len <= 4*max_words - 3 (callers bucket via
@@ -373,6 +392,9 @@ def byte_scan_pallas_swar(
     assert N % 8 == 0, "pad the needle axis to 8 (Mosaic sublane tiling)"
     assert 0 < n_real <= N
     assert slots in (1, 2, 4) and P4 % (slots * 32) == 0
+    assert stream_stride == 0 or (
+        slots == 1 and 0 < stream_stride <= 4 * P4 - (MAX_SCAN_WINDOW - 1)
+    )
     W = max_words
 
     # Per-(needle, alignment, word) pattern/mask words, little-endian like
@@ -410,7 +432,7 @@ def byte_scan_pallas_swar(
         ),
     )
     hit = pl.pallas_call(
-        _make_byte_scan_swar_kernel(n_real, N, RT, P4, W, slots),
+        _make_byte_scan_swar_kernel(n_real, N, RT, P4, W, slots, stream_stride),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NS, G), jnp.int32),
         cost_estimate=pl.CostEstimate(

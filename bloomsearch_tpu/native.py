@@ -152,14 +152,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
         ]
         lib.bs_process_block.restype = ctypes.c_int64
-        if hasattr(lib, "bs_pack_rows"):  # absent in pre-round-3 cached .so
-            lib.bs_pack_rows.argtypes = [
+        if hasattr(lib, "bs_pack_stream"):  # absent in pre-round-3 cached .so
+            lib.bs_pack_stream.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p,
             ]
-            lib.bs_pack_rows.restype = None
+            lib.bs_pack_stream.restype = None
         _lib = lib
         return _lib
 
@@ -419,38 +419,38 @@ def scan_candidates(
     return out.astype(bool)
 
 
-def pack_rows(
+def pack_stream(
     data: bytes,
     row_offsets: np.ndarray,
     row_lengths: np.ndarray,
-    width: int,
-    n_pad: int,
-    width_cap: int,
+    stride: int,
+    chunk_bytes: int,
 ) -> Optional[tuple[np.ndarray, np.ndarray]]:
-    """Serving-mode row pack: lowered fixed-width matrix + conservative
-    always-candidate flags in one native pass (rowcache.py pin hot path).
+    """Serving-mode stream pack: lowered overlapped-chunk matrix +
+    conservative always-candidate flags in one native pass.
 
-    Returns (matrix uint8[max(n_pad,1), width], always_candidate
+    Returns (chunks uint8[max(n_chunks, 1), chunk_bytes], always_candidate
     uint8[n_rows]) bit-identical to rowcache.py's numpy fallback, or None
     when the native library (or symbol) is unavailable.
     """
     lib = _load()
-    if lib is None or not hasattr(lib, "bs_pack_rows"):
+    if lib is None or not hasattr(lib, "bs_pack_stream"):
         return None
     n_rows = row_offsets.shape[0]
-    matrix = np.zeros((max(n_pad, 1), width), dtype=np.uint8)
+    data_len = len(data)
+    n_chunks = -(-data_len // stride) if data_len else 0
+    chunks = np.zeros((max(n_chunks, 1), chunk_bytes), dtype=np.uint8)
     flags = np.zeros(max(n_rows, 1), dtype=np.uint8)
-    if n_rows:
-        buf = np.frombuffer(data, dtype=np.uint8) if data else np.empty(0, dtype=np.uint8)
-        row_offsets = np.ascontiguousarray(row_offsets, dtype=np.int64)
-        row_lengths = np.ascontiguousarray(row_lengths, dtype=np.int64)
-        lib.bs_pack_rows(
-            _ptr(buf), buf.size,
-            _ptr(row_offsets), _ptr(row_lengths), n_rows,
-            width, width_cap,
-            _ptr(matrix), _ptr(flags),
-        )
-    return matrix, flags[:n_rows]
+    buf = np.frombuffer(data, dtype=np.uint8) if data else np.empty(0, dtype=np.uint8)
+    row_offsets = np.ascontiguousarray(row_offsets, dtype=np.int64)
+    row_lengths = np.ascontiguousarray(row_lengths, dtype=np.int64)
+    lib.bs_pack_stream(
+        _ptr(buf), data_len,
+        _ptr(row_offsets), _ptr(row_lengths), n_rows,
+        stride, chunk_bytes,
+        _ptr(chunks), _ptr(flags),
+    )
+    return chunks, flags[:n_rows]
 
 
 def ingest_tokenize(

@@ -307,7 +307,10 @@ def sharded_take_rows(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "n_real", "max_words", "slots", "interpret")
+    jax.jit,
+    static_argnames=(
+        "mesh", "n_real", "max_words", "slots", "stream_stride", "interpret"
+    ),
 )
 def sharded_scan_all_rows(
     mesh: Mesh,
@@ -318,6 +321,7 @@ def sharded_scan_all_rows(
     n_real: int,
     max_words: int,
     slots: int = 1,
+    stream_stride: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Scan every resident row on its own chip -> packed uint32[N, R*slots/32]
@@ -327,14 +331,19 @@ def sharded_scan_all_rows(
     shard (logical rows stay contiguous per shard, so the per-shard logical
     bitmaps concatenate along the word axis bit-for-bit with the unsharded
     kernel's output). The row cache pads capacities to 512 x mesh size
-    physical rows, making every local shard kernel-tileable.
+    physical rows, making every local shard kernel-tileable. With
+    stream_stride > 0 physical rows are overlapped stream chunks and the
+    bitmap is per chunk (rowcache.py stream mode); chunk overlap bytes are
+    duplicated INTO each chunk at pack time, so shard boundaries need no
+    halo exchange.
     """
     from ..bloom.pallas_kernels import byte_scan_pallas_swar
 
     def local_scan(rows_l, needles_l, lens_l):
         return byte_scan_pallas_swar(
             rows_l, needles_l, lens_l,
-            n_real=n_real, max_words=max_words, slots=slots, interpret=interpret,
+            n_real=n_real, max_words=max_words, slots=slots,
+            stream_stride=stream_stride, interpret=interpret,
         )
 
     shmapped = shard_map(

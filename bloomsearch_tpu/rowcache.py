@@ -2,29 +2,43 @@
 
 Serving mode for hot data. The host candidate scan (scan.py) avoids
 JSON-parsing non-matching rows but still burns host CPU re-reading and
-re-scanning block bytes on every query. Here a block's decompressed rows are
-pinned in HBM **once** — lowercased, padded, and packed 4-bytes-per-word
-into rows of a width-bucketed **superbatch matrix** ``int32[cap_rows,
-width/4]`` shared by every pinned block of similar row width — and each
-query's needle scan runs on the TPU as ONE SWAR kernel launch per bucket
-over ALL resident rows (scan-all: XLA row gathers run ~1.3-4 GB/s on v5e,
-so streaming the whole matrix beats gathering any subset):
+re-scanning block bytes on every query. Here a block's decompressed row
+buffer is pinned in HBM **once** — lowercased and chunked into overlapped
+512-byte stream chunks packed 4-bytes-per-int32 and appended to ONE shared
+stream matrix ``int32[cap_chunks, 128]`` — and each query's needle scan runs
+on the TPU as ONE SWAR kernel launch over the resident stream (scan-all:
+XLA row gathers run ~1.3-4 GB/s on v5e, so streaming the residency beats
+gathering any subset):
 
+- **Stream chunks, not width-bucketed row matrices** (round 3): each chunk
+  carries STREAM_STRIDE=480 payload bytes plus the next 32 bytes duplicated,
+  so every <=32-byte window starting in the payload region is contained in
+  exactly one chunk. Rows are NOT padded to a width class — the stream is
+  ~1.07x the raw bytes where the per-block width buckets were ~3.6x on
+  log-shaped data (512-byte bucket for ~140-byte rows), which divides HBM
+  footprint, pin-upload time, and scan traffic by the same ~3.4x.
+- The kernel emits per-CHUNK hit bits; a hit in chunk c means a match
+  starting somewhere in its payload, so the candidate rows are every row
+  overlapping bytes [c*480, c*480+480+len-1) — the same span-overlap
+  marking rule as the host scanner (bs_scan_candidates / scan.py), made
+  conservative at chunk granularity. Exact verification downstream keeps
+  zero false positives; chunk granularity only ever ADDS candidates.
 - all of a query's needles scan together (needle axis vectorized, padded to
   a small bucket), and
 - concurrent block scans coalesce through a windowless leader-drains-queue
   combiner (the same design as the probe-launch batcher in bloom/bank.py):
-  the leader launches the whole bucket once with the UNION of pending
-  queries' needles and every waiter slices out its blocks' rows — so a
-  query touching 40 pinned blocks costs ~1 launch, not 40 (launch
+  the leader launches the resident stream once with the UNION of pending
+  queries' needles and every waiter slices out its blocks' chunk spans —
+  so a query touching 40 pinned blocks costs ~1 launch, not 40 (launch
   round-trips dominate through remote-TPU tunnels and still cost tens of
   µs locally).
 
-Conservative-by-construction like scan.py: rows longer than the padding cap
-are flagged always-candidate, rows whose bytes can't prove needle absence
-(non-ASCII, \\uXXXX / \\/ escapes) are always-candidates, padding bytes are
-zeros (never match printable needles), and the exact verification stage
-still runs on every candidate.
+Conservative-by-construction like scan.py: rows whose bytes can't prove
+needle absence (non-ASCII, \\uXXXX / \\/ escapes) are always-candidates,
+needles longer than MAX_NEEDLE fall back to always-candidate, and the exact
+verification stage still runs on every candidate. Cross-row and
+length-prefix bytes in the stream can only create false positives (rejected
+by verification), never hide a true match.
 """
 
 from __future__ import annotations
@@ -37,30 +51,16 @@ import numpy as np
 
 from . import native as _native
 
-ROW_WIDTH_CAP = 4096  # rows longer than this are always-candidates
 _LANE = 128
-# Physical matrix rows are 512 bytes = 128 packed int32 lanes (the SWAR
-# kernel's exact lane tile). Narrow logical rows SHARE a physical row
-# (slots = 512/width for width buckets 128/256) so HBM isn't wasted padding
-# log-sized rows to the tile; wider buckets are 512-byte multiples.
-_PHYS_ROW_BYTES = 512
-
-
-def _width_bucket(real_width: int) -> tuple[int, int]:
-    """-> (logical row width, slots per physical row) for a block whose
-    longest row is real_width bytes (MAX_NEEDLE tail headroom included so
-    fixed-size scan windows cover every start of the longest row)."""
-    w = min(real_width, ROW_WIDTH_CAP) + MAX_NEEDLE
-    if w <= 128:
-        return 128, 4
-    if w <= 256:
-        return 256, 2
-    return _round_up(w, _PHYS_ROW_BYTES), 1
-
+# Stream chunk geometry: 512-byte physical rows (128 packed int32 lanes, the
+# SWAR kernel's exact lane tile); the last MAX_NEEDLE bytes of each chunk
+# duplicate the next chunk's head so windows never straddle a chunk.
+CHUNK_BYTES = 512
 MAX_NEEDLE = 32  # longer needles fall back to always-candidate
-# Per-bucket needle-bitmap cache entries (packed ~cap/8 bytes each).
+STREAM_STRIDE = CHUNK_BYTES - MAX_NEEDLE  # payload bytes per chunk (480)
+# Per-needle bitmap cache entries (packed ~cap_chunks/8 bytes each).
 _NEEDLE_CACHE_MAX = 128
-# Bucket growth increment once doubling would exceed this many bytes (the
+# Stream growth increment once doubling would exceed this many bytes (the
 # grow-copy holds old+new matrices concurrently in HBM).
 _GROWTH_STEP_BYTES = 512 << 20
 
@@ -76,6 +76,55 @@ def _round_up_pow2(n: int) -> int:
     return p
 
 
+def _pack_stream_numpy(
+    data: bytes, row_offsets: np.ndarray, row_lengths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """The semantic spec for native bs_pack_stream (bit-parity asserted in
+    tests): lowered overlapped chunks + conservative always-candidate flags."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n = buf.size
+    lowered = np.where((buf >= 65) & (buf <= 90), buf + 32, buf).astype(np.uint8)
+    n_chunks = -(-n // STREAM_STRIDE) if n else 0
+    chunks = np.zeros((max(n_chunks, 1), CHUNK_BYTES), dtype=np.uint8)
+    if n_chunks:
+        padded = np.zeros(n_chunks * STREAM_STRIDE + MAX_NEEDLE, dtype=np.uint8)
+        padded[:n] = lowered
+        chunks[:n_chunks] = np.lib.stride_tricks.as_strided(
+            padded, shape=(n_chunks, CHUNK_BYTES), strides=(STREAM_STRIDE, 1)
+        )
+    num_rows = row_offsets.shape[0]
+    flags = np.zeros(num_rows, dtype=bool)
+    if num_rows:
+        off = row_offsets.astype(np.int64)
+        ln = row_lengths.astype(np.int64)
+        # Defensive: rows pointing outside the buffer conservatively include.
+        bad = (off < 0) | (ln < 0) | (off + ln > n)
+        if n:
+            # Rows whose stored bytes cannot PROVE a needle's absence: raw
+            # non-ASCII bytes (Unicode lowercase may be pure ASCII, e.g.
+            # U+212A -> 'k') and \uXXXX / \/ escapes (may hide printable-
+            # ASCII needle bytes; the pair's second byte is compared lowered
+            # so "\\U" flags exactly like "\\u"). A per-byte pair test
+            # over-approximates the escape-aware walk (a literal "\\u" also
+            # flags) — conservative is correct here.
+            nonascii = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(buf >= 0x80, out=nonascii[1:])
+            nxt = np.empty_like(lowered)
+            nxt[:-1] = lowered[1:]
+            nxt[-1] = 0
+            pair = (buf == ord("\\")) & ((nxt == ord("u")) | (nxt == ord("/")))
+            pairs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(pair, out=pairs[1:])
+            start = np.clip(off, 0, n)
+            end = np.clip(off + ln, start, n)
+            flags |= (nonascii[end] - nonascii[start]) > 0
+            # Pairs must sit WITHIN the row: positions [off, off+len-2].
+            pe = np.maximum(end - 1, start)
+            flags |= (pairs[pe] - pairs[start]) > 0
+        flags |= bad
+    return chunks, flags
+
+
 def _device_scan_fn(mesh):
     import functools
 
@@ -83,107 +132,105 @@ def _device_scan_fn(mesh):
     import jax.numpy as jnp
 
     def _scan_matrix(rows32, needles_padded, needle_lens, *,
-                     n_real, max_words, slots, use_pallas, interpret):
+                     n_real, max_words, use_pallas, interpret):
         """Core dispatch: SWAR kernel on TPU, sliding windows elsewhere.
-        -> packed uint32[n_real, R_phys*slots/32] over logical rows."""
+        -> packed uint32[n_real, G/32] per-CHUNK hit bitmap."""
         if use_pallas:
             from .bloom.pallas_kernels import byte_scan_pallas_swar
 
             return byte_scan_pallas_swar(
                 rows32, needles_padded, needle_lens,
-                n_real=n_real, max_words=max_words, slots=slots,
-                interpret=interpret,
+                n_real=n_real, max_words=max_words,
+                stream_stride=STREAM_STRIDE, interpret=interpret,
             )
-        # XLA fallback (non-TPU platforms): unpack to bytes, split physical
-        # rows into logical rows, and run the sliding-window formulation.
-        Rp, P4 = rows32.shape
+        # XLA fallback (non-TPU platforms): unpack to bytes and run the
+        # sliding-window formulation over each chunk's payload starts.
+        G, P4 = rows32.shape
         w = rows32.astype(jnp.uint32)  # bit-identical (mod 2^32)
         b = jnp.stack(
             [(w >> jnp.uint32(8 * i)) & jnp.uint32(0xFF) for i in range(4)],
             axis=-1,
         ).astype(jnp.uint8)
-        R = Rp * slots
-        P = P4 * 4 // slots  # logical row width
-        rows2d = b.reshape(R, P)
-        W = P - MAX_NEEDLE + 1
-        acc = jnp.ones((n_real, R, W), dtype=bool)
+        rows2d = b.reshape(G, P4 * 4)
+        W = STREAM_STRIDE  # valid starts: the payload region, len-independent
+        acc = jnp.ones((n_real, G, W), dtype=bool)
         for l in range(MAX_NEEDLE):
-            window = jax.lax.dynamic_slice_in_dim(rows2d, l, W, axis=1)  # [R, W]
+            window = jax.lax.dynamic_slice_in_dim(rows2d, l, W, axis=1)  # [G, W]
             cmp = (
                 window[None, :, :].astype(jnp.int32)
                 == needles_padded[:n_real, l, None, None]
             )
             acc = acc & jnp.where((l < needle_lens[:n_real])[:, None, None], cmp, True)
-        hit = jnp.any(acc, axis=2)  # bool[n_real, R]
+        hit = jnp.any(acc, axis=2)  # bool[n_real, G]
         # Pack to bitmap words on-device (32x smaller device->host transfer;
-        # R is a multiple of the row unit).
-        groups = hit.reshape(n_real, R // 32, 32)
+        # G is a multiple of the chunk unit).
+        groups = hit.reshape(n_real, G // 32, 32)
         weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
         return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
 
     @functools.partial(
         jax.jit,
-        static_argnames=("n_real", "max_words", "slots", "use_pallas", "interpret"),
+        static_argnames=("n_real", "max_words", "use_pallas", "interpret"),
     )
     def scan_all(rows32, needles_padded, needle_lens, *,
-                 n_real: int, max_words: int, slots: int,
+                 n_real: int, max_words: int,
                  use_pallas: bool, interpret: bool):
-        """rows32 int32[R_phys, W4] (lowercased bucket matrix, bytes packed
-        little-endian 4-per-word, `slots` logical rows per physical row),
-        needles int32[N, MAX_NEEDLE] byte values, lens int32[N] -> packed
-        uint32[n_real, R_phys*slots/32] hit bitmap over EVERY resident
-        LOGICAL row.
+        """rows32 int32[G, 128] (lowercased overlapped stream chunks, bytes
+        packed little-endian 4-per-word), needles int32[N, MAX_NEEDLE] byte
+        values, lens int32[N] -> packed uint32[n_real, G/32] hit bitmap over
+        EVERY resident chunk.
 
         Scan-all, not gather-then-scan: XLA's row gather measures ~1.3-4
         GB/s on v5e while the SWAR kernel streams the resident matrix at
         VPU speed, and the full-residency bitmap is cacheable per needle.
-        The program compiles once per (bucket cap, width, N bucket, word
-        bucket), independent of which rows a query asks for. On a mesh
-        each chip scans its own row shard
-        (parallel.mesh.sharded_scan_all_rows).
+        The program compiles once per (cap, N bucket, word bucket),
+        independent of which chunks a query asks for. On a mesh each chip
+        scans its own chunk shard (parallel.mesh.sharded_scan_all_rows —
+        overlap bytes are duplicated into each chunk at pack time, so shard
+        boundaries need no halo exchange).
         """
         if use_pallas and mesh is not None:
             from .parallel.mesh import sharded_scan_all_rows
 
             return sharded_scan_all_rows(
                 mesh, rows32, needles_padded, needle_lens,
-                n_real=n_real, max_words=max_words, slots=slots,
-                interpret=interpret,
+                n_real=n_real, max_words=max_words,
+                stream_stride=STREAM_STRIDE, interpret=interpret,
             )
         return _scan_matrix(
             rows32, needles_padded, needle_lens,
-            n_real=n_real, max_words=max_words, slots=slots,
+            n_real=n_real, max_words=max_words,
             use_pallas=use_pallas, interpret=interpret,
         )
 
     @functools.partial(
         jax.jit,
         static_argnames=(
-            "n_real", "max_words", "slots", "seg_rows", "use_pallas", "interpret"
+            "n_real", "max_words", "seg_chunks", "use_pallas", "interpret"
         ),
     )
     def scan_segments(rows32, seg_starts, needles_padded, needle_lens, *,
-                      n_real: int, max_words: int, slots: int, seg_rows: int,
+                      n_real: int, max_words: int, seg_chunks: int,
                       use_pallas: bool, interpret: bool):
-        """Slice `len(seg_starts)` contiguous physical-row ranges of
-        seg_rows each out of the matrix and scan only those -> packed
-        uint32[n_real, n_segs*seg_rows*slots/32].
+        """Slice `len(seg_starts)` contiguous chunk ranges of seg_chunks
+        each out of the stream and scan only those -> packed
+        uint32[n_real, n_segs*seg_chunks/32].
 
         The sparse-request path: when a query's blocks cover a small
-        fraction of a big bucket (needle queries at reference scale ask
-        for 3 of 240 blocks), slicing whole segments with dynamic_slice is
+        fraction of residency (needle queries at reference scale ask for 3
+        of 240 blocks), slicing whole segments with dynamic_slice is
         memory-bound — unlike row gathers — and scans + transfers orders
         of magnitude less than full residency. Single-device only (the
         mesh path always scans its shards in full).
         """
         parts = [
-            jax.lax.dynamic_slice_in_dim(rows32, seg_starts[s], seg_rows, axis=0)
+            jax.lax.dynamic_slice_in_dim(rows32, seg_starts[s], seg_chunks, axis=0)
             for s in range(seg_starts.shape[0])
         ]
         sub = jnp.concatenate(parts, axis=0)
         return _scan_matrix(
             sub, needles_padded, needle_lens,
-            n_real=n_real, max_words=max_words, slots=slots,
+            n_real=n_real, max_words=max_words,
             use_pallas=use_pallas, interpret=interpret,
         )
 
@@ -192,39 +239,67 @@ def _device_scan_fn(mesh):
 
 class _PinnedBlock:
     __slots__ = (
-        "key", "bucket_width", "row_start", "num_rows", "always_candidate",
-        "nbytes", "data", "row_offsets", "row_lengths",
+        "key", "chunk_start", "num_chunks", "num_rows", "always_candidate",
+        "nbytes", "data", "row_offsets", "row_lengths", "_row_ends",
     )
 
-    def __init__(self, key, bucket_width, row_start, num_rows, always_candidate,
+    def __init__(self, key, chunk_start, num_chunks, num_rows, always_candidate,
                  data, row_offsets, row_lengths):
         self.key = key
-        self.bucket_width = bucket_width
-        self.row_start = row_start  # row offset inside the bucket matrix
+        self.chunk_start = chunk_start  # chunk offset inside the stream matrix
+        self.num_chunks = num_chunks
         self.num_rows = num_rows
         self.always_candidate = always_candidate  # bool[num_rows]
         # Host shadow of the original bytes for candidate extraction/parsing.
         self.data = data
         self.row_offsets = row_offsets
         self.row_lengths = row_lengths
-        self.nbytes = num_rows * bucket_width + len(data)
+        self._row_ends = None  # lazy: row_offsets + row_lengths
+        self.nbytes = num_chunks * CHUNK_BYTES + len(data)
+
+    def row_ends(self) -> np.ndarray:
+        if self._row_ends is None:
+            self._row_ends = (
+                self.row_offsets.astype(np.int64)
+                + self.row_lengths.astype(np.int64)
+            )
+        return self._row_ends
 
 
-class _RowBucket:
-    """One width bucket's superbatch matrix; blocks occupy row ranges."""
+def _expand_chunk_hits(
+    block: _PinnedBlock, needle_len: int, chunk_bits: np.ndarray
+) -> np.ndarray:
+    """Chunk hit bits -> conservative bool[num_rows] candidates.
+
+    A hit in chunk c is a match starting in its payload, so the matched
+    span lies within bytes [c*STRIDE, c*STRIDE + STRIDE + len - 1); every
+    row overlapping that range is a candidate (span-overlap marking, the
+    host scanner's mark_rows rule at chunk granularity)."""
+    out_rows = block.num_rows
+    hc = np.flatnonzero(chunk_bits[: block.num_chunks])
+    if hc.size == 0 or out_rows == 0:
+        return np.zeros(out_rows, dtype=bool)
+    starts = hc.astype(np.int64) * STREAM_STRIDE
+    ends = starts + STREAM_STRIDE + needle_len - 1
+    lo = np.searchsorted(block.row_ends(), starts, side="right")
+    hi = np.searchsorted(block.row_offsets, ends, side="left")
+    marks = np.zeros(out_rows + 1, dtype=np.int32)
+    np.add.at(marks, lo, 1)
+    np.add.at(marks, hi, -1)
+    return np.cumsum(marks[:-1]) > 0
+
+
+class _StreamBucket:
+    """The shared stream matrix; blocks occupy contiguous chunk ranges."""
 
     __slots__ = (
-        "width", "slots", "matrix", "cap", "used", "dead", "segments",
+        "matrix", "cap", "used", "dead", "segments",
         "pending", "launch_lock", "version", "needle_cache",
     )
 
-    def __init__(self, width: int, slots: int):
-        self.width = width  # logical row bytes
-        self.slots = slots  # logical rows per 512-byte physical row
-        # Packed row bytes, PHYSICAL layout [cap/slots, 128] int32; cap,
-        # used, dead, and segment coordinates are all in LOGICAL rows
-        # (segment starts are always slot-aligned: blocks own whole
-        # physical rows).
+    def __init__(self):
+        # Packed chunk bytes, [cap, 128] int32; cap, used, dead, and
+        # segment coordinates are all in CHUNKS.
         self.matrix = None
         self.cap = 0
         self.used = 0
@@ -235,7 +310,7 @@ class _RowBucket:
         self.pending: list["_PendingScan"] = []
         self.launch_lock = threading.Lock()
         # Needle-bitmap cache: scan-all computes hits for EVERY resident
-        # row, so a needle's packed bitmap stays valid until the matrix
+        # chunk, so a needle's packed bitmap stays valid until the matrix
         # changes. version bumps on every matrix reassignment; entries are
         # {needle: (version, packed uint32[cap/32])}, LRU-capped.
         self.version = 0
@@ -249,11 +324,11 @@ class _PendingScan:
         self.keys = keys
         self.needles = needles
         self.done = threading.Event()
-        # key -> {needle: bool[num_rows]} (None value: block vanished).
+        # key -> {needle: bool[num_chunks]} (None value: block vanished).
         self.hits: Optional[dict[tuple, Optional[dict]]] = None
-        # Per-key (start, n) in the SAME matrix snapshot the hits came from —
-        # compaction may move rows concurrently, so slice coordinates must
-        # travel with the launch, not the block objects.
+        # Per-key (start, n) chunk coordinates in the SAME matrix snapshot
+        # the hits came from — compaction may move chunks concurrently, so
+        # slice coordinates must travel with the launch, not the blocks.
         self.segments: Optional[list[Optional[tuple[int, int]]]] = None
         self.error: Optional[BaseException] = None
 
@@ -268,7 +343,7 @@ class DeviceRowCache:
         self._jax = jax
         self._jnp = jnp
         self.capacity_bytes = capacity_bytes
-        # Multi-chip serving: superbatch matrices shard their ROW axis over
+        # Multi-chip serving: the stream matrix shards its CHUNK axis over
         # a 1-D mesh (same auto policy as the filter superbanks) — pinned
         # capacity and scan compute scale linearly in chips.
         n_visible = len(jax.devices())
@@ -277,15 +352,15 @@ class DeviceRowCache:
             from .parallel.mesh import default_mesh
 
             self.mesh = default_mesh(n_devices=want)
-            # 512-row kernel tile x even shard split: every local shard of
-            # the packed matrix is tileable by the SWAR scan kernel.
-            self._row_unit = 512 * want
+            # 512-chunk kernel tile x even shard split: every local shard
+            # of the stream matrix is tileable by the SWAR scan kernel.
+            self._chunk_unit = 512 * want
         else:
             self.mesh = None
-            self._row_unit = 512
+            self._chunk_unit = 512
         self._lock = threading.Lock()
         self._blocks: dict[tuple[bytes, int], _PinnedBlock] = {}
-        self._buckets: dict[int, _RowBucket] = {}
+        self._bucket = _StreamBucket()
         self._scan, self._scan_segments = _device_scan_fn(self.mesh)
         # On TPU the SWAR byte-scan kernel is the production path (the
         # byte-per-lane predecessor lost to XLA fusion; the packed-word
@@ -321,7 +396,7 @@ class DeviceRowCache:
         }
 
     def _total_bytes_locked(self) -> int:
-        bucket_bytes = sum(b.cap * b.width for b in self._buckets.values())
+        bucket_bytes = self._bucket.cap * CHUNK_BYTES
         host_bytes = sum(len(blk.data) for blk in self._blocks.values())
         return bucket_bytes + host_bytes
 
@@ -342,54 +417,45 @@ class DeviceRowCache:
         block = self._blocks.pop(key, None)
         if block is None:
             return
-        bucket = self._buckets.get(block.bucket_width)
-        if bucket is not None:
-            seg = bucket.segments.pop(key, None)
-            if seg is not None:
-                # The block's whole physical footprint becomes reclaimable.
-                bucket.dead += -(-seg[1] // bucket.slots) * bucket.slots
+        seg = self._bucket.segments.pop(key, None)
+        if seg is not None:
+            # The block's whole chunk footprint becomes reclaimable.
+            self._bucket.dead += seg[1]
 
     def _maybe_compact_locked(self) -> None:
         from .parallel.mesh import sharded_take_rows, sharded_zeros_rows
 
         jnp = self._jnp
-        for bucket in self._buckets.values():
-            if bucket.dead == 0 or bucket.dead * 2 < bucket.used:
-                continue
-            S = bucket.slots
-            order = sorted(bucket.segments.items(), key=lambda kv: kv[1][0])
-            phys_rows = []  # physical row indices to keep, in order
-            cursor = 0  # logical
-            new_segments = {}
-            for key, (start, n) in order:
-                pn = -(-n // S)  # physical rows this block owns
-                phys_rows.extend(range(start // S, start // S + pn))
-                new_segments[key] = (cursor, n)
-                block = self._blocks.get(key)
-                if block is not None:
-                    block.row_start = cursor
-                cursor += pn * S
-            unit = self._row_unit * S  # logical row unit
-            new_cap = max(unit, _round_up(max(cursor, 1), unit))
-            if phys_rows:
-                idx = jnp.asarray(np.asarray(phys_rows, dtype=np.int32))
-                new_matrix = sharded_take_rows(
-                    self.mesh, bucket.matrix, idx, new_cap // S
-                )
-            else:
-                new_matrix = sharded_zeros_rows(
-                    self.mesh, new_cap // S, bucket.width * S // 4, dtype=jnp.int32
-                )
-            bucket.matrix = new_matrix
-            bucket.cap = new_cap
-            bucket.used = cursor
-            # dead counts only RECLAIMABLE rows (removed blocks' physical
-            # footprints) — slot-padding tails inside live blocks are not
-            # compactable and must not re-trigger compaction.
-            bucket.dead = 0
-            bucket.segments = new_segments
-            bucket.version += 1
-            bucket.needle_cache.clear()
+        bucket = self._bucket
+        if bucket.dead == 0 or bucket.dead * 2 < bucket.used:
+            return
+        order = sorted(bucket.segments.items(), key=lambda kv: kv[1][0])
+        chunk_idx = []  # chunk indices to keep, in order
+        cursor = 0
+        new_segments = {}
+        for key, (start, n) in order:
+            chunk_idx.extend(range(start, start + n))
+            new_segments[key] = (cursor, n)
+            block = self._blocks.get(key)
+            if block is not None:
+                block.chunk_start = cursor
+            cursor += n
+        unit = self._chunk_unit
+        new_cap = max(unit, _round_up(max(cursor, 1), unit))
+        if chunk_idx:
+            idx = jnp.asarray(np.asarray(chunk_idx, dtype=np.int32))
+            new_matrix = sharded_take_rows(self.mesh, bucket.matrix, idx, new_cap)
+        else:
+            new_matrix = sharded_zeros_rows(
+                self.mesh, new_cap, CHUNK_BYTES // 4, dtype=jnp.int32
+            )
+        bucket.matrix = new_matrix
+        bucket.cap = new_cap
+        bucket.used = cursor
+        bucket.dead = 0
+        bucket.segments = new_segments
+        bucket.version += 1
+        bucket.needle_cache.clear()
 
     def pin(
         self,
@@ -398,74 +464,39 @@ class DeviceRowCache:
         row_offsets: np.ndarray,
         row_lengths: np.ndarray,
     ) -> _PinnedBlock:
-        """Build the padded lowered row matrix for a block and append it to
-        its width bucket's device matrix."""
-        jax = self._jax
+        """Chunk + lowercase a block's row buffer and append it to the
+        stream matrix."""
         jnp = self._jnp
         num_rows = row_offsets.shape[0]
-        overlong = np.asarray(row_lengths > ROW_WIDTH_CAP)
-        width, slots = _width_bucket(int(row_lengths.max()) if num_rows else 0)
-        pn = -(-num_rows // slots)  # physical rows this block will own
-        n_pad = pn * slots
 
         nat = (
-            _native.pack_rows(
-                data, row_offsets, row_lengths, width, n_pad, ROW_WIDTH_CAP
+            _native.pack_stream(
+                data, row_offsets, row_lengths, STREAM_STRIDE, CHUNK_BYTES
             )
-            if num_rows and _native.available()
+            if _native.available()
             else None
         )
         if nat is not None:
-            # Native single pass: copy + lowercase + conservative flags at
-            # GB/s (the numpy flat scatter below runs ~8 MB/s on the index
-            # arrays it materializes; parity asserted in tests).
-            matrix, flags = nat
-            always_candidate = overlong | flags.astype(bool)
+            # Native single pass: chunk + lowercase + conservative flags at
+            # GB/s; _pack_stream_numpy is the spec (parity tested).
+            chunks, flags = nat
+            always_candidate = flags.astype(bool)
         else:
-            matrix = np.zeros((max(n_pad, 1), width), dtype=np.uint8)
-            buf = np.frombuffer(data, dtype=np.uint8)
-            if num_rows:
-                # Vectorized fill (one flat scatter instead of a Python loop
-                # per row — the loop was ~40s for a 12M-row warmup pin pass).
-                lens_c = np.where(overlong, 0, row_lengths).astype(np.int64)
-                total = int(lens_c.sum())
-                if total:
-                    row_ids = np.repeat(np.arange(num_rows, dtype=np.int64), lens_c)
-                    ends = np.cumsum(lens_c)
-                    pos = np.arange(total, dtype=np.int64) - np.repeat(ends - lens_c, lens_c)
-                    src = np.repeat(row_offsets.astype(np.int64), lens_c) + pos
-                    matrix.reshape(-1)[row_ids * width + pos] = buf[src]
-            # ASCII lowercase in one vectorized pass.
-            upper = (matrix >= ord("A")) & (matrix <= ord("Z"))
-            matrix = np.where(upper, matrix + 32, matrix).astype(np.uint8)
-
-            # Rows whose stored bytes cannot PROVE a needle's absence join
-            # the always-candidate mask (mirrors the native scanner's rule):
-            # raw non-ASCII bytes (Unicode lowercase may be pure ASCII, e.g.
-            # U+212A -> 'k') and \uXXXX / \/ escapes (may hide printable-
-            # ASCII needle bytes). A vectorized pair test over-approximates
-            # the escape-aware walk (a literal "\\u" also flags) —
-            # conservative is correct here.
-            nonascii = (matrix >= 0x80).any(axis=1)
-            backslash = matrix[:, :-1] == ord("\\")
-            nxt = matrix[:, 1:]
-            escapes = (backslash & ((nxt == ord("u")) | (nxt == ord("/")))).any(axis=1)
-            always_candidate = overlong.copy()
-            always_candidate |= (nonascii | escapes)[: always_candidate.shape[0]]
+            chunks, always_candidate = _pack_stream_numpy(
+                data, row_offsets, row_lengths
+            )
+        n_chunks = -(-len(data) // STREAM_STRIDE) if data else 0
 
         # Pack 4 bytes per int32 word, little-endian (what the SWAR scan
-        # kernel and its host-computed pattern words assume), and fold
-        # `slots` consecutive logical rows into each 512-byte physical row.
-        # A pure reinterpret+reshape on little-endian hosts.
+        # kernel and its host-computed pattern words assume). A pure
+        # reinterpret on little-endian hosts.
         if sys.byteorder == "little":
-            packed = matrix.view(np.int32)
+            packed = chunks.view(np.int32)
         else:
-            m32 = matrix.reshape(matrix.shape[0], -1, 4).astype(np.uint32)
+            m32 = chunks.reshape(chunks.shape[0], -1, 4).astype(np.uint32)
             packed = (
                 m32[..., 0] | (m32[..., 1] << 8) | (m32[..., 2] << 16) | (m32[..., 3] << 24)
             ).view(np.int32)
-        if num_rows > 0:
-            packed = packed.reshape(pn, width * slots // 4)
 
         with self._lock:
             existing = self._blocks.get(key)
@@ -477,44 +508,38 @@ class DeviceRowCache:
                 sharded_zeros_rows,
             )
 
-            bucket = self._buckets.get(width)
-            if bucket is None:
-                bucket = _RowBucket(width, slots)
-                self._buckets[width] = bucket
-            unit = self._row_unit * slots  # logical row unit
-            if bucket.used + n_pad > bucket.cap:
+            bucket = self._bucket
+            unit = self._chunk_unit
+            if bucket.used + n_chunks > bucket.cap:
                 # Growth: double while small, then bounded increments — the
                 # copy in sharded_pad_rows holds old+new concurrently, and
-                # unbounded doubling at multi-GB bucket sizes OOMs HBM.
-                grow = min(bucket.cap, max(_GROWTH_STEP_BYTES // width, 1))
+                # unbounded doubling at multi-GB stream sizes OOMs HBM.
+                grow = min(bucket.cap, max(_GROWTH_STEP_BYTES // CHUNK_BYTES, 1))
                 new_cap = max(
-                    _round_up(bucket.used + n_pad, unit),
+                    _round_up(bucket.used + n_chunks, unit),
                     _round_up(bucket.cap + grow, unit),
                     unit,
                 )
                 if bucket.matrix is None:
                     bucket.matrix = sharded_zeros_rows(
-                        self.mesh, new_cap // slots, width * slots // 4,
-                        dtype=jnp.int32,
+                        self.mesh, new_cap, CHUNK_BYTES // 4, dtype=jnp.int32
                     )
                 else:
-                    bucket.matrix = sharded_pad_rows(
-                        self.mesh, bucket.matrix, new_cap // slots
-                    )
+                    bucket.matrix = sharded_pad_rows(self.mesh, bucket.matrix, new_cap)
                 bucket.cap = new_cap
-            if num_rows > 0:
+            if n_chunks > 0:
                 bucket.matrix = sharded_update_rows(
-                    self.mesh, bucket.matrix, jnp.asarray(packed),
-                    jnp.int32(bucket.used // slots),
+                    self.mesh, bucket.matrix, jnp.asarray(packed[:n_chunks]),
+                    jnp.int32(bucket.used),
                 )
                 bucket.version += 1
                 bucket.needle_cache.clear()
             block = _PinnedBlock(
-                key, width, bucket.used, num_rows, always_candidate,
+                key, bucket.used, n_chunks, num_rows, always_candidate,
                 data, row_offsets, row_lengths,
             )
-            bucket.segments[key] = (bucket.used, num_rows)
-            bucket.used += n_pad
+            bucket.segments[key] = (bucket.used, n_chunks)
+            bucket.used += n_chunks
             self._blocks[key] = block
             # LRU eviction under the byte budget.
             while (
@@ -533,16 +558,15 @@ class DeviceRowCache:
     def scan(self, block: _PinnedBlock, needles: list[bytes]) -> np.ndarray:
         """-> bool[len(needles), num_rows] candidate matrix (device scan).
 
-        Concurrent scans of blocks in the same width bucket coalesce: one
-        leader launches the bucket ONCE with the union of pending needle
-        sets and every waiter slices its own block's rows.
-        """
+        Concurrent scans coalesce: one leader launches the stream ONCE with
+        the union of pending needle sets and every waiter slices its own
+        blocks' chunk spans."""
         return self.scan_many([block], needles)[block.key]
 
     def scan_many(
         self, blocks: list[_PinnedBlock], needles: list[bytes]
     ) -> dict[tuple, np.ndarray]:
-        """Scan MANY pinned blocks in (at most) one launch per width bucket.
+        """Scan MANY pinned blocks in (at most) one launch.
 
         The query planner knows every surviving block upfront, so a warm
         serving-mode query costs ~one scan launch total instead of one per
@@ -550,46 +574,44 @@ class DeviceRowCache:
         """
         out: dict[tuple, np.ndarray] = {}
         usable = tuple(n for n in needles if n and len(n) <= MAX_NEEDLE)
-        by_bucket: dict[int, list[_PinnedBlock]] = {}
+        hits = (
+            self._bucket_hits([b.key for b in blocks], usable)
+            if usable and blocks
+            else {}
+        )
         for block in blocks:
-            by_bucket.setdefault(block.bucket_width, []).append(block)
-        for width, group in by_bucket.items():
-            hits = (
-                self._bucket_hits(width, [b.key for b in group], usable)
-                if usable
-                else {}
+            mat = np.zeros((len(needles), block.num_rows), dtype=bool)
+            block_hits = hits.get(block.key) if usable else {}
+            stale = usable and (
+                block_hits is None
+                or any(h.shape[0] < block.num_chunks for h in block_hits.values())
             )
-            for block in group:
-                mat = np.zeros((len(needles), block.num_rows), dtype=bool)
-                block_hits = hits.get(block.key) if usable else {}
-                stale = usable and (
-                    block_hits is None
-                    or any(len(h) != block.num_rows for h in block_hits.values())
-                )
-                if stale:
-                    # Evicted/moved under us: conservative (exact verify
-                    # still rejects false positives).
-                    mat[:] = True
-                else:
-                    for qi, needle in enumerate(needles):
-                        if not needle or len(needle) > MAX_NEEDLE:
-                            mat[qi] = True  # degenerate/oversized
-                        elif block_hits:
-                            mat[qi] = block_hits[needle]
-                if block.always_candidate.any():
-                    mat[:, block.always_candidate[: block.num_rows]] = True
-                out[block.key] = mat
+            if stale:
+                # Evicted/moved under us: conservative (exact verify
+                # still rejects false positives).
+                mat[:] = True
+            else:
+                for qi, needle in enumerate(needles):
+                    if not needle or len(needle) > MAX_NEEDLE:
+                        mat[qi] = True  # degenerate/oversized
+                    elif block_hits:
+                        mat[qi] = _expand_chunk_hits(
+                            block, len(needle), block_hits[needle]
+                        )
+            if block.always_candidate.any():
+                mat[:, block.always_candidate[: block.num_rows]] = True
+            out[block.key] = mat
         return out
 
     def _bucket_hits(
-        self, width: int, keys: list[tuple], needles: tuple[bytes, ...]
+        self, keys: list[tuple], needles: tuple[bytes, ...]
     ) -> dict[tuple, Optional[dict]]:
-        """Scan blocks of one bucket via the combiner ->
-        {key: {needle: bool[num_rows]} | None (block vanished)}."""
+        """Scan blocks via the combiner ->
+        {key: {needle: bool[num_chunks]} | None (block vanished)}."""
         req = _PendingScan(keys, needles)
+        bucket = self._bucket
         with self._lock:
-            bucket = self._buckets.get(width)
-            if bucket is None or bucket.matrix is None:
+            if bucket.matrix is None:
                 return {k: None for k in keys}
             bucket.pending.append(req)
         with bucket.launch_lock:
@@ -599,7 +621,7 @@ class DeviceRowCache:
                     bucket.pending = []
                     # Consistent snapshot: the matrix AND every waiter's
                     # segment coordinates under one lock acquisition
-                    # (compaction may move rows at any time).
+                    # (compaction may move chunks at any time).
                     matrix = bucket.matrix
                     version = bucket.version
                     for r in batch:
@@ -616,13 +638,14 @@ class DeviceRowCache:
         return req.hits
 
     def _launch_bucket_scan(
-        self, bucket: _RowBucket, matrix, version: int,
+        self, bucket: _StreamBucket, matrix, version: int,
         batch: list[_PendingScan],
     ) -> None:
-        """ONE launch for every pending request: scan the bucket matrix
-        (all of it, or just the requested segments when they're a small
-        fraction of residency) against the union of the requested needles;
-        each waiter slices its blocks' spans out of the result bitmap."""
+        """ONE launch for every pending request: scan the stream matrix
+        (all of it, or just the requested chunk segments when they're a
+        small fraction of residency) against the union of the requested
+        needles; each waiter slices its blocks' chunk spans out of the
+        result bitmap."""
         jnp = self._jnp
         self.scan_requests += len(batch)
         union: list[bytes] = []
@@ -633,10 +656,10 @@ class DeviceRowCache:
                     seen.add(n)
                     union.append(n)
 
-        # Needle-bitmap cache: a scan-all bitmap covers every resident row,
-        # so it stays valid as long as the matrix does (version-checked).
-        # Repeated needles — dashboards, retried queries — skip the device
-        # round-trip entirely.
+        # Needle-bitmap cache: a scan-all bitmap covers every resident
+        # chunk, so it stays valid as long as the matrix does
+        # (version-checked). Repeated needles — dashboards, retried
+        # queries — skip the device round-trip entirely.
         cached: dict[bytes, np.ndarray] = {}
         if self.needle_cache_enabled:
             with self._lock:
@@ -648,45 +671,49 @@ class DeviceRowCache:
 
         # Adaptive scan shape for needles not served from cache:
         #  - DENSE (requests cover a meaningful fraction of residency, or a
-        #    mesh shards the matrix): scan EVERY resident row; the
+        #    mesh shards the stream): scan EVERY resident chunk; the
         #    full-residency bitmap also feeds the needle cache.
-        #  - SPARSE (few blocks of a big bucket — needle queries at
+        #  - SPARSE (few blocks of a big stream — needle queries at
         #    reference scale ask for 3 of 240): dynamic-slice just the
-        #    requested segments on-device and scan those; both the scanned
-        #    bytes and the returned bitmap shrink by the sparsity factor.
+        #    requested chunk segments on-device and scan those; both the
+        #    scanned bytes and the returned bitmap shrink by the sparsity
+        #    factor.
         from .bloom.pallas_kernels import MAX_SCAN_NEEDLES, scan_word_bucket
 
-        S = bucket.slots
         phys_cap = int(matrix.shape[0])
-        # Unique requested physical ranges (phys_start, phys_rows).
+        # Unique requested chunk ranges (chunk_start, n_chunks).
         ranges = sorted(
             {
-                (seg[0] // S, -(-seg[1] // S))
+                seg
                 for r in batch
                 for seg in r.segments
                 if seg is not None and seg[1] > 0
             }
         )
-        seg_rows = _round_up_pow2(max((pn for _, pn in ranges), default=1))
-        seg_rows = max(seg_rows, 512)  # kernel row-tile multiple
-        n_segs = len(ranges)
+        seg_chunks = _round_up_pow2(max((n for _, n in ranges), default=1))
+        seg_chunks = max(seg_chunks, 512)  # kernel chunk-tile multiple
+        # Segment-count buckets (1/2/4/8...): the slice program unrolls one
+        # dynamic_slice per segment, so each distinct count would otherwise
+        # be its own multi-second jit compile; padding duplicates segment 0
+        # (a few % extra scan) and bounds compiles to log(count) shapes.
+        n_segs = _round_up_pow2(len(ranges)) if ranges else 0
         sparse = (
             self.mesh is None
             and n_segs > 0
-            and seg_rows <= phys_cap
-            and n_segs * seg_rows * 4 <= phys_cap
+            and seg_chunks <= phys_cap
+            and n_segs * seg_chunks * 4 <= phys_cap
         )
         if sparse:
             # Clamped slice starts; each range sits at a fixed offset
             # inside its part of the concatenated sub-matrix.
-            starts = np.empty(n_segs, dtype=np.int32)
+            starts = np.zeros(n_segs, dtype=np.int32)
             part_off: dict[tuple[int, int], tuple[int, int]] = {}
             for p, (ps, pn) in enumerate(ranges):
-                cl = min(ps, phys_cap - seg_rows)
+                cl = min(ps, phys_cap - seg_chunks)
                 starts[p] = cl
                 part_off[(ps, pn)] = (p, ps - cl)
             starts_dev = jnp.asarray(starts)
-        logical_rows = (n_segs * seg_rows if sparse else phys_cap) * S
+        logical_chunks = n_segs * seg_chunks if sparse else phys_cap
 
         chunk = MAX_SCAN_NEEDLES if self.use_pallas or self.pallas_interpret else 64
         fresh: dict[bytes, np.ndarray] = {}
@@ -705,7 +732,6 @@ class DeviceRowCache:
                 common = dict(
                     n_real=len(part),
                     max_words=max_words,
-                    slots=S,
                     use_pallas=self.use_pallas or self.pallas_interpret,
                     interpret=self.pallas_interpret,
                 )
@@ -714,7 +740,7 @@ class DeviceRowCache:
                         self._scan_segments(
                             matrix, starts_dev,
                             jnp.asarray(padded), jnp.asarray(lens),
-                            seg_rows=seg_rows, **common,
+                            seg_chunks=seg_chunks, **common,
                         )
                     )
                 else:
@@ -738,14 +764,13 @@ class DeviceRowCache:
                         while len(bucket.needle_cache) > _NEEDLE_CACHE_MAX:
                             bucket.needle_cache.pop(next(iter(bucket.needle_cache)))
 
-        cap = phys_cap * S  # logical residency
         bits: dict[bytes, tuple[bool, np.ndarray]] = {}  # needle -> (full?, bits)
         for nd in union:
             full = nd in cached
             raw = cached[nd] if full else fresh[nd]
             arr = np.unpackbits(
                 np.ascontiguousarray(raw).view(np.uint8), bitorder="little"
-            )[: cap if full else logical_rows].astype(bool)
+            )[: phys_cap if full else logical_chunks].astype(bool)
             bits[nd] = (full or not sparse, arr)
         for r in batch:
             hits: dict[tuple, Optional[dict]] = {}
@@ -760,8 +785,8 @@ class DeviceRowCache:
                     if full or n == 0:
                         per_needle[needle] = arr[start : start + n]
                     else:
-                        p, off = part_off[(start // S, -(-n // S))]
-                        base = (p * seg_rows + off) * S
+                        p, off = part_off[(start, n)]
+                        base = p * seg_chunks + off
                         per_needle[needle] = arr[base : base + n]
                 hits[key] = per_needle
             r.hits = hits

@@ -1,4 +1,11 @@
-"""Device row cache: on-device scan parity + engine serving-mode E2E."""
+"""Device row cache: on-device scan parity + engine serving-mode E2E.
+
+The stream design is conservative at CHUNK granularity: a needle hit in a
+512-byte stream chunk marks every row overlapping the possible match span
+(the host scanner's span-overlap rule, widened to the chunk). Tests assert
+ZERO FALSE NEGATIVES exactly, absent needles produce no candidates, and
+present-needle over-marking matches the chunk-expansion oracle bit for bit.
+"""
 
 import json
 import random
@@ -9,7 +16,13 @@ import pytest
 import bloomsearch_tpu as bs
 from bloomsearch_tpu import native
 from bloomsearch_tpu.file_format import encode_row
-from bloomsearch_tpu.rowcache import DeviceRowCache, ROW_WIDTH_CAP
+from bloomsearch_tpu.rowcache import (
+    CHUNK_BYTES,
+    MAX_NEEDLE,
+    STREAM_STRIDE,
+    DeviceRowCache,
+    _pack_stream_numpy,
+)
 from bloomsearch_tpu.scan import split_rows_arrays
 
 
@@ -19,8 +32,28 @@ def make_stream(rows):
     )
 
 
+def chunk_oracle(data: bytes, offsets, lengths, needle: bytes) -> np.ndarray:
+    """The exact expected device result: chunk hits on the lowered stream,
+    expanded to rows overlapping [c*STRIDE, c*STRIDE + STRIDE + len - 1)."""
+    low = bytes(
+        c + 32 if ord("A") <= c <= ord("Z") else c for c in data
+    )
+    n = len(low)
+    out = np.zeros(len(offsets), dtype=bool)
+    n_chunks = -(-n // STREAM_STRIDE) if n else 0
+    ends = offsets + lengths
+    for c in range(n_chunks):
+        lo_b, hi_b = c * STREAM_STRIDE, min((c + 1) * STREAM_STRIDE, n)
+        pos = low.find(needle, lo_b)
+        if pos < 0 or pos >= hi_b:
+            continue
+        span_end = lo_b + STREAM_STRIDE + len(needle) - 1
+        out |= (offsets < span_end) & (ends > lo_b)
+    return out
+
+
 class TestDeviceRowCache:
-    def test_scan_parity_with_native(self):
+    def test_scan_superset_of_host_and_matches_oracle(self):
         rng = random.Random(3)
         words = ["alpha", "BRAVO", "charlie9", "x y z", "needle-one"]
         rows = [
@@ -35,25 +68,35 @@ class TestDeviceRowCache:
         pinned = cache.pin((b"f", 0), data, offsets, lengths)
         device_scan = cache.scan(pinned, needles)
 
+        for qi, needle in enumerate(needles):
+            truth = np.array(
+                [
+                    needle.decode() in json.dumps(r, separators=(",", ":")).lower()
+                    for r in rows
+                ]
+            )
+            # Zero false negatives, and exactly the chunk-expansion oracle.
+            assert (device_scan[qi] | ~truth).all(), needle
+            np.testing.assert_array_equal(
+                device_scan[qi], chunk_oracle(data, offsets, lengths, needle),
+                err_msg=repr(needle),
+            )
+        # Absent needle: no candidates at all.
+        assert not device_scan[2].any()
         if native.available():
             host_scan = native.scan_candidates(buf, needles, offsets, lengths)
-            np.testing.assert_array_equal(device_scan, host_scan)
-        # Direct truth check too.
-        for qi, needle in enumerate(needles):
-            for i, r in enumerate(rows):
-                truly = needle.decode() in json.dumps(r, separators=(",", ":")).lower()
-                assert device_scan[qi, i] == truly
+            assert (device_scan | ~host_scan).all(), "device missed a host hit"
 
     def test_match_at_row_tail(self):
-        # Regression: the fixed-size scan window must cover start positions
-        # in the longest row's final bytes (width gets MAX_NEEDLE headroom).
+        # Regression: matches in a row's final bytes (and anywhere in the
+        # chunk payload region) must be found.
         rows = [{"a": "x" * 90 + " endneedle"}, {"b": "short"}]
         data = make_stream(rows)
         _, offsets, lengths = split_rows_arrays(data)
         cache = DeviceRowCache(64 << 20)
         pinned = cache.pin((b"f", 0), data, offsets, lengths)
         scan = cache.scan(pinned, [b"endneedle"])
-        assert scan[0, 0] and not scan[0, 1]
+        assert scan[0, 0]
 
     def test_oversized_needle_conservative(self):
         rows = [{"a": "hello"}]
@@ -64,15 +107,18 @@ class TestDeviceRowCache:
         scan = cache.scan(pinned, [b"x" * 64])  # > MAX_NEEDLE
         assert scan[0, 0]  # conservative: candidate
 
-    def test_overlong_rows_always_candidates(self):
-        rows = [{"big": "x" * (ROW_WIDTH_CAP + 100)}, {"small": "y"}]
+    def test_long_rows_scan_exactly(self):
+        # Rows longer than the old fixed-width cap are plain stream bytes
+        # now — an absent needle proves absence even for a 5 KB row, and a
+        # needle planted deep inside one is found.
+        rows = [{"big": "x" * 5000 + " deepneedle " + "y" * 400}, {"small": "z"}]
         data = make_stream(rows)
         _, offsets, lengths = split_rows_arrays(data)
         cache = DeviceRowCache(64 << 20)
         pinned = cache.pin((b"f", 0), data, offsets, lengths)
-        scan = cache.scan(pinned, [b"zzz-not-present"])
-        assert scan[0, 0]  # overlong: conservative
-        assert not scan[0, 1]
+        scan = cache.scan(pinned, [b"zzz-not-present", b"deepneedle"])
+        assert not scan[0].any()  # exact: absent nowhere, even in long rows
+        assert scan[1, 0]
 
     def test_lru_eviction(self):
         rows = [{"k": "v" * 100} for _ in range(50)]
@@ -99,15 +145,18 @@ class TestDeviceRowCache:
 
 
 class TestNativePackParity:
-    def test_native_pack_matches_numpy_spec(self, monkeypatch):
-        """bs_pack_rows (C++ copy+lowercase+flag single pass) must produce
-        the exact matrix and always-candidate flags of the vectorized-numpy
-        spec path in pin(), including the adversarial cases: uppercase \\U
-        escapes (lowered before the pair test), non-ASCII bytes, \\/ and
-        literal backslashes, overlong rows, empty rows, and 8-byte SWAR
-        boundary alignments."""
-        if not native.available() or native.pack_rows(b"", np.empty(0, np.int64), np.empty(0, np.int64), 128, 0, ROW_WIDTH_CAP) is None:
-            pytest.skip("native pack_rows unavailable")
+    def test_native_pack_stream_matches_numpy_spec(self):
+        """bs_pack_stream (C++ chunk+lowercase+flag single pass) must
+        produce the exact chunk matrix and always-candidate flags of
+        _pack_stream_numpy (the spec), including the adversarial cases:
+        uppercase \\U escapes (pair's second byte compared lowered),
+        non-ASCII bytes, \\/ and literal backslashes, empty rows, rows
+        crossing chunk boundaries, and 8-byte SWAR boundary alignments."""
+        if not native.available() or native.pack_stream(
+            b"", np.empty(0, np.int64), np.empty(0, np.int64),
+            STREAM_STRIDE, CHUNK_BYTES,
+        ) is None:
+            pytest.skip("native pack_stream unavailable")
         rng = random.Random(7)
         specials = ["\\u0041", "\\U0041", "\\/", "\\\\", "café", "A" * 7, "Z" * 9, ""]
         rows = []
@@ -118,27 +167,39 @@ class TestNativePackParity:
             if rng.random() < 0.5:
                 parts.append(rng.choice(specials))
             if rng.random() < 0.02:
-                parts.append("x" * (ROW_WIDTH_CAP + 5))
+                parts.append("x" * 4200)
             rows.append({"k": "".join(parts)})
         data = make_stream(rows)
         _, offsets, lengths = split_rows_arrays(data)
 
+        nat = native.pack_stream(
+            data, offsets, lengths, STREAM_STRIDE, CHUNK_BYTES
+        )
+        assert nat is not None
+        chunks_n, flags_n = nat
+        chunks_p, flags_p = _pack_stream_numpy(data, offsets, lengths)
+        np.testing.assert_array_equal(chunks_n, chunks_p)
+        np.testing.assert_array_equal(flags_n.astype(bool), flags_p)
+        # And through pin(): both paths land identical device matrices.
         cache_native = DeviceRowCache(256 << 20, mesh_devices=1)
         pin_native = cache_native.pin((b"n", 0), data, offsets, lengths)
 
-        from bloomsearch_tpu import rowcache as rc_mod
+        import bloomsearch_tpu.rowcache as rc_mod
 
-        monkeypatch.setattr(rc_mod._native, "pack_rows", lambda *a, **k: None)
-        cache_numpy = DeviceRowCache(256 << 20, mesh_devices=1)
-        pin_numpy = cache_numpy.pin((b"n", 0), data, offsets, lengths)
-
+        orig = rc_mod._native.pack_stream
+        rc_mod._native.pack_stream = lambda *a, **k: None
+        try:
+            cache_numpy = DeviceRowCache(256 << 20, mesh_devices=1)
+            pin_numpy = cache_numpy.pin((b"n", 0), data, offsets, lengths)
+        finally:
+            rc_mod._native.pack_stream = orig
         np.testing.assert_array_equal(
             pin_native.always_candidate, pin_numpy.always_candidate
         )
-        (wn, bn), = cache_native._buckets.items()
-        (wp, bp), = cache_numpy._buckets.items()
-        assert wn == wp
-        np.testing.assert_array_equal(np.asarray(bn.matrix), np.asarray(bp.matrix))
+        np.testing.assert_array_equal(
+            np.asarray(cache_native._bucket.matrix),
+            np.asarray(cache_numpy._bucket.matrix),
+        )
 
 
 class TestEngineServingMode:
@@ -170,50 +231,39 @@ class TestEngineServingMode:
             engine.stop(timeout=10)
 
 
-class TestSuperbatchBuckets:
-    def test_same_width_blocks_share_one_bucket(self):
+class TestStreamBucket:
+    def test_blocks_share_the_stream(self):
         cache = DeviceRowCache(64 << 20)
+        pinned = []
         for b in range(4):
             rows = [{"m": f"blk{b} row{i} common"} for i in range(20)]
             data = make_stream(rows)
             buf, offs, lens = split_rows_arrays(data)
-            cache.pin((b"f", b), data, offs, lens)
-        assert len(cache._buckets) == 1
-        bucket = next(iter(cache._buckets.values()))
-        assert len(bucket.segments) == 4 and bucket.used == 80
+            pinned.append(cache.pin((b"f", b), data, offs, lens))
+        bucket = cache._bucket
+        assert len(bucket.segments) == 4
+        assert bucket.used == sum(p.num_chunks for p in pinned)
 
     def test_scan_exact_after_eviction_and_compaction(self):
         cache = DeviceRowCache(64 << 20)
         blocks = {}
         for b in range(6):
-            rows = [{"m": f"blk{b} tok{b}_{i}"} for i in range(10)]
+            rows = [{"m": f"blk{b} tok{b}_{i} " + "pad" * 40} for i in range(30)]
             data = make_stream(rows)
             buf, offs, lens = split_rows_arrays(data)
-            blocks[b] = cache.pin((b"f", b), data, offs, lens)
-        # Invalidate the file holding... all keys share pointer b"f"; use
-        # per-block pointers instead for selective eviction.
-        cache2 = DeviceRowCache(64 << 20)
-        blocks = {}
-        for b in range(6):
-            rows = [{"m": f"blk{b} tok{b}_{i}"} for i in range(10)]
-            data = make_stream(rows)
-            buf, offs, lens = split_rows_arrays(data)
-            blocks[b] = cache2.pin((f"f{b}".encode(), 0), data, offs, lens)
+            blocks[b] = cache.pin((f"f{b}".encode(), 0), data, offs, lens)
+        total_chunks = sum(b.num_chunks for b in blocks.values())
         for b in (0, 1, 2, 3):
-            cache2.invalidate_file(f"f{b}".encode())
-        bucket = next(iter(cache2._buckets.values()))
-        # dead*2 >= used triggered at least one compaction along the way;
-        # exactly the two live blocks' footprints remain live (each block
-        # owns whole physical rows: 10 rows round up to a slot multiple).
-        S = bucket.slots
-        footprint = -(-10 // S) * S
+            cache.invalidate_file(f"f{b}".encode())
+        bucket = cache._bucket
+        live_chunks = blocks[4].num_chunks + blocks[5].num_chunks
         assert len(bucket.segments) == 2
-        assert bucket.used - bucket.dead == 2 * footprint
-        assert bucket.used < 6 * footprint  # proof a compaction ran
+        assert bucket.used - bucket.dead == live_chunks
+        assert bucket.used < total_chunks  # proof a compaction ran
         for b in (4, 5):
-            scan = cache2.scan(blocks[b], [f"tok{b}_3".encode(), b"absent"])
-            assert scan[0].sum() == 1 and scan[0][3]
-            assert not scan[1].any()
+            scan = cache.scan(blocks[b], [f"tok{b}_13 ".encode(), b"absent"])
+            assert scan[0][13], b  # zero false negatives after the move
+            assert not scan[1].any(), b
 
     def test_concurrent_scans_share_launches(self):
         import threading
@@ -241,7 +291,7 @@ class TestSuperbatchBuckets:
 
         def one(b):
             try:
-                results[b] = cache.scan(pinned[b], [f"tok{b}_7".encode()])
+                results[b] = cache.scan(pinned[b], [f"tok{b}_7".encode(), b"absent"])
             except Exception as exc:  # pragma: no cover
                 errors.append(exc)
 
@@ -254,7 +304,8 @@ class TestSuperbatchBuckets:
         assert not errors
         assert cache.launches - launches0 < 8, "no scan batching happened"
         for b in range(8):
-            assert results[b][0].sum() == 1 and results[b][0][7], b
+            assert results[b][0][7], b
+            assert not results[b][1].any(), b
 
     def test_stale_block_after_eviction_is_conservative(self):
         cache = DeviceRowCache(64 << 20)
@@ -270,7 +321,8 @@ class TestSuperbatchBuckets:
 class TestPallasByteScanParity:
     def test_pallas_interpret_matches_xla_path(self):
         """The production byte-scan kernel (interpret mode on CPU) must
-        match the XLA sliding-window path and the truth."""
+        match the XLA sliding-window path bit for bit, and both must match
+        the chunk-expansion oracle."""
         rng = random.Random(11)
         words = ["Alpha", "beta", "GAMMA-7", "needle one", "Ka", "MiXeD"]
         rows = [
@@ -292,9 +344,10 @@ class TestPallasByteScanParity:
 
         np.testing.assert_array_equal(xla_scan, pl_scan)
         for qi, nd in enumerate(needles):
-            for ri, r in enumerate(rows):
-                raw = json.dumps(r, separators=(",", ":")).lower().encode()
-                assert pl_scan[qi, ri] == (nd in raw), (nd, ri)
+            np.testing.assert_array_equal(
+                pl_scan[qi], chunk_oracle(data, offsets, lengths, nd),
+                err_msg=repr(nd),
+            )
 
 
 class TestSwarKernelFuzz:
@@ -310,7 +363,6 @@ class TestSwarKernelFuzz:
             byte_scan_pallas_swar,
             scan_word_bucket,
         )
-        from bloomsearch_tpu.rowcache import MAX_NEEDLE
 
         rng = np.random.default_rng(7)
         G, P = 512, 512
@@ -352,25 +404,71 @@ class TestSwarKernelFuzz:
                 expect = np.array([nd in rows[g].tobytes() for g in range(G)])
                 np.testing.assert_array_equal(bits[r, :G], expect, err_msg=repr(nd))
 
-
-class TestSlotPacking:
-    @pytest.mark.parametrize("slots,width", [(2, 256), (4, 128)])
-    def test_slotted_kernel_matches_oracle(self, slots, width):
-        """Narrow rows packed `slots`-per-physical-row must scan exactly:
-        no cross-slot matches, per-slot valid bounds, logical row order."""
+    def test_stream_stride_valid_start_boundary(self):
+        """Stream-chunk mode: matches STARTING in the payload region
+        (< stride) hit; matches starting in the overlap tail belong to the
+        next chunk and must NOT hit this one."""
         import jax.numpy as jnp
 
         from bloomsearch_tpu.bloom.pallas_kernels import (
             byte_scan_pallas_swar,
             scan_word_bucket,
         )
-        from bloomsearch_tpu.rowcache import MAX_NEEDLE
+
+        rng = np.random.default_rng(23)
+        G, P = 512, CHUNK_BYTES
+        rows = rng.integers(97, 123, size=(G, P), dtype=np.uint8)
+        nd = b"XyZZy-needle"  # mixed case on purpose: kernel sees raw bytes
+        ndl = nd.lower()
+        # chunk 3: starts exactly at the last valid payload byte
+        rows[3, STREAM_STRIDE - 1 : STREAM_STRIDE - 1 + len(ndl)] = np.frombuffer(
+            ndl, np.uint8
+        )
+        # chunk 7: starts at the first overlap byte -> must NOT hit
+        rows[7, STREAM_STRIDE : STREAM_STRIDE + len(ndl)] = np.frombuffer(
+            ndl, np.uint8
+        )
+        # chunk 11: starts at payload byte 0
+        rows[11, : len(ndl)] = np.frombuffer(ndl, np.uint8)
+
+        padded = np.zeros((8, MAX_NEEDLE), np.int32)
+        lens = np.zeros(8, np.int32)
+        padded[0, : len(ndl)] = np.frombuffer(ndl, np.uint8)
+        lens[0] = len(ndl)
+        out = np.asarray(
+            byte_scan_pallas_swar(
+                jnp.asarray(rows.view(np.int32)), jnp.asarray(padded),
+                jnp.asarray(lens),
+                n_real=1, max_words=scan_word_bucket(len(ndl)),
+                stream_stride=STREAM_STRIDE, interpret=True,
+            )
+        )
+        bits = np.unpackbits(out.view(np.uint8), axis=1, bitorder="little")[0]
+        expect = np.zeros(G, dtype=bool)
+        expect[3] = expect[11] = True
+        # Random lowercase body may contain accidental needle bytes? The
+        # needle has a '-' (not in the random a-z alphabet) so no.
+        np.testing.assert_array_equal(bits[:G].astype(bool), expect)
+
+
+class TestSlotPacking:
+    @pytest.mark.parametrize("slots,width", [(2, 256), (4, 128)])
+    def test_slotted_kernel_matches_oracle(self, slots, width):
+        """Slot mode (kept for kernel generality): narrow rows packed
+        `slots`-per-physical-row must scan exactly — no cross-slot matches,
+        per-slot valid bounds, logical row order."""
+        import jax.numpy as jnp
+
+        from bloomsearch_tpu.bloom.pallas_kernels import (
+            byte_scan_pallas_swar,
+            scan_word_bucket,
+        )
 
         rng = np.random.default_rng(13 + slots)
         phys = 512
         n_logical = phys * slots
         rows = rng.integers(97, 123, size=(n_logical, width), dtype=np.uint8)
-        rows[:, width - MAX_NEEDLE :] = 0  # tail headroom like pin()
+        rows[:, width - MAX_NEEDLE :] = 0  # tail headroom
         needles = [b"qq", b"abcdefg", bytes(rng.integers(97, 123, size=13, dtype=np.uint8))]
         # Plant: inside rows, flush at the last legal start, and a decoy
         # SPLIT across a slot boundary (last bytes of row 4k+s, first of
@@ -414,8 +512,8 @@ class TestSlotPacking:
 
 
 class TestSparseSegmentScan:
-    def test_sparse_request_on_big_bucket_is_exact(self):
-        """A scan touching few blocks of a big bucket takes the
+    def test_sparse_request_on_big_stream_is_exact(self):
+        """A scan touching few blocks of a big stream takes the
         dynamic-slice segment path; results must match the dense scan-all
         path bit for bit."""
         # mesh_devices=1: the sparse path is single-device only (a mesh
@@ -423,29 +521,36 @@ class TestSparseSegmentScan:
         cache = DeviceRowCache(1 << 30, mesh_devices=1)
         cache.needle_cache_enabled = False
         blocks = {}
+        datas = {}
         NB, RPB = 40, 600
         for b in range(NB):
-            rows = [{"m": f"blk{b} tok{b}_{i} x"} for i in range(RPB)]
+            rows = [{"m": f"blk{b} tok{b}_{i} " + "x" * 90} for i in range(RPB)]
             data = make_stream(rows)
             buf, offs, lens = split_rows_arrays(data)
             blocks[b] = cache.pin((f"f{b}".encode(), 0), data, offs, lens)
-        bucket = next(iter(cache._buckets.values()))
-        # Requesting 1-2 blocks of this bucket must qualify as sparse.
-        pn = -(-RPB // bucket.slots)
-        seg_rows = max(512, 1 << (pn - 1).bit_length())
-        assert 2 * seg_rows * 4 <= bucket.cap // bucket.slots, (
-            "test no longer exercises the sparse path; grow the bucket")
+            datas[b] = (data, offs, lens)
+        bucket = cache._bucket
+        # Requesting 1-2 blocks of this stream must qualify as sparse.
+        seg_chunks = max(512, 1 << (blocks[0].num_chunks - 1).bit_length())
+        assert 2 * seg_chunks * 4 <= bucket.cap, (
+            "test no longer exercises the sparse path; grow the stream")
 
         for b in (0, 17, NB - 1):
-            scan = cache.scan(blocks[b], [f"tok{b}_7 ".encode(), b"absent", f"blk{b}".encode()])
-            assert scan[0].sum() == 1 and scan[0][7], b
+            needles = [f"tok{b}_7 ".encode(), b"absent", f"blk{b} ".encode()]
+            scan = cache.scan(blocks[b], needles)
+            data, offs, lens = datas[b]
+            for qi, nd in enumerate(needles):
+                np.testing.assert_array_equal(
+                    scan[qi], chunk_oracle(data, offs, lens, nd), err_msg=(b, nd)
+                )
+            assert scan[0][7], b
             assert not scan[1].any(), b
             assert scan[2].all(), b
         # Two blocks in one request (two segments, one launch).
         out = cache.scan_many([blocks[3], blocks[29]], [b"tok3_11 ", b"tok29_0 "])
-        assert out[blocks[3].key][0].sum() == 1 and out[blocks[3].key][0][11]
+        assert out[blocks[3].key][0][11]
         assert not out[blocks[3].key][1].any()
-        assert out[blocks[29].key][1].sum() == 1 and out[blocks[29].key][1][0]
+        assert out[blocks[29].key][1][0]
         # Dense path (every block requested) agrees with the sparse slices.
         dense = cache.scan_many(list(blocks.values()), [b"tok17_7 "])
         sparse = cache.scan(blocks[17], [b"tok17_7 "])
@@ -460,19 +565,19 @@ class TestNeedleBitmapCache:
         buf, offs, lens = split_rows_arrays(data)
         b0 = cache.pin((b"f0", 0), data, offs, lens)
 
-        first = cache.scan(b0, [b"tok7"])
+        first = cache.scan(b0, [b"tok7 "])
         launches = cache.launches
-        second = cache.scan(b0, [b"tok7"])
+        second = cache.scan(b0, [b"tok7 "])
         assert cache.launches == launches, "cached needle re-launched"
         np.testing.assert_array_equal(first, second)
-        assert second[0].sum() == 1 and second[0][7]
+        assert second[0][7]
 
         # New pin changes the matrix -> version bump -> cache invalid.
         rows2 = [{"m": f"other{i}"} for i in range(10)]
         data2 = make_stream(rows2)
         _, offs2, lens2 = split_rows_arrays(data2)
         cache.pin((b"f1", 0), data2, offs2, lens2)
-        third = cache.scan(b0, [b"tok7"])
+        third = cache.scan(b0, [b"tok7 "])
         assert cache.launches == launches + 1, "stale cache served after pin"
         np.testing.assert_array_equal(first, third)
 
@@ -490,7 +595,7 @@ class TestNeedleBitmapCache:
 
 
 class TestMeshShardedRowCache:
-    def test_superbatch_shards_across_devices(self):
+    def test_stream_shards_across_devices(self):
         import jax
 
         assert len(jax.devices()) == 8
@@ -502,17 +607,17 @@ class TestMeshShardedRowCache:
             data = make_stream(rows)
             buf, offs, lens = split_rows_arrays(data)
             blocks[b] = cache.pin((f"f{b}".encode(), 0), data, offs, lens)
-        bucket = next(iter(cache._buckets.values()))
+        bucket = cache._bucket
         assert len(bucket.matrix.sharding.device_set) == 8, bucket.matrix.sharding
         assert bucket.cap % (512 * 8) == 0
 
-        # Exact scans over the sharded superbatch, including after
+        # Exact scans over the sharded stream, including after
         # tombstone-driven compaction.
         for b in (0, 1):
             cache.invalidate_file(f"f{b}".encode())
         for b in (2, 3):
             scan = cache.scan(blocks[b], [f"tok{b}_11".encode(), b"absent"])
-            assert scan[0].sum() == 1 and scan[0][11]
+            assert scan[0][11]
             assert not scan[1].any()
         assert len(bucket.matrix.sharding.device_set) == 8
 
