@@ -824,7 +824,11 @@ class BloomSearchEngine:
                 # One dense scan per word bucket: each (matrix shape, word
                 # bucket) pair is its own jit program, and an uncompiled
                 # bucket would otherwise land its multi-second compile on
-                # the first user query with a needle of that length.
+                # the first user query with a needle of that length. Then
+                # the SPARSE segment shapes (pow2 segment-count buckets 1
+                # and 4 — needle queries typically touch 1-3 blocks): the
+                # slice program is a separate compile per bucket, and at
+                # reference scale it cost the first needle query ~1.2 s.
                 from .bloom.pallas_kernels import SCAN_WORD_BUCKETS
 
                 for wb in SCAN_WORD_BUCKETS:
@@ -832,6 +836,15 @@ class BloomSearchEngine:
                     needle = (b"\x00warm" + b"\x00" * ln)[:ln]
                     try:
                         self._row_cache.scan_many(pinned, [needle])
+                        for si, subset in enumerate((pinned[:1], pinned[:3])):
+                            if subset and len(pinned) > len(subset):
+                                # DISTINCT needle per subset: the dense scan
+                                # above cached `needle`'s bitmap, and a
+                                # cache hit would skip the launch — leaving
+                                # the sparse program uncompiled for the
+                                # first real needle query.
+                                sub = (b"\x01wrm%d" % si + b"\x00" * ln)[:ln]
+                                self._row_cache.scan_many(subset, [sub])
                     except Exception:
                         logger.exception("warmup: scan compile failed")
                         break

@@ -510,13 +510,16 @@ class DeviceRowCache:
 
             bucket = self._bucket
             unit = self._chunk_unit
-            if bucket.used + n_chunks > bucket.cap:
+            # Upload decomposes into pow2 pieces (below), whose zero-padded
+            # tail may extend into not-yet-used space — size capacity for it.
+            n_upload = _round_up(n_chunks, 512)
+            if bucket.used + n_upload > bucket.cap:
                 # Growth: double while small, then bounded increments — the
                 # copy in sharded_pad_rows holds old+new concurrently, and
                 # unbounded doubling at multi-GB stream sizes OOMs HBM.
                 grow = min(bucket.cap, max(_GROWTH_STEP_BYTES // CHUNK_BYTES, 1))
                 new_cap = max(
-                    _round_up(bucket.used + n_chunks, unit),
+                    _round_up(bucket.used + n_upload, unit),
                     _round_up(bucket.cap + grow, unit),
                     unit,
                 )
@@ -528,10 +531,35 @@ class DeviceRowCache:
                     bucket.matrix = sharded_pad_rows(self.mesh, bucket.matrix, new_cap)
                 bucket.cap = new_cap
             if n_chunks > 0:
-                bucket.matrix = sharded_update_rows(
-                    self.mesh, bucket.matrix, jnp.asarray(packed[:n_chunks]),
-                    jnp.int32(bucket.used),
-                )
+                # Piecewise pow2 upload: the update program compiles per
+                # update SHAPE, and one-compile-per-distinct-block-size was
+                # ~110 s of a reference-scale warmup (240 blocks x ~0.45 s).
+                # Greedy pow2 pieces >= 512 chunks bound the shape set to
+                # ~6 programs ever; the final piece zero-pads into
+                # not-yet-used space (never part of any live segment, and
+                # overwritten by the next pin's real bytes).
+                off = 0
+                while off < n_chunks:
+                    remaining = n_chunks - off
+                    piece = 512
+                    while piece * 2 <= remaining:
+                        piece *= 2
+                    sub = packed[off : off + piece]
+                    if sub.shape[0] < piece:
+                        sub = np.concatenate(
+                            [
+                                sub,
+                                np.zeros(
+                                    (piece - sub.shape[0], CHUNK_BYTES // 4),
+                                    dtype=np.int32,
+                                ),
+                            ]
+                        )
+                    bucket.matrix = sharded_update_rows(
+                        self.mesh, bucket.matrix, jnp.asarray(sub),
+                        jnp.int32(bucket.used + off),
+                    )
+                    off += piece
                 bucket.version += 1
                 bucket.needle_cache.clear()
             block = _PinnedBlock(
