@@ -436,7 +436,18 @@ def main() -> None:
     # Ingest first: the e2e phase leaves background threads/teardown that
     # contend for this one-core container and depress a following ingest
     # measurement (74k vs 161k rows/s observed).
-    extra: dict = {}
+    extra: dict = {
+        # Methodology honesty: rounds 1-2 measured the slope over chains
+        # XLA could partially OVERLAP, over-counting throughput (6.0B in
+        # BENCH_r02 vs an 808 GB/s HBM physical floor of ~2.6B at these
+        # params). Launches are now serialized with optimization_barrier
+        # inside a lax.scan chain; the number is lower and real.
+        "kernel_per_launch_us": round(per_launch * 1e6, 1),
+        # Each gathered filter row costs a full 8-sublane tile of DMA
+        # (docs/PERFORMANCE.md: 50 us floor at these params = 41 MB/launch
+        # over 819 GB/s v5e HBM) -> floor = 819e9 / (k * 4 * 8) probes/s.
+        "kernel_hbm_floor_probes_per_sec": round(819e9 / (params.k * 4 * 8)),
+    }
     try:
         extra.update(ingest_bench())
     except Exception as exc:
