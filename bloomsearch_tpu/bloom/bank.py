@@ -508,9 +508,14 @@ class DeviceProbeBackend:
         )
         clause_dev = member_dev = None
         if all_clauses:
+            # Floors of 16: Cp/Mp only size tiny [M,C]x[C,T] matmuls, and
+            # every distinct pad is a separate jit compile — a 16-floor
+            # makes warmup's single-member clause probes produce the SAME
+            # program shapes a <=16-way coalesced burst hits (measured: the
+            # burst's (Cp=16, Mp=16) shape cost a fresh ~0.5 s compile).
             total_c = sum(r.clause_mask.shape[0] for r in batch)
-            Cp = max(_pad_terms(total_c), 8)
-            Mp = max(_pad_terms(len(batch)), 8)
+            Cp = max(_pad_terms(total_c), 16)
+            Mp = max(_pad_terms(len(batch)), 16)
             clause = np.zeros((Cp, Tp), dtype=np.float32)
             member = np.zeros((Mp, Cp), dtype=np.float32)
             c0 = t0 = 0

@@ -277,10 +277,13 @@ def _scan_row_tile(P4: int) -> int:
 
 # Word-loop buckets: a needle of len L at alignment a spans ceil((a+L)/4)
 # <= ceil((L+3)/4) packed words. Launches bucket their longest needle here
-# so short-needle queries (the common case) compile and run ~2x less VPU
-# work than the 9-word worst case. Two buckets only: every bucket is a
-# separate jit program per matrix shape, and warmup pre-compiles them all.
-SCAN_WORD_BUCKETS = (4, 9)
+# so short-needle queries (the common case) compile and run a fraction of
+# the 9-word worst case's VPU work (the scan kernel is VPU-issue-bound).
+# Every bucket is a separate jit program per matrix shape and warmup
+# pre-compiles them all; four buckets keeps that cheap while covering the
+# common needle lengths tightly (e.g. a 15-byte token needs 6 words — the
+# old (4, 9) bucketing burned 50% more ops on it).
+SCAN_WORD_BUCKETS = (2, 4, 6, 9)
 
 
 def scan_word_bucket(max_len: int) -> int:

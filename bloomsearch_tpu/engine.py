@@ -767,22 +767,45 @@ class BloomSearchEngine:
                 except Exception:
                     logger.exception("warmup: bank load failed for %r", mf.pointer)
 
-        # Compile + transfer warm: one dummy flat-AND probe per superbank
-        # shape (the dominant query shape). Fetching the result also pays
-        # any first-transfer handshake before a user query does.
+        # Compile + transfer warm per superbank shape: the solo flat-AND
+        # probe (the dominant single-query shape) AND the CNF clause
+        # program at term buckets 8/16 — coalesced concurrent queries union
+        # their terms and take the clause path, whose per-bucket compile
+        # (~0.4 s) otherwise lands on the first burst. Fetching the results
+        # also pays any first-transfer handshake before a user query does.
         if self._device_backend is not None and compile_reps:
-            warm_terms = compile_bloom_terms(
-                new_query().token("\x00bloomsearch-warmup\x00").build().bloom
-            )
+            from .bloom.probe import compile_cnf_clauses
+
+            warm_queries = [("\x00bloomsearch-warmup\x00",)]
+            warm_queries += [
+                tuple(f"\x00warm-clause-{n}-{i}\x00" for i in range(n))
+                for n in (2, 9)  # term-pad buckets 8 and 16
+            ]
             for mk, (pointer, gi, load) in compile_reps.items():
-                if self._stop_event.is_set():
-                    return
-                try:
-                    self._device_backend.probe_groups(
-                        [(pointer, gi, mk, load)], warm_terms, reduce_and=True
-                    )
-                except Exception:
-                    logger.exception("warmup: probe compile failed for %s", mk)
+                for qi, tokens in enumerate(warm_queries):
+                    if self._stop_event.is_set():
+                        return
+                    builder = new_query()
+                    for tok in tokens:
+                        builder = builder.token(tok)
+                    q = builder.build()
+                    terms = compile_bloom_terms(q.bloom)
+                    try:
+                        if qi == 0:
+                            self._device_backend.probe_groups(
+                                [(pointer, gi, mk, load)], terms, reduce_and=True
+                            )
+                        else:
+                            self._device_backend.probe_groups(
+                                [(pointer, gi, mk, load)], terms,
+                                reduce_and=len(tokens) == 1,
+                                clause_mask=compile_cnf_clauses(
+                                    q.bloom.expression, terms
+                                ),
+                            )
+                    except Exception:
+                        logger.exception("warmup: probe compile failed for %s", mk)
+                        break
 
         # Pre-spawn the block pool's worker threads (ThreadPoolExecutor
         # creates them lazily; measured ~50 ms of thread startup landing on
@@ -836,7 +859,19 @@ class BloomSearchEngine:
                     needle = (b"\x00warm" + b"\x00" * ln)[:ln]
                     try:
                         self._row_cache.scan_many(pinned, [needle])
-                        for si, subset in enumerate((pinned[:1], pinned[:3])):
+                        # Dense n_real buckets 2 and 4: coalesced concurrent
+                        # bursts launch multi-needle unions on the dense
+                        # program (sparse clamps at 4 segments), and each
+                        # pow2 needle-count bucket is its own compile.
+                        for nr in (2, 4):
+                            group = [
+                                (b"\x02w%d_%d" % (nr, i) + b"\x00" * ln)[:ln]
+                                for i in range(nr)
+                            ]
+                            self._row_cache.scan_many(pinned, group)
+                        for si, subset in enumerate(
+                            (pinned[:1], pinned[:2], pinned[:3])
+                        ):
                             if subset and len(pinned) > len(subset):
                                 # DISTINCT needle per subset: the dense scan
                                 # above cached `needle`'s bitmap, and a

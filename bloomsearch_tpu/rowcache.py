@@ -60,6 +60,10 @@ MAX_NEEDLE = 32  # longer needles fall back to always-candidate
 STREAM_STRIDE = CHUNK_BYTES - MAX_NEEDLE  # payload bytes per chunk (480)
 # Per-needle bitmap cache entries (packed ~cap_chunks/8 bytes each).
 _NEEDLE_CACHE_MAX = 128
+# Sparse segment scans above this many (pow2-bucketed) segments fall back
+# to dense scan-all: warmup precompiles exactly buckets {1, 2, 4} plus the
+# dense program, so no query-time jit ever fires.
+_SPARSE_MAX_SEGS = 4
 # Stream growth increment once doubling would exceed this many bytes (the
 # grow-copy holds old+new matrices concurrently in HBM).
 _GROWTH_STEP_BYTES = 512 << 20
@@ -720,14 +724,20 @@ class DeviceRowCache:
         )
         seg_chunks = _round_up_pow2(max((n for _, n in ranges), default=1))
         seg_chunks = max(seg_chunks, 512)  # kernel chunk-tile multiple
-        # Segment-count buckets (1/2/4/8...): the slice program unrolls one
+        # Segment-count buckets (1/2/4): the slice program unrolls one
         # dynamic_slice per segment, so each distinct count would otherwise
         # be its own multi-second jit compile; padding duplicates segment 0
-        # (a few % extra scan) and bounds compiles to log(count) shapes.
+        # (a few % extra scan). The count is CLAMPED at 4 — warmup
+        # precompiles exactly buckets {1, 2, 4}, so no query shape ever
+        # jits at query time: single needle queries (1-4 blocks) stay
+        # sparse, and bursts of coalesced concurrent requests fall through
+        # to the always-compiled dense scan-all (measured: a 16-query burst
+        # hit a fresh 3 s scan_segments compile for its n_segs=64 shape,
+        # then ran in 195 ms on the dense program).
         n_segs = _round_up_pow2(len(ranges)) if ranges else 0
         sparse = (
             self.mesh is None
-            and n_segs > 0
+            and 0 < n_segs <= _SPARSE_MAX_SEGS
             and seg_chunks <= phys_cap
             and n_segs * seg_chunks * 4 <= phys_cap
         )
@@ -757,8 +767,20 @@ class DeviceRowCache:
                 for row, needle in enumerate(part):
                     padded[row, : len(needle)] = np.frombuffer(needle, dtype=np.uint8)
                     lens[row] = len(needle)
+                # n_real is a static of the scan program, and every distinct
+                # needle count would be its own multi-second compile (a
+                # coalesced concurrent burst's 3-needle union measured a
+                # fresh ~3 s jit). Padded rows carry zero masks — they match
+                # everywhere and are sliced off below. SPARSE launches scan
+                # so few bytes that the kernel's per-needle op cost is
+                # negligible, so they always use the full needle capacity —
+                # ONE program shape, exactly what warmup compiles. DENSE
+                # launches pay real VPU time per needle row, so they use
+                # pow2 buckets (warmup compiles 1/2/4).
                 common = dict(
-                    n_real=len(part),
+                    n_real=(
+                        n_bucket if sparse else _round_up_pow2(len(part))
+                    ),
                     max_words=max_words,
                     use_pallas=self.use_pallas or self.pallas_interpret,
                     interpret=self.pallas_interpret,
