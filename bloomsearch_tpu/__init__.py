@@ -116,4 +116,4 @@ from .engine import (
 )
 from .utils import format_bytes_per_second, format_rate
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

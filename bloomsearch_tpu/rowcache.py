@@ -51,7 +51,6 @@ import numpy as np
 
 from . import native as _native
 
-_LANE = 128
 # Stream chunk geometry: 512-byte physical rows (128 packed int32 lanes, the
 # SWAR kernel's exact lane tile); the last MAX_NEEDLE bytes of each chunk
 # duplicate the next chunk's head so windows never straddle a chunk.
