@@ -859,11 +859,12 @@ class BloomSearchEngine:
                     needle = (b"\x00warm" + b"\x00" * ln)[:ln]
                     try:
                         self._row_cache.scan_many(pinned, [needle])
-                        # Dense n_real buckets 2 and 4: coalesced concurrent
-                        # bursts launch multi-needle unions on the dense
-                        # program (sparse clamps at 4 segments), and each
-                        # pow2 needle-count bucket is its own compile.
-                        for nr in (2, 4):
+                        # Dense n_real buckets 2/4/8 (every pow2 bucket a
+                        # launch can produce): coalesced concurrent bursts
+                        # launch multi-needle unions on the dense program
+                        # (sparse clamps at 4 segments), and each pow2
+                        # needle-count bucket is its own compile.
+                        for nr in (2, 4, 8):
                             group = [
                                 (b"\x02w%d_%d" % (nr, i) + b"\x00" * ln)[:ln]
                                 for i in range(nr)

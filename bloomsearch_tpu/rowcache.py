@@ -362,6 +362,14 @@ class DeviceRowCache:
             self.mesh = None
             self._chunk_unit = 512
         self._lock = threading.Lock()
+        # Serializes every MUTATION of the stream matrix (pin uploads,
+        # growth copies, compaction) so the slow device work runs OUTSIDE
+        # self._lock and concurrent scans never stall behind an upload.
+        # Ordering: _upload_lock is always acquired BEFORE _lock, never
+        # while holding it. Scans/readers take only _lock; segment state
+        # mutates only under BOTH (briefly under _lock), so matrix +
+        # segments snapshots taken under _lock alone stay consistent.
+        self._upload_lock = threading.Lock()
         self._blocks: dict[tuple[bytes, int], _PinnedBlock] = {}
         self._bucket = _StreamBucket()
         self._scan, self._scan_segments = _device_scan_fn(self.mesh)
@@ -411,10 +419,11 @@ class DeviceRowCache:
             return block
 
     def invalidate_file(self, pointer: bytes) -> None:
-        with self._lock:
-            for key in [k for k in self._blocks if k[0] == pointer]:
-                self._remove_locked(key)
-            self._maybe_compact_locked()
+        with self._upload_lock:
+            with self._lock:
+                for key in [k for k in self._blocks if k[0] == pointer]:
+                    self._remove_locked(key)
+            self._maybe_compact()
 
     def _remove_locked(self, key) -> None:
         block = self._blocks.pop(key, None)
@@ -425,40 +434,54 @@ class DeviceRowCache:
             # The block's whole chunk footprint becomes reclaimable.
             self._bucket.dead += seg[1]
 
-    def _maybe_compact_locked(self) -> None:
+    def _maybe_compact(self) -> None:
+        """Compact dead chunk ranges out of the stream. Caller holds
+        _upload_lock; the device gather runs WITHOUT self._lock (scans keep
+        flowing against the old matrix snapshot) and the new layout
+        publishes atomically under self._lock at the end. Segment state
+        only mutates under _upload_lock, so the snapshot taken here cannot
+        go stale before publish."""
         from .parallel.mesh import sharded_take_rows, sharded_zeros_rows
 
         jnp = self._jnp
         bucket = self._bucket
-        if bucket.dead == 0 or bucket.dead * 2 < bucket.used:
-            return
-        order = sorted(bucket.segments.items(), key=lambda kv: kv[1][0])
-        chunk_idx = []  # chunk indices to keep, in order
+        with self._lock:
+            if bucket.dead == 0 or bucket.dead * 2 < bucket.used:
+                return
+            order = sorted(bucket.segments.items(), key=lambda kv: kv[1][0])
+            matrix = bucket.matrix
         cursor = 0
         new_segments = {}
+        spans = []
         for key, (start, n) in order:
-            chunk_idx.extend(range(start, start + n))
+            spans.append((start, n))
             new_segments[key] = (cursor, n)
-            block = self._blocks.get(key)
-            if block is not None:
-                block.chunk_start = cursor
             cursor += n
         unit = self._chunk_unit
         new_cap = max(unit, _round_up(max(cursor, 1), unit))
-        if chunk_idx:
-            idx = jnp.asarray(np.asarray(chunk_idx, dtype=np.int32))
-            new_matrix = sharded_take_rows(self.mesh, bucket.matrix, idx, new_cap)
+        if cursor:
+            idx = jnp.asarray(
+                np.concatenate(
+                    [np.arange(s, s + n, dtype=np.int32) for s, n in spans]
+                )
+            )
+            new_matrix = sharded_take_rows(self.mesh, matrix, idx, new_cap)
         else:
             new_matrix = sharded_zeros_rows(
                 self.mesh, new_cap, CHUNK_BYTES // 4, dtype=jnp.int32
             )
-        bucket.matrix = new_matrix
-        bucket.cap = new_cap
-        bucket.used = cursor
-        bucket.dead = 0
-        bucket.segments = new_segments
-        bucket.version += 1
-        bucket.needle_cache.clear()
+        with self._lock:
+            bucket.matrix = new_matrix
+            bucket.cap = new_cap
+            bucket.used = cursor
+            bucket.dead = 0
+            bucket.segments = new_segments
+            for key, (start, _n) in new_segments.items():
+                block = self._blocks.get(key)
+                if block is not None:
+                    block.chunk_start = start
+            bucket.version += 1
+            bucket.needle_cache.clear()
 
     def pin(
         self,
@@ -468,9 +491,18 @@ class DeviceRowCache:
         row_lengths: np.ndarray,
     ) -> _PinnedBlock:
         """Chunk + lowercase a block's row buffer and append it to the
-        stream matrix."""
+        stream matrix.
+
+        The host pack and the device upload run under _upload_lock only —
+        a cold pin's multi-MB h2d transfer must not stall concurrent warm
+        scans, which take just self._lock. The new segment publishes
+        atomically under self._lock once the upload lands."""
         jnp = self._jnp
         num_rows = row_offsets.shape[0]
+        with self._lock:
+            existing = self._blocks.get(key)
+            if existing is not None:
+                return existing
 
         nat = (
             _native.pack_stream(
@@ -501,38 +533,44 @@ class DeviceRowCache:
                 m32[..., 0] | (m32[..., 1] << 8) | (m32[..., 2] << 16) | (m32[..., 3] << 24)
             ).view(np.int32)
 
-        with self._lock:
-            existing = self._blocks.get(key)
-            if existing is not None:
-                return existing
+        with self._upload_lock:
+            with self._lock:
+                existing = self._blocks.get(key)
+                if existing is not None:
+                    return existing
+
             from .parallel.mesh import (
                 sharded_pad_rows,
                 sharded_update_rows,
                 sharded_zeros_rows,
             )
 
+            # Matrix/used/cap mutate only under _upload_lock (held), so the
+            # device work below runs against a stable base without _lock.
             bucket = self._bucket
             unit = self._chunk_unit
+            matrix = bucket.matrix
+            cap = bucket.cap
+            used = bucket.used
             # Upload decomposes into pow2 pieces (below), whose zero-padded
             # tail may extend into not-yet-used space — size capacity for it.
             n_upload = _round_up(n_chunks, 512)
-            if bucket.used + n_upload > bucket.cap:
+            if used + n_upload > cap:
                 # Growth: double while small, then bounded increments — the
                 # copy in sharded_pad_rows holds old+new concurrently, and
                 # unbounded doubling at multi-GB stream sizes OOMs HBM.
-                grow = min(bucket.cap, max(_GROWTH_STEP_BYTES // CHUNK_BYTES, 1))
-                new_cap = max(
-                    _round_up(bucket.used + n_upload, unit),
-                    _round_up(bucket.cap + grow, unit),
+                grow = min(cap, max(_GROWTH_STEP_BYTES // CHUNK_BYTES, 1))
+                cap = max(
+                    _round_up(used + n_upload, unit),
+                    _round_up(cap + grow, unit),
                     unit,
                 )
-                if bucket.matrix is None:
-                    bucket.matrix = sharded_zeros_rows(
-                        self.mesh, new_cap, CHUNK_BYTES // 4, dtype=jnp.int32
+                if matrix is None:
+                    matrix = sharded_zeros_rows(
+                        self.mesh, cap, CHUNK_BYTES // 4, dtype=jnp.int32
                     )
                 else:
-                    bucket.matrix = sharded_pad_rows(self.mesh, bucket.matrix, new_cap)
-                bucket.cap = new_cap
+                    matrix = sharded_pad_rows(self.mesh, matrix, cap)
             if n_chunks > 0:
                 # Piecewise pow2 upload: the update program compiles per
                 # update SHAPE, and one-compile-per-distinct-block-size was
@@ -558,30 +596,34 @@ class DeviceRowCache:
                                 ),
                             ]
                         )
-                    bucket.matrix = sharded_update_rows(
-                        self.mesh, bucket.matrix, jnp.asarray(sub),
-                        jnp.int32(bucket.used + off),
+                    matrix = sharded_update_rows(
+                        self.mesh, matrix, jnp.asarray(sub), jnp.int32(used + off)
                     )
                     off += piece
-                bucket.version += 1
-                bucket.needle_cache.clear()
+
             block = _PinnedBlock(
-                key, bucket.used, n_chunks, num_rows, always_candidate,
+                key, used, n_chunks, num_rows, always_candidate,
                 data, row_offsets, row_lengths,
             )
-            bucket.segments[key] = (bucket.used, n_chunks)
-            bucket.used += n_chunks
-            self._blocks[key] = block
-            # LRU eviction under the byte budget.
-            while (
-                self._total_bytes_locked() > self.capacity_bytes
-                and len(self._blocks) > 1
-            ):
-                oldest = next(iter(self._blocks))
-                if oldest == key:
-                    break
-                self._remove_locked(oldest)
-            self._maybe_compact_locked()
+            with self._lock:
+                bucket.matrix = matrix
+                bucket.cap = cap
+                if n_chunks > 0:
+                    bucket.version += 1
+                    bucket.needle_cache.clear()
+                bucket.segments[key] = (used, n_chunks)
+                bucket.used = used + n_chunks
+                self._blocks[key] = block
+                # LRU eviction under the byte budget.
+                while (
+                    self._total_bytes_locked() > self.capacity_bytes
+                    and len(self._blocks) > 1
+                ):
+                    oldest = next(iter(self._blocks))
+                    if oldest == key:
+                        break
+                    self._remove_locked(oldest)
+            self._maybe_compact()
         return block
 
     # -- scanning ---------------------------------------------------------
@@ -775,7 +817,7 @@ class DeviceRowCache:
                 # negligible, so they always use the full needle capacity —
                 # ONE program shape, exactly what warmup compiles. DENSE
                 # launches pay real VPU time per needle row, so they use
-                # pow2 buckets (warmup compiles 1/2/4).
+                # pow2 buckets (warmup compiles 1/2/4/8).
                 common = dict(
                     n_real=(
                         n_bucket if sparse else _round_up_pow2(len(part))

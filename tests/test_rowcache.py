@@ -307,6 +307,58 @@ class TestStreamBucket:
             assert results[b][0][7], b
             assert not results[b][1].any(), b
 
+    def test_scan_does_not_block_behind_slow_pin(self, monkeypatch):
+        """A cold pin's device upload must not stall concurrent warm scans:
+        uploads run under the dedicated upload lock, scans take only the
+        cache lock, and the new segment publishes after the upload lands."""
+        import threading
+
+        import bloomsearch_tpu.parallel.mesh as mesh_mod
+
+        cache = DeviceRowCache(256 << 20, mesh_devices=1)
+        cache.needle_cache_enabled = False  # force a real launch under stall
+        rows = [{"m": f"warm tok_{i}"} for i in range(30)]
+        data = make_stream(rows)
+        _, offs, lens = split_rows_arrays(data)
+        warm_block = cache.pin((b"warm", 0), data, offs, lens)
+        # Pre-compile the scan program so the stalled-upload window below
+        # measures locking, not jit time.
+        cache.scan(warm_block, [b"tok_7\"", b"absent"])
+
+        upload_started = threading.Event()
+        release_upload = threading.Event()
+        orig = mesh_mod.sharded_update_rows
+
+        def slow_update(*a, **k):
+            upload_started.set()
+            assert release_upload.wait(timeout=10), "test deadlock"
+            return orig(*a, **k)
+
+        monkeypatch.setattr(mesh_mod, "sharded_update_rows", slow_update)
+        rows2 = [{"m": f"cold tok2_{i}"} for i in range(30)]
+        data2 = make_stream(rows2)
+        _, offs2, lens2 = split_rows_arrays(data2)
+        pin_done = threading.Event()
+
+        def cold_pin():
+            cache.pin((b"cold", 0), data2, offs2, lens2)
+            pin_done.set()
+
+        t = threading.Thread(target=cold_pin, daemon=True)
+        t.start()
+        assert upload_started.wait(timeout=10)
+        # The upload is stalled mid-flight; a warm scan must still run.
+        scan = cache.scan(warm_block, [b"tok_7\"", b"absent"])
+        assert scan[0][7] and not scan[1].any()
+        assert not pin_done.is_set(), "pin finished early; test proved nothing"
+        release_upload.set()
+        t.join(timeout=10)
+        assert pin_done.is_set()
+        # And the cold block is fully scannable afterwards.
+        cold = cache.get((b"cold", 0))
+        scan2 = cache.scan(cold, [b"tok2_9\""])
+        assert scan2[0][9]
+
     def test_stale_block_after_eviction_is_conservative(self):
         cache = DeviceRowCache(64 << 20)
         rows = [{"m": f"r{i}"} for i in range(5)]
