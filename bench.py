@@ -250,6 +250,10 @@ def _concurrent_queries(engine, dataset_rows: int, n_threads: int = 16) -> dict:
     for t in threads:
         t.join(timeout=900)
     wall = time.perf_counter() - t0
+    if any(t.is_alive() for t in threads):
+        # A hung thread means the wall/qps numbers below would silently
+        # describe an unfinished run.
+        return {"e2e_refscale_concurrent_error": "timeout: query thread still running"}
     if errors:
         return {"e2e_refscale_concurrent_error": repr(errors[0])}
     return {

@@ -554,7 +554,13 @@ BS_EXPORT int64_t bs_snappy_decompress_block(const uint8_t* in, int64_t n,
           std::memcpy(op + 48, src + 48, 16);
         }
       } else if (offset >= len) {
-        std::memcpy(op, src, 16);  // short non-overlap (len < offset < 16)
+        // Short copy (len <= offset < 16): the 16-byte slop write overlaps
+        // the source by 16-offset bytes, so go through a register-resident
+        // temporary — memcpy on overlapping ranges is UB even when today's
+        // lowering (one vector load+store) happens to be safe.
+        uint8_t tmp[16];
+        std::memcpy(tmp, src, 16);
+        std::memcpy(op, tmp, 16);
       } else {
         // Overlapping: period replication, doubling the realized prefix.
         int64_t done = offset;

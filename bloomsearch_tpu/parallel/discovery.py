@@ -189,12 +189,22 @@ class CapacityScatterCoordinator:
     per-peer errors forwarded while others continue.
     """
 
-    def __init__(self, meta_store, registry: PeerRegistry, max_retries: int = 1):
+    def __init__(
+        self,
+        meta_store,
+        registry: PeerRegistry,
+        max_retries: int = 1,
+        failover_buffer_rows: int = 100_000,
+    ):
         self.meta_store = meta_store
         self.registry = registry
         # Failed-peer retries: a dead peer's disjoint file subset reassigns
         # to the surviving peers this many times before the error surfaces.
         self.max_retries = max_retries
+        # Per-peer cap on rows held back for exactly-once failover; past it
+        # the peer's stream flushes through and a later death surfaces as
+        # an error instead of a replay (bounded coordinator memory).
+        self.failover_buffer_rows = failover_buffer_rows
 
     def query(
         self,
@@ -246,22 +256,69 @@ class CapacityScatterCoordinator:
             # subset re-runs on survivors — exactly-once is preserved because
             # subsets are disjoint and nothing partial ever reached the
             # caller. (With max_retries=0 rows stream straight through.)
+            #
+            # The buffer is CAPPED (failover_buffer_rows): past the cap the
+            # funnel flushes and switches to stream-through — coordinator
+            # memory stays bounded and broad queries keep streaming, at the
+            # price of failover for that peer (rows already delivered can't
+            # be replayed exactly-once, so a later death surfaces as an
+            # error like the reference's per-worker error semantics).
+            # Stats buffer alongside rows and are DROPPED on a failed
+            # buffered attempt — the survivor's re-run re-reports those
+            # blocks, and forwarding both would double-count.
             peer_results: queue.Queue = queue.Queue()
             peer_errors: queue.Queue = queue.Queue()
-            buffered: Optional[list] = [] if self.max_retries > 0 else None
+            buffering = self.max_retries > 0
+            buffered: list = []
+            stats_buffer: list = []
+            peer_stats: Optional[queue.Queue] = (
+                queue.Queue() if stats_queue is not None else None
+            )
             failure: Optional[BaseException] = None
+
+            def drain_stats(forward: bool) -> None:
+                if peer_stats is None:
+                    return
+                while not peer_stats.empty():
+                    st = peer_stats.get_nowait()
+                    if forward and stats_queue is not None:
+                        try:
+                            stats_queue.put_nowait(st)  # lossy by contract
+                        except queue.Full:
+                            pass
+                    elif not forward:
+                        stats_buffer.append(st)
+
+            def flush_buffers() -> None:
+                for row in buffered:
+                    result_queue.put(row)
+                buffered.clear()
+                if stats_queue is not None:
+                    for st in stats_buffer:
+                        try:
+                            stats_queue.put_nowait(st)
+                        except queue.Full:
+                            pass
+                    stats_buffer.clear()
+
             try:
                 peer.remote().query(
                     q, peer_results,
-                    peer_errors if buffered is not None else error_queue,
-                    stats_queue, file_pointers=pointers,
+                    peer_errors if buffering else error_queue,
+                    peer_stats if peer_stats is not None else None,
+                    file_pointers=pointers,
                 )
                 while True:
                     item = peer_results.get()
+                    drain_stats(forward=not buffering)
                     if item is None:
                         break
-                    if buffered is not None:
+                    if buffering:
                         buffered.append(item)
+                        if len(buffered) > self.failover_buffer_rows:
+                            # Cap hit: this subset is now stream-through.
+                            buffering = False
+                            flush_buffers()
                     else:
                         result_queue.put(item)
             except Exception as exc:
@@ -269,12 +326,13 @@ class CapacityScatterCoordinator:
             if failure is None and not peer_errors.empty():
                 failure = peer_errors.get_nowait()
             if failure is None:
-                for row in buffered or ():
-                    result_queue.put(row)
+                flush_buffers()
+                drain_stats(forward=True)
                 finish()
                 return
-            # Peer failed. Reassign its disjoint subset to survivors.
-            if attempt < self.max_retries:
+            # Peer failed. Reassign its disjoint subset to survivors — but
+            # only if nothing partial reached the caller (still buffering).
+            if buffering and attempt < self.max_retries:
                 survivors = [
                     p for p in self.registry.live_peers() if p.peer_id != peer.peer_id
                 ]

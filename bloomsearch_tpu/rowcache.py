@@ -737,8 +737,14 @@ class DeviceRowCache:
         if self.needle_cache_enabled:
             with self._lock:
                 for nd in union:
-                    ent = bucket.needle_cache.get(nd)
-                    if ent is not None and ent[0] == version:
+                    ent = bucket.needle_cache.pop(nd, None)
+                    if ent is None:
+                        continue
+                    # Re-insert on hit: eviction pops the front, so a hit
+                    # must refresh recency (LRU, not FIFO — a hot dashboard
+                    # needle must survive a sweep of one-shot needles).
+                    bucket.needle_cache[nd] = ent
+                    if ent[0] == version:
                         cached[nd] = ent[1]
         missing = [nd for nd in union if nd not in cached]
 

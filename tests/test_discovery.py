@@ -275,6 +275,103 @@ class TestSharedStorageScatterGather:
             server.stop()
             live.stop(timeout=TIMEOUT)
 
+    def test_buffer_cap_switches_to_stream_through(self):
+        """Past failover_buffer_rows the funnel flushes and streams rows
+        straight through (bounded coordinator memory); results stay exact
+        for a healthy peer."""
+        client = InMemoryObjectStore()
+        data = ObjectStoreDataStore(client)
+        meta = ObjectStoreMetaStore(client)
+        writer = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"), meta, data
+        )
+        writer.start()
+        writer.ingest_rows([{"n": i, "tag": "common"} for i in range(50)],
+                           timeout=TIMEOUT)
+        writer.flush(timeout=TIMEOUT)
+        writer.stop(timeout=TIMEOUT)
+
+        reg = PeerRegistry(client, ttl_seconds=60)
+        live = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"),
+            ObjectStoreMetaStore(client), ObjectStoreDataStore(client),
+        )
+        live.start()
+        server = QueryServer(live)
+        server.start()
+        try:
+            reg.announce("alive", *server.address, capacity=1.0)
+            coord = CapacityScatterCoordinator(
+                meta, reg, failover_buffer_rows=3
+            )
+            rows = coord.query_sync(
+                bs.new_query().token("common").build(), timeout=TIMEOUT
+            )
+            assert sorted(r["n"] for r in rows) == list(range(50))
+        finally:
+            server.stop()
+            live.stop(timeout=TIMEOUT)
+
+    def test_death_after_stream_through_surfaces_error_not_duplicates(self):
+        """A peer that dies AFTER the buffer cap flushed its rows cannot be
+        replayed exactly-once; the funnel must surface the error instead of
+        re-running the subset (which would duplicate delivered rows)."""
+        import socket as _socket
+        import threading as _threading
+
+        from bloomsearch_tpu.parallel.remote import recv_frame, send_frame
+
+        client = InMemoryObjectStore()
+        data = ObjectStoreDataStore(client)
+        meta = ObjectStoreMetaStore(client)
+        writer = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"), meta, data
+        )
+        writer.start()
+        writer.ingest_rows([{"n": i, "tag": "common"} for i in range(8)],
+                           timeout=TIMEOUT)
+        writer.flush(timeout=TIMEOUT)
+        writer.stop(timeout=TIMEOUT)
+
+        lsock = _socket.socket()
+        lsock.bind(("127.0.0.1", 0))
+        lsock.listen(4)
+
+        def flaky():
+            while True:
+                try:
+                    conn, _ = lsock.accept()
+                except OSError:
+                    return
+                try:
+                    recv_frame(conn)
+                    for i in range(6):  # past the cap of 3, then die
+                        send_frame(conn, {"row": {"n": 100 + i, "tag": "common"}})
+                finally:
+                    conn.close()
+
+        _threading.Thread(target=flaky, daemon=True).start()
+        reg = PeerRegistry(client, ttl_seconds=60)
+        try:
+            reg.announce("flaky", "127.0.0.1", lsock.getsockname()[1], capacity=1.0)
+            coord = CapacityScatterCoordinator(
+                meta, reg, failover_buffer_rows=3
+            )
+            results: queue.Queue = queue.Queue()
+            errors: queue.Queue = queue.Queue()
+            coord.query(bs.new_query().token("common").build(), results, errors)
+            rows = []
+            while True:
+                item = results.get(timeout=TIMEOUT)
+                if item is None:
+                    break
+                rows.append(item)
+            assert not errors.empty(), "death after flush must surface an error"
+            ns = [r["n"] for r in rows]
+            assert len(ns) == len(set(ns)), "duplicated rows after failover"
+        finally:
+            lsock.close()
+
     def test_all_peers_dead_surfaces_error(self):
         client = InMemoryObjectStore()
         data = ObjectStoreDataStore(client)
