@@ -44,6 +44,15 @@ def _pad_terms(n: int) -> int:
     return p
 
 
+# Combined-launch caps: the probe combiner drains at most this many members
+# / total terms per launch so coalesced bursts never exceed the program
+# shapes engine.warmup() precompiles (Tp/Cp/Mp 16); undrained requests lead
+# the next launch. A SINGLE query above the term cap still launches alone
+# (one-off larger shape, compiled on first use).
+_PROBE_BATCH_MAX_MEMBERS = 16
+_PROBE_BATCH_MAX_TERMS = 16
+
+
 class Superbank:
     """One device-resident bank for a (m_bits, k, layout) bloom param group.
 
@@ -445,21 +454,39 @@ class DeviceProbeBackend:
                 entry = _BankBatchEntry(bank2d)
                 self._batch_pending[key] = entry
             entry.requests.append(req)
-        with entry.launch_lock:
-            if not req.done.is_set():
+        # Loop until THIS request resolves: a leader drains at most a capped
+        # FIFO prefix per launch (so combined launches never exceed the
+        # program shapes warmup compiled — Tp/Cp/Mp 16); an undrained waiter
+        # simply leads the next launch. Progress: every launch drains >= 1
+        # request in FIFO order, and done-flags only flip under launch_lock.
+        while not req.done.is_set():
+            with entry.launch_lock:
+                if req.done.is_set():
+                    break
                 # The entry stays in the map while this launch runs so new
                 # arrivals queue behind THIS lock (deleting it here would
                 # hand them a fresh, uncontended entry — no batching).
                 with self._batch_lock:
-                    batch = entry.requests
-                    entry.requests = []
+                    batch = []
+                    total = 0
+                    while entry.requests:
+                        nxt = entry.requests[0]
+                        if batch and (
+                            len(batch) >= _PROBE_BATCH_MAX_MEMBERS
+                            or total + nxt.T > _PROBE_BATCH_MAX_TERMS
+                        ):
+                            break
+                        batch.append(entry.requests.pop(0))
+                        total += nxt.T
                 try:
                     self._launch_combined(bank2d, capacity, k, batch)
                 except BaseException as exc:
                     for r in batch:
                         r.error = exc
                         r.done.set()
-                    raise
+                    if req.done.is_set():
+                        break  # our own failure propagates below
+                    raise  # infrastructure failure before our turn
         # Drop the entry (and its bank ref) once nothing is pending; a
         # request appended concurrently keeps it alive and its own thread
         # will lead the next launch.

@@ -316,6 +316,61 @@ class TestCrossQueryBatching:
             expected = probe_bank_host(bank, terms, PARAMS.m_bits, PARAMS.k)
             np.testing.assert_array_equal(match, expected, err_msg=f"query {qi}")
 
+    def test_big_burst_respects_launch_caps_and_stays_exact(self):
+        """A burst larger than the combiner caps splits into multiple
+        capped launches (every combined shape stays inside the warmed
+        program set) and every query still gets its exact slice."""
+        import threading
+
+        from bloomsearch_tpu.bloom.bank import (
+            _PROBE_BATCH_MAX_MEMBERS,
+            _PROBE_BATCH_MAX_TERMS,
+        )
+
+        backend = DeviceProbeBackend(mesh_devices=1)
+        keys = [([f"fld{i}"], [f"tok{i}", "shared"], [f"fld{i}::tok{i}"]) for i in range(40)]
+        bank = make_bank(PARAMS, keys)
+        mk = (PARAMS.m_bits, PARAMS.k, "classic")
+        backend.probe_groups([(b"F", 0, mk, lambda: bank)], make_terms(("token", "shared"))[1])
+
+        batch_shapes = []
+        orig = backend._launch_combined
+
+        def recording_launch(bank2d, capacity, k, batch):
+            import time as _t
+
+            batch_shapes.append((len(batch), sum(r.T for r in batch)))
+            _t.sleep(0.02)  # let requests pile up behind the leader
+            return orig(bank2d, capacity, k, batch)
+
+        backend._launch_combined = recording_launch
+        results = {}
+        errors = []
+
+        def one_query(qi):
+            try:
+                _, terms = make_terms(("token", f"tok{qi}"), ("token", "shared"))
+                out = backend.probe_groups([(b"F", 0, mk, lambda: bank)], terms)
+                results[qi] = out[(b"F", 0)]
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        threads = [threading.Thread(target=one_query, args=(qi,)) for qi in range(24)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        for members, total_t in batch_shapes:
+            assert members == 1 or (
+                members <= _PROBE_BATCH_MAX_MEMBERS
+                and total_t <= _PROBE_BATCH_MAX_TERMS
+            ), batch_shapes
+        for qi, match in results.items():
+            _, terms = make_terms(("token", f"tok{qi}"), ("token", "shared"))
+            expected = probe_bank_host(bank, terms, PARAMS.m_bits, PARAMS.k)
+            np.testing.assert_array_equal(match, expected, err_msg=f"query {qi}")
+
     def test_mixed_reduce_and_plain_batch(self):
         import threading
 
