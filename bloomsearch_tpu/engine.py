@@ -739,6 +739,26 @@ class BloomSearchEngine:
             except Exception:
                 logger.exception("warmup: file-level bank build failed")
 
+        # Serving mode: pre-pin rows CONCURRENTLY with the bank loads +
+        # probe compiles below — the passes touch independent subsystems
+        # (row cache stream vs superbanks), so each one's host work
+        # (decode/pack, XLA compile CPU time) hides behind the other's
+        # host->device transfer waits. Joined before the scan compiles,
+        # which need the final stream matrix shape.
+        pinned: list = []
+        pin_thread = None
+        if self._row_cache is not None:
+            def _pin_all():
+                try:
+                    pinned.extend(self._warmup_pin_rows(maybe_files))
+                except Exception:
+                    logger.exception("warmup: row pin pass failed")
+
+            pin_thread = threading.Thread(
+                target=_pin_all, name="bloomsearch-warm-pins", daemon=True
+            )
+            pin_thread.start()
+
         # Block banks: make every group resident (device superbanks or the
         # host cache); remember one (pointer, gi) per (m, k, layout) for the
         # compile pass below.
@@ -818,31 +838,13 @@ class BloomSearchEngine:
         except Exception:
             pass  # best-effort; threads spawn on first use regardless
 
-        # Serving mode: pre-pin rows up to the cache budget and compile the
-        # batched scan program, so the first query's scan is also warm.
+        # Serving mode: wait for the pin pass, then compile the scan
+        # programs so the first query's scan is also warm.
         if self._row_cache is not None:
-            pinned = []
-            budget = self.config.row_cache_bytes
-            for mf in maybe_files:
-                for blk in mf.metadata.data_blocks:
-                    if self._stop_event.is_set():
-                        return
-                    if self._row_cache.total_bytes() >= budget:
-                        break
-                    key = (mf.pointer, blk.offset)
-                    entry = self._row_cache.get(key)
-                    if entry is None:
-                        try:
-                            entry = self._decode_and_pin(mf.pointer, blk)
-                        except FileNotFoundError:
-                            break
-                        except Exception:
-                            logger.exception(
-                                "warmup: row pin failed for %r", mf.pointer
-                            )
-                            continue
-                    if entry is not None:
-                        pinned.append(entry)
+            if pin_thread is not None:
+                pin_thread.join()
+            if self._stop_event.is_set():
+                return
             if pinned:
                 # One dense scan per word bucket: each (matrix shape, word
                 # bucket) pair is its own jit program, and an uncompiled
@@ -884,6 +886,31 @@ class BloomSearchEngine:
                     except Exception:
                         logger.exception("warmup: scan compile failed")
                         break
+
+    def _warmup_pin_rows(self, maybe_files) -> list:
+        """Pre-pin rows up to the serving cache budget (warmup pin pass;
+        runs on its own thread concurrent with the bank/probe warms)."""
+        pins: list = []
+        budget = self.config.row_cache_bytes
+        for mf in maybe_files:
+            for blk in mf.metadata.data_blocks:
+                if self._stop_event.is_set():
+                    return pins
+                if self._row_cache.total_bytes() >= budget:
+                    break
+                key = (mf.pointer, blk.offset)
+                entry = self._row_cache.get(key)
+                if entry is None:
+                    try:
+                        entry = self._decode_and_pin(mf.pointer, blk)
+                    except FileNotFoundError:
+                        break
+                    except Exception:
+                        logger.exception("warmup: row pin failed for %r", mf.pointer)
+                        continue
+                if entry is not None:
+                    pins.append(entry)
+        return pins
 
     def _decode_and_pin(self, pointer: bytes, blk):
         """Decode one block (CRC-verified) and pin its rows in the device
