@@ -804,9 +804,14 @@ class DeviceRowCache:
         fresh: dict[bytes, np.ndarray] = {}
         if missing:
             self.launches += 1
-            max_words = scan_word_bucket(max(len(n) for n in missing))
+            # Sort by length before chunking: each launch's word-loop bound
+            # is its LONGEST needle, so grouping similar lengths keeps a
+            # short-needle launch from paying a long needle's word bucket
+            # (the kernel is VPU-issue-bound in the word loop).
+            missing.sort(key=len)
             for base in range(0, len(missing), chunk):
                 part = missing[base : base + chunk]
+                max_words = scan_word_bucket(max(len(n) for n in part))
                 # >= 8: Mosaic sublane tiling on the kernel's needle axis.
                 n_bucket = max(8, _round_up_pow2(len(part)))
                 padded = np.zeros((n_bucket, MAX_NEEDLE), dtype=np.int32)
