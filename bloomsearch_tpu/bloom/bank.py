@@ -45,10 +45,10 @@ def _pad_terms(n: int) -> int:
 
 
 # Combined-launch caps: the probe combiner drains at most this many members
-# / total terms per launch so coalesced bursts never exceed the program
-# shapes engine.warmup() precompiles (Tp/Cp/Mp 16); undrained requests lead
-# the next launch. A SINGLE query above the term cap still launches alone
-# (one-off larger shape, compiled on first use).
+# / total terms / total CNF clauses per launch so coalesced bursts never
+# exceed the program shapes engine.warmup() precompiles (Tp/Cp/Mp 16);
+# undrained requests lead the next launch. A SINGLE query above a cap still
+# launches alone (one-off larger shape, compiled on first use).
 _PROBE_BATCH_MAX_MEMBERS = 16
 _PROBE_BATCH_MAX_TERMS = 16
 
@@ -459,40 +459,57 @@ class DeviceProbeBackend:
         # program shapes warmup compiled — Tp/Cp/Mp 16); an undrained waiter
         # simply leads the next launch. Progress: every launch drains >= 1
         # request in FIFO order, and done-flags only flip under launch_lock.
-        while not req.done.is_set():
-            with entry.launch_lock:
-                if req.done.is_set():
-                    break
-                # The entry stays in the map while this launch runs so new
-                # arrivals queue behind THIS lock (deleting it here would
-                # hand them a fresh, uncontended entry — no batching).
-                with self._batch_lock:
-                    batch = []
-                    total = 0
-                    while entry.requests:
-                        nxt = entry.requests[0]
-                        if batch and (
-                            len(batch) >= _PROBE_BATCH_MAX_MEMBERS
-                            or total + nxt.T > _PROBE_BATCH_MAX_TERMS
-                        ):
-                            break
-                        batch.append(entry.requests.pop(0))
-                        total += nxt.T
-                try:
-                    self._launch_combined(bank2d, capacity, k, batch)
-                except BaseException as exc:
-                    for r in batch:
-                        r.error = exc
-                        r.done.set()
+        try:
+            while not req.done.is_set():
+                with entry.launch_lock:
                     if req.done.is_set():
-                        break  # our own failure propagates below
-                    raise  # infrastructure failure before our turn
-        # Drop the entry (and its bank ref) once nothing is pending; a
-        # request appended concurrently keeps it alive and its own thread
-        # will lead the next launch.
-        with self._batch_lock:
-            if self._batch_pending.get(key) is entry and not entry.requests:
-                del self._batch_pending[key]
+                        break
+                    # The entry stays in the map while this launch runs so
+                    # new arrivals queue behind THIS lock (deleting it here
+                    # would hand them a fresh, uncontended entry — no
+                    # batching).
+                    with self._batch_lock:
+                        batch = []
+                        total_t = total_c = 0
+                        while entry.requests:
+                            nxt = entry.requests[0]
+                            nxt_c = (
+                                nxt.clause_mask.shape[0]
+                                if nxt.clause_mask is not None
+                                else 0
+                            )
+                            if batch and (
+                                len(batch) >= _PROBE_BATCH_MAX_MEMBERS
+                                or total_t + nxt.T > _PROBE_BATCH_MAX_TERMS
+                                or total_c + nxt_c > _PROBE_BATCH_MAX_TERMS
+                            ):
+                                break
+                            batch.append(entry.requests.pop(0))
+                            total_t += nxt.T
+                            total_c += nxt_c
+                    try:
+                        self._launch_combined(bank2d, capacity, k, batch)
+                    except BaseException as exc:
+                        # Fail EVERYTHING pending on this entry, not just
+                        # the drained batch: leaving undrained requests
+                        # queued would abandon their waiting threads (and
+                        # leak the entry's device-array ref if no further
+                        # probe ever hits this bank). Each owner re-raises
+                        # via its own req.error.
+                        with self._batch_lock:
+                            leftovers = entry.requests
+                            entry.requests = []
+                        for r in batch + leftovers:
+                            r.error = exc
+                            r.done.set()
+                        break
+        finally:
+            # Drop the entry (and its bank ref) once nothing is pending; a
+            # request appended concurrently keeps it alive and its own
+            # thread will lead the next launch.
+            with self._batch_lock:
+                if self._batch_pending.get(key) is entry and not entry.requests:
+                    del self._batch_pending[key]
         if req.error is not None:
             raise req.error
         return req.result

@@ -38,6 +38,10 @@ from .remote import RemoteQueryPeer
 
 logger = logging.getLogger("bloomsearch_tpu.discovery")
 
+# Per-peer cap on BlockStats held back during exactly-once failover
+# buffering; stats are a lossy stream by contract, so overflow drops.
+_STATS_BUFFER_MAX = 4096
+
 
 @dataclass(frozen=True)
 class PeerInfo:
@@ -271,8 +275,14 @@ class CapacityScatterCoordinator:
             buffering = self.max_retries > 0
             buffered: list = []
             stats_buffer: list = []
+            # Bounded: stats are lossy by contract (peers push with
+            # try_put), so capping both the transfer queue and the holdback
+            # buffer keeps coordinator memory bounded by block-stats volume
+            # too, not just by failover_buffer_rows.
             peer_stats: Optional[queue.Queue] = (
-                queue.Queue() if stats_queue is not None else None
+                queue.Queue(maxsize=_STATS_BUFFER_MAX)
+                if stats_queue is not None
+                else None
             )
             failure: Optional[BaseException] = None
 
@@ -286,7 +296,7 @@ class CapacityScatterCoordinator:
                             stats_queue.put_nowait(st)  # lossy by contract
                         except queue.Full:
                             pass
-                    elif not forward:
+                    elif not forward and len(stats_buffer) < _STATS_BUFFER_MAX:
                         stats_buffer.append(st)
 
             def flush_buffers() -> None:

@@ -242,14 +242,17 @@ def _device_scan_fn(mesh):
 
 class _PinnedBlock:
     __slots__ = (
-        "key", "chunk_start", "num_chunks", "num_rows", "always_candidate",
+        "key", "num_chunks", "num_rows", "always_candidate",
         "nbytes", "data", "row_offsets", "row_lengths", "_row_ends",
     )
 
-    def __init__(self, key, chunk_start, num_chunks, num_rows, always_candidate,
+    def __init__(self, key, num_chunks, num_rows, always_candidate,
                  data, row_offsets, row_lengths):
+        # The block's chunk placement lives ONLY in the stream bucket's
+        # segments map (snapshot under the cache lock) — never on the block
+        # object, where an unsynchronized copy would go stale under
+        # compaction.
         self.key = key
-        self.chunk_start = chunk_start  # chunk offset inside the stream matrix
         self.num_chunks = num_chunks
         self.num_rows = num_rows
         self.always_candidate = always_candidate  # bool[num_rows]
@@ -476,10 +479,6 @@ class DeviceRowCache:
             bucket.used = cursor
             bucket.dead = 0
             bucket.segments = new_segments
-            for key, (start, _n) in new_segments.items():
-                block = self._blocks.get(key)
-                if block is not None:
-                    block.chunk_start = start
             bucket.version += 1
             bucket.needle_cache.clear()
 
@@ -602,7 +601,7 @@ class DeviceRowCache:
                     off += piece
 
             block = _PinnedBlock(
-                key, used, n_chunks, num_rows, always_candidate,
+                key, n_chunks, num_rows, always_candidate,
                 data, row_offsets, row_lengths,
             )
             with self._lock:
