@@ -1,0 +1,457 @@
+"""Linear-time regex execution guard for the final verification stage.
+
+The reference's Go ``regexp`` is RE2-class: every pattern it accepts runs in
+time linear in the input (reference tokenizer.go:315-366, query.go:480-501).
+CPython's ``re`` backtracks, so one pathological user-supplied pattern (e.g.
+``(a+)+$``) against a crafted row could stall a block worker indefinitely.
+This module bounds regex execution without giving up ``re``'s C-speed on the
+common case:
+
+1. **Compile-time risk screen** over the ``re`` parse tree: nested
+   quantifiers, quantified alternation without provably-disjoint literal
+   first characters, and repeats over possibly-empty bodies are flagged
+   risky. The screen is conservative — false "risky" costs speed, never
+   correctness.
+2. Risky patterns the NFA can express run on a **Pike-VM simulation**
+   (O(len(input) x program size), no backtracking — the RE2 guarantee).
+3. Risky patterns the VM cannot express (lookaround, backreferences,
+   possessive/atomic groups, IGNORECASE/MULTILINE flags) fall back to the
+   third-party ``regex`` engine under a **per-match wall-clock budget**;
+   exceeding it raises :class:`RegexBudgetExceeded`, failing the query
+   instead of wedging the worker.
+4. Patterns the screen clears keep CPython's ``re`` matcher untouched.
+
+Note the Pike VM targets boolean ``search`` semantics only (does the pattern
+match anywhere?), which is all the final filter stage needs
+(tokenizer.py:row_matches_regex_condition); greedy-vs-lazy is irrelevant for
+existence. Unicode category predicates (``\\w``/``\\d``/``\\s``) use
+CPython's documented definitions via ``str`` methods.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, List, Optional, Tuple
+
+try:  # Python 3.11+
+    from re import _parser as sre_parse
+    from re import _constants as sre_c
+except ImportError:  # pragma: no cover - older interpreters
+    import sre_parse  # type: ignore
+    import sre_constants as sre_c  # type: ignore
+
+MAXREPEAT = sre_c.MAXREPEAT
+
+# Per-row wall-clock budget for the backtracking fallback engine (seconds).
+REGEX_MATCH_BUDGET_S = 1.0
+
+# Pike-VM program size cap: counted repeats expand, so e.g. (a{1,5000}){5000}
+# would otherwise build a huge program. Past the cap the pattern routes to
+# the budgeted fallback engine instead.
+_MAX_PROGRAM = 20_000
+
+# A bounded repeat this large is "effectively unbounded" for the risk screen.
+_BIG_REPEAT = 32
+
+
+class RegexBudgetExceeded(RuntimeError):
+    """A risky pattern exceeded its per-row matching budget."""
+
+
+class _Unsupported(Exception):
+    """Internal: parse-tree construct the Pike VM cannot express."""
+
+
+# ---------------------------------------------------------------------------
+# Risk screen
+# ---------------------------------------------------------------------------
+
+
+def _repeat_bounds(op, av) -> Optional[Tuple[int, int]]:
+    if op in (sre_c.MAX_REPEAT, sre_c.MIN_REPEAT, getattr(sre_c, "POSSESSIVE_REPEAT", None)):
+        lo, hi, _body = av
+        return lo, (1 << 30) if hi is MAXREPEAT else hi
+    return None
+
+
+def _subpattern_body(op, av):
+    if op == sre_c.SUBPATTERN:
+        return av[3]
+    if op == getattr(sre_c, "ATOMIC_GROUP", None):
+        return av
+    return None
+
+
+def _can_match_empty(items) -> bool:
+    """Can this sequence of parse-tree items match the empty string?"""
+    for op, av in items:
+        bounds = _repeat_bounds(op, av)
+        if bounds is not None:
+            lo, _hi = bounds
+            if lo == 0 or _can_match_empty(av[2]):
+                continue
+            return False
+        body = _subpattern_body(op, av)
+        if body is not None:
+            if _can_match_empty(body):
+                continue
+            return False
+        if op == sre_c.BRANCH:
+            if any(_can_match_empty(b) for b in av[1]):
+                continue
+            return False
+        if op == sre_c.AT:
+            continue  # zero-width
+        if op in (sre_c.ASSERT, sre_c.ASSERT_NOT):
+            continue  # zero-width
+        return False  # LITERAL / IN / ANY ... consume input
+    return True
+
+
+def _first_literal(items) -> Optional[int]:
+    """The single literal codepoint every match of ``items`` starts with,
+    or None if unknown/variable."""
+    for op, av in items:
+        if op == sre_c.LITERAL:
+            return av
+        body = _subpattern_body(op, av)
+        if body is not None:
+            return _first_literal(body)
+        bounds = _repeat_bounds(op, av)
+        if bounds is not None and bounds[0] >= 1:
+            return _first_literal(av[2])
+        return None
+    return None
+
+
+def _contains_repeat(items, min_span: int = 2) -> bool:
+    """Does ``items`` contain a repeat able to iterate (hi >= min_span)?"""
+    for op, av in items:
+        bounds = _repeat_bounds(op, av)
+        if bounds is not None:
+            if bounds[1] >= min_span or _contains_repeat(av[2], min_span):
+                return True
+            continue
+        body = _subpattern_body(op, av)
+        if body is not None:
+            if _contains_repeat(body, min_span):
+                return True
+            continue
+        if op == sre_c.BRANCH:
+            if any(_contains_repeat(b, min_span) for b in av[1]):
+                return True
+        if op in (sre_c.ASSERT, sre_c.ASSERT_NOT):
+            if _contains_repeat(av[1], min_span):
+                return True
+    return False
+
+
+def _risky(items) -> bool:
+    for op, av in items:
+        bounds = _repeat_bounds(op, av)
+        if bounds is not None:
+            lo, hi = bounds
+            body = av[2]
+            if hi >= 2:
+                # Nested quantifier: (x+)+, (x{0,9}){0,9}, ...
+                if _contains_repeat(body):
+                    return True
+                # Repeat over a possibly-empty body: (a?)* and friends.
+                if _can_match_empty(body):
+                    return True
+                # Quantified alternation — safe only when every branch
+                # starts with a distinct literal character (no overlap).
+                for bop, bav in body if isinstance(body, list) else list(body):
+                    if bop == sre_c.BRANCH or _subpattern_body(bop, bav) is not None:
+                        inner = bav[1] if bop == sre_c.BRANCH else _subpattern_body(bop, bav)
+                        if bop != sre_c.BRANCH:
+                            if _risky_branch_like(inner):
+                                return True
+                            continue
+                        firsts = [_first_literal(b) for b in inner]
+                        if len(set(firsts)) != len(firsts) or None in firsts:
+                            return True
+                # Huge bounded repeats still multiply; treat big-x-big as
+                # nested even without an inner star.
+                if hi >= _BIG_REPEAT and _contains_repeat(body, _BIG_REPEAT):
+                    return True
+            if _risky(body):
+                return True
+            continue
+        body = _subpattern_body(op, av)
+        if body is not None:
+            if _risky(body):
+                return True
+            continue
+        if op == sre_c.BRANCH:
+            if any(_risky(b) for b in av[1]):
+                return True
+            continue
+        if op in (sre_c.ASSERT, sre_c.ASSERT_NOT):
+            if _risky(av[1]):
+                return True
+    return False
+
+
+def _risky_branch_like(items) -> bool:
+    """Helper: a subpattern inside a repeat whose own body is a branch."""
+    for op, av in items:
+        if op == sre_c.BRANCH:
+            firsts = [_first_literal(b) for b in av[1]]
+            if len(set(firsts)) != len(firsts) or None in firsts:
+                return True
+    return False
+
+
+def pattern_is_risky(pattern: str) -> bool:
+    """True if ``pattern`` may backtrack super-linearly under ``re``."""
+    return _risky(list(sre_parse.parse(pattern)))
+
+
+# ---------------------------------------------------------------------------
+# Pike VM: NFA compile + breadth-first simulation (never backtracks)
+# ---------------------------------------------------------------------------
+
+_CHAR, _SPLIT, _JMP, _ASSERT, _MATCH = range(5)
+
+
+def _is_word(ch: str) -> bool:
+    return ch.isalnum() or ch == "_"
+
+
+def _category_pred(cat) -> Callable[[str], bool]:
+    if cat == sre_c.CATEGORY_DIGIT:
+        return lambda ch: ch.isdecimal()
+    if cat == sre_c.CATEGORY_NOT_DIGIT:
+        return lambda ch: not ch.isdecimal()
+    if cat == sre_c.CATEGORY_SPACE:
+        return lambda ch: ch.isspace()
+    if cat == sre_c.CATEGORY_NOT_SPACE:
+        return lambda ch: not ch.isspace()
+    if cat == sre_c.CATEGORY_WORD:
+        return _is_word
+    if cat == sre_c.CATEGORY_NOT_WORD:
+        return lambda ch: not _is_word(ch)
+    raise _Unsupported(f"category {cat}")
+
+
+def _in_pred(items) -> Callable[[str], bool]:
+    negate = False
+    tests: List[Callable[[str], bool]] = []
+    literals = set()
+    for op, av in items:
+        if op == sre_c.NEGATE:
+            negate = True
+        elif op == sre_c.LITERAL:
+            literals.add(chr(av))
+        elif op == sre_c.RANGE:
+            lo, hi = av
+            tests.append(lambda ch, lo=lo, hi=hi: lo <= ord(ch) <= hi)
+        elif op == sre_c.CATEGORY:
+            tests.append(_category_pred(av))
+        else:
+            raise _Unsupported(f"class item {op}")
+
+    def pred(ch: str) -> bool:
+        hit = ch in literals or any(t(ch) for t in tests)
+        return not hit if negate else hit
+
+    return pred
+
+
+class _Program:
+    __slots__ = ("ops", "args")
+
+    def __init__(self):
+        self.ops: List[int] = []
+        self.args: List = []
+
+    def emit(self, op, arg=None) -> int:
+        if len(self.ops) >= _MAX_PROGRAM:
+            raise _Unsupported("program too large")
+        self.ops.append(op)
+        self.args.append(arg)
+        return len(self.ops) - 1
+
+
+class LinearMatcher:
+    """Boolean unanchored ``search`` via Pike-VM NFA simulation."""
+
+    def __init__(self, pattern: str):
+        parsed = sre_parse.parse(pattern)
+        flags = parsed.state.flags
+        # TEMPLATE/DEBUG aside, only flags that change matching semantics in
+        # ways the VM does not model are rejected (fallback handles them).
+        if flags & (re.IGNORECASE | re.MULTILINE | re.LOCALE):
+            raise _Unsupported("flags")
+        self._dotall = bool(flags & re.DOTALL)
+        self._prog = _Program()
+        self._compile_seq(list(parsed))
+        self._prog.emit(_MATCH)
+
+    # -- compilation --------------------------------------------------------
+
+    def _compile_seq(self, items) -> None:
+        for op, av in items:
+            self._compile_one(op, av)
+
+    def _compile_one(self, op, av) -> None:
+        prog = self._prog
+        if op == sre_c.LITERAL:
+            c = chr(av)
+            prog.emit(_CHAR, lambda ch, c=c: ch == c)
+        elif op == sre_c.NOT_LITERAL:
+            c = chr(av)
+            prog.emit(_CHAR, lambda ch, c=c: ch != c)
+        elif op == sre_c.ANY:
+            if self._dotall:
+                prog.emit(_CHAR, lambda ch: True)
+            else:
+                prog.emit(_CHAR, lambda ch: ch != "\n")
+        elif op == sre_c.IN:
+            prog.emit(_CHAR, _in_pred(av))
+        elif op == sre_c.AT:
+            prog.emit(_ASSERT, av)
+        elif op == sre_c.SUBPATTERN:
+            self._compile_seq(av[3])
+        elif op == sre_c.BRANCH:
+            branches = av[1]
+            jumps = []
+            for i, branch in enumerate(branches):
+                if i < len(branches) - 1:
+                    split = prog.emit(_SPLIT)
+                    self._compile_seq(branch)
+                    jumps.append(prog.emit(_JMP))
+                    prog.args[split] = (split + 1, len(prog.ops))
+                else:
+                    self._compile_seq(branch)
+            for j in jumps:
+                prog.args[j] = len(prog.ops)
+        elif _repeat_bounds(op, av) is not None:
+            if op == getattr(sre_c, "POSSESSIVE_REPEAT", None):
+                raise _Unsupported("possessive repeat")
+            lo, hi, body = av
+            body = list(body)
+            for _ in range(lo):
+                self._compile_seq(body)
+            if hi is MAXREPEAT:
+                loop = len(prog.ops)
+                split = prog.emit(_SPLIT)
+                self._compile_seq(body)
+                prog.emit(_JMP, loop)
+                prog.args[split] = (split + 1, len(prog.ops))
+            else:
+                splits = []
+                for _ in range(hi - lo):
+                    splits.append(prog.emit(_SPLIT))
+                    self._compile_seq(body)
+                end = len(prog.ops)
+                for s in splits:
+                    prog.args[s] = (s + 1, end)
+        else:
+            raise _Unsupported(f"op {op}")
+
+    # -- simulation ---------------------------------------------------------
+
+    def _assert_ok(self, kind, s: str, pos: int) -> bool:
+        n = len(s)
+        if kind == sre_c.AT_BEGINNING or kind == sre_c.AT_BEGINNING_STRING:
+            return pos == 0
+        if kind == sre_c.AT_END:
+            return pos == n or (pos == n - 1 and s[pos] == "\n")
+        if kind == sre_c.AT_END_STRING:
+            return pos == n
+        if kind == sre_c.AT_BOUNDARY or kind == sre_c.AT_NON_BOUNDARY:
+            before = _is_word(s[pos - 1]) if pos > 0 else False
+            after = _is_word(s[pos]) if pos < n else False
+            at = before != after
+            return at if kind == sre_c.AT_BOUNDARY else not at
+        raise _Unsupported(f"assert {kind}")  # pragma: no cover
+
+    def search(self, s: str) -> bool:
+        ops, args = self._prog.ops, self._prog.args
+        n = len(s)
+        current: List[int] = []
+        in_current = bytearray(len(ops))
+
+        def add(pc: int, pos: int) -> bool:
+            """Epsilon-closure insert; True means MATCH reached."""
+            stack = [pc]
+            while stack:
+                p = stack.pop()
+                if in_current[p]:
+                    continue
+                in_current[p] = 1
+                op = ops[p]
+                if op == _MATCH:
+                    return True
+                if op == _JMP:
+                    stack.append(args[p])
+                elif op == _SPLIT:
+                    a, b = args[p]
+                    stack.append(b)
+                    stack.append(a)
+                elif op == _ASSERT:
+                    if self._assert_ok(args[p], s, pos):
+                        stack.append(p + 1)
+                else:  # _CHAR: blocks until a character is consumed
+                    current.append(p)
+            return False
+
+        for pos in range(n + 1):
+            # Unanchored search: seed a fresh attempt at every position.
+            if add(0, pos):
+                return True
+            if pos == n:
+                break
+            ch = s[pos]
+            runnable, current = current, []
+            in_current = bytearray(len(ops))
+            for pc in runnable:
+                if args[pc](ch) and add(pc + 1, pos + 1):
+                    return True
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Public entry: build a bounded boolean matcher for a pattern
+# ---------------------------------------------------------------------------
+
+
+def build_safe_matcher(pattern: str) -> Callable[[str], bool]:
+    """Return ``matcher(s) -> bool`` with bounded execution time.
+
+    Raises ``re.error`` for invalid patterns (same contract as
+    ``re.compile``; reference CompileRegexQuery fails fast the same way,
+    tokenizer.go:315-366).
+    """
+    compiled = re.compile(pattern)  # validity + the fast path
+    try:
+        risky = pattern_is_risky(pattern)
+    except Exception:
+        risky = True  # unparseable by the screen -> assume the worst
+    if not risky:
+        return lambda s, _c=compiled: _c.search(s) is not None
+    try:
+        vm = LinearMatcher(pattern)
+        return vm.search
+    except _Unsupported:
+        pass
+    try:
+        import regex as _regex_mod
+    except ImportError:  # pragma: no cover - regex is baked into this image
+        raise re.error(
+            f"pattern {pattern!r} risks catastrophic backtracking and no "
+            "bounded engine is available"
+        )
+    fallback = _regex_mod.compile(pattern)
+
+    def budgeted(s: str, _c=fallback) -> bool:
+        try:
+            return _c.search(s, timeout=REGEX_MATCH_BUDGET_S) is not None
+        except TimeoutError:
+            raise RegexBudgetExceeded(
+                f"regex {pattern!r} exceeded {REGEX_MATCH_BUDGET_S}s on a row"
+            )
+
+    return budgeted

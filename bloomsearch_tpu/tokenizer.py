@@ -211,11 +211,11 @@ def row_matches_bloom_expression(row, expression, delimiter, tokenizer: ValueTok
 
 
 class CompiledRegexCondition:
-    __slots__ = ("field", "pattern")
+    __slots__ = ("field", "matcher")
 
-    def __init__(self, field: str, pattern: re.Pattern):
+    def __init__(self, field: str, matcher):
         self.field = field
-        self.pattern = pattern
+        self.matcher = matcher  # callable str -> bool, bounded execution
 
 
 class CompiledRegexExpression:
@@ -239,6 +239,11 @@ def compile_regex_query(regex_query) -> Optional[CompiledRegexQuery]:
 
     (reference CompileRegexQuery, tokenizer.go:315-366; invalid patterns raise
     ``re.error`` like the reference returns an error.)
+
+    Matchers are execution-bounded: the reference's Go regexp is RE2-class
+    (guaranteed linear), so patterns that could backtrack catastrophically
+    under CPython ``re`` are routed through :mod:`.relinear` (Pike-VM NFA or
+    a per-row wall-clock budget) instead of stalling a block worker.
     """
     if regex_query is None or regex_query.expression is None:
         return None
@@ -254,10 +259,12 @@ def _compile_regex_expression(expression) -> Optional[CompiledRegexExpression]:
     if expression.expression_type == RegexExprType.CONDITION:
         if expression.condition is None:
             return None
-        pattern = re.compile(expression.condition.pattern)
+        from .relinear import build_safe_matcher
+
+        matcher = build_safe_matcher(expression.condition.pattern)
         return CompiledRegexExpression(
             RegexExprType.CONDITION,
-            condition=CompiledRegexCondition(expression.condition.field, pattern),
+            condition=CompiledRegexCondition(expression.condition.field, matcher),
         )
     children = []
     for child in expression.children:
@@ -276,7 +283,7 @@ def row_matches_regex_condition(row, condition: CompiledRegexCondition, delimite
         return True
     components = condition.field.split(delimiter)
     return walk_json_for_field_value(
-        row, components, 0, lambda v: condition.pattern.search(go_like_str(v)) is not None
+        row, components, 0, lambda v: condition.matcher(go_like_str(v))
     )
 
 
