@@ -2154,11 +2154,6 @@ class _Merger:
         """(reference executeMergeGroup, :1606-1702)"""
         engine = self.engine
 
-        # OR-merge file-level filters (identical params by grouping).
-        file_filters = group[0].metadata.bloom_filters.copy()
-        for mf in group[1:]:
-            file_filters.merge(mf.metadata.bloom_filters)
-
         # Collect live (non-expired) blocks, bucketed by partition.
         by_partition: dict[str, list[_SourceBlock]] = {}
         expired = 0
@@ -2170,8 +2165,29 @@ class _Merger:
                 by_partition.setdefault(blk.partition_id, []).append(
                     _SourceBlock(mf.pointer, mf.metadata, blk)
                 )
+
+        # File-level filters: OR-merge the sources (identical params by
+        # grouping) — exact when every source block survives. When expiry
+        # DROPS blocks, ORing stale source filters would keep the dropped
+        # blocks' keys matching at file level forever (FPR drag compounding
+        # with every expiry-merge generation), so rebuild a fresh triple
+        # from the surviving rows instead; survivors are re-tokenized as
+        # they stream through copy/merge below (VERDICT r3 item 8).
+        rebuild_filters: Optional[BloomFilters] = None
         if expired:
             logger.info("merge: dropping %d expired block(s)", expired)
+            rebuild_filters = BloomFilters.from_params(
+                BloomParams(
+                    group[0].metadata.bloom_expected_items,
+                    group[0].metadata.bloom_false_positive_rate,
+                    layout=group[0].metadata.bloom_filters.field.layout,
+                )
+            )
+            file_filters = rebuild_filters
+        else:
+            file_filters = group[0].metadata.bloom_filters.copy()
+            for mf in group[1:]:
+                file_filters.merge(mf.metadata.bloom_filters)
 
         writer_fh, new_pointer = engine.data_store.create_file()
         try:
@@ -2191,7 +2207,9 @@ class _Merger:
 
             try:
                 for partition_id, blocks in by_partition.items():
-                    self._process_partition_blocks(writer, blocks, fh_for, stats)
+                    self._process_partition_blocks(
+                        writer, blocks, fh_for, stats, rebuild_filters
+                    )
             finally:
                 for fh in open_files.values():
                     fh.close()
@@ -2225,7 +2243,9 @@ class _Merger:
         with self.engine.data_store.open_file(pointer) as fh:
             return read_file_metadata(fh)
 
-    def _process_partition_blocks(self, writer, blocks, fh_for, stats: MergeStats) -> None:
+    def _process_partition_blocks(
+        self, writer, blocks, fh_for, stats: MergeStats, rebuild_filters=None
+    ) -> None:
         """Greedy grouping under caps, then copy or stream-merge
 
         (reference processPartitionBlocks, :1704-1760).
@@ -2254,16 +2274,65 @@ class _Merger:
                 else:
                     i += 1
             if len(bucket) == 1:
-                self._copy_block(writer, seed, fh_for, stats)
+                self._copy_block(writer, seed, fh_for, stats, rebuild_filters)
             else:
-                self._merge_blocks(writer, bucket, fh_for, stats)
+                self._merge_blocks(writer, bucket, fh_for, stats, rebuild_filters)
+
+    def _rebuild_add_rows(self, filters: BloomFilters, rows: list[bytes]) -> None:
+        """Re-tokenize surviving rows into a fresh file-level filter triple.
+
+        Same keyspace expansion as ingest (_IngestState._add_rows): the
+        native batch tokenizer when the engine runs the default tokenizer,
+        with the Python semantic spec for flagged (unicode) rows.
+        """
+        config = self.config
+        native_result = None
+        if (
+            rows
+            and config.tokenizer is basic_whitespace_lower_tokenizer
+            and _native_ingest_available()
+        ):
+            native_result = _native_tokenize(rows, config.delimiter)
+        if native_result is not None:
+            field_h, token_h, ft_h, fallback_mask = native_result
+            for hashes, selector in (
+                (field_h, "field"),
+                (token_h, "token"),
+                (ft_h, "field_token"),
+            ):
+                if len(hashes):
+                    getattr(filters, selector).add_hashes(hashes)
+            flagged = [json.loads(r) for r, fb in zip(rows, fallback_mask) if fb]
+        else:
+            flagged = [json.loads(r) for r in rows]
+        if not flagged:
+            return
+        field_keys: dict[str, None] = {}
+        token_keys: dict[str, None] = {}
+        ft_keys: dict[str, None] = {}
+        for row in flagged:
+            for path, values in unique_fields(row, config.delimiter).items():
+                field_keys[path] = None
+                for value in values:
+                    for tok in config.tokenizer(value):
+                        token_keys[tok] = None
+                        ft_keys[make_field_token_key(path, tok)] = None
+        for keys, selector in (
+            (field_keys, "field"),
+            (token_keys, "token"),
+            (ft_keys, "field_token"),
+        ):
+            if keys:
+                getattr(filters, selector).add_hashes(hash_keys(list(keys)))
 
     def _read_block_filters(self, src: _SourceBlock, fh) -> BloomFilters:
         group = src.metadata.bank_groups[src.block.bank_group]
         bank = read_bank_group(fh, group)
         return extract_block_filters(bank, group, src.block.bank_col)
 
-    def _copy_block(self, writer: DataFileWriter, src: _SourceBlock, fh_for, stats) -> None:
+    def _copy_block(
+        self, writer: DataFileWriter, src: _SourceBlock, fh_for, stats, rebuild_filters=None
+    ) -> None:
         """Raw byte copy; keeps original codec, params, minmax, timestamps
 
         (reference copyDataBlock, :1762-1786).
@@ -2271,6 +2340,16 @@ class _Merger:
         fh = fh_for(src.pointer)
         payload = read_block_rows_compressed(fh, src.block)
         filters = self._read_block_filters(src, fh)
+        if rebuild_filters is not None:
+            # Expiry dropped sibling blocks: the fresh file-level triple
+            # needs this block's keys, which means decompressing what would
+            # otherwise be a raw byte copy (the payload still raw-copies).
+            data = decompress_block(
+                payload, src.block.compression, src.block.uncompressed_size
+            )
+            self._rebuild_add_rows(
+                rebuild_filters, split_rows(data, max_rows=max(src.block.rows, 1) * 2 + 16)
+            )
         writer.add_block(
             payload,
             filters,
@@ -2286,7 +2365,9 @@ class _Merger:
         stats.rows_processed += src.block.rows
         stats.bytes_processed += src.block.size
 
-    def _merge_blocks(self, writer: DataFileWriter, bucket: list[_SourceBlock], fh_for, stats) -> None:
+    def _merge_blocks(
+        self, writer: DataFileWriter, bucket: list[_SourceBlock], fh_for, stats, rebuild_filters=None
+    ) -> None:
         """Stream-merge: OR filters, union minmax, round-robin interleave
 
         rows, re-compress to the engine's codec (reference mergeDataBlocks +
@@ -2310,6 +2391,8 @@ class _Merger:
             compressed = read_block_rows_compressed(fh, src.block)
             data = decompress_block(compressed, src.block.compression, src.block.uncompressed_size)
             rows = split_rows(data, max_rows=max(src.block.rows, 1) * 2 + 16)
+            if rebuild_filters is not None:
+                self._rebuild_add_rows(rebuild_filters, rows)
             row_streams.append(rows)
             total_rows += len(rows)
             # Newest source: merged data never expires earlier than it should.

@@ -14,6 +14,7 @@ import pytest
 
 import bloomsearch_tpu as bs
 from bloomsearch_tpu import BloomSearchEngine, BloomSearchEngineConfig, FileSystemDataStore
+from bloomsearch_tpu.tokenizer import make_field_token_key
 
 TIMEOUT = 10.0
 
@@ -359,6 +360,84 @@ class TestConditionedTTL:
             ingest_flush(engine, [{"n": 2}])
             engine.merge()
             assert len(engine.query_sync(None, timeout=TIMEOUT)) == 2
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_expiry_rebuilds_file_level_filters(self, tmp_path):
+        """A key present only in expired blocks must stop matching the merged
+        file's file-level filters (VERDICT r3 item 8): ORing stale source
+        filters would drag FPR up with every expiry-merge generation."""
+        pred = bs.prefilter_expiry(bs.partition(bs.partition_equals("cold")))
+        engine, store = make_engine(
+            tmp_path, partition_func=lambda r: r["part"], ttl_predicate=pred
+        )
+        try:
+            # Two files so a real merge group forms; cold blocks carry a
+            # token that exists nowhere else.
+            ingest_flush(
+                engine,
+                [
+                    {"n": 1, "part": "cold", "msg": "frozenword glacier"},
+                    {"n": 2, "part": "hot", "msg": "warmword ember"},
+                ],
+            )
+            ingest_flush(
+                engine,
+                [
+                    {"n": 3, "part": "cold", "msg": "frozenword tundra"},
+                    {"n": 4, "part": "hot", "msg": "warmword coal"},
+                ],
+            )
+            engine.merge()
+
+            files = store.get_maybe_files_for_query(None)
+            assert len(files) == 1
+            filters = files[0].metadata.bloom_filters
+            # Survivors still match at every keyspace...
+            assert filters.token.test("warmword")
+            assert filters.field_token.test(make_field_token_key("msg", "ember"))
+            assert filters.field.test("msg")
+            # ...expired-only keys no longer do.
+            assert not filters.token.test("frozenword")
+            assert not filters.token.test("glacier")
+            assert not filters.field_token.test(make_field_token_key("msg", "frozenword"))
+
+            rows = engine.query_sync(None, timeout=TIMEOUT)
+            assert sorted(r["n"] for r in rows) == [2, 4]
+            rows = engine.query_sync(
+                bs.new_query().token("warmword").build(), timeout=TIMEOUT
+            )
+            assert sorted(r["n"] for r in rows) == [2, 4]
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_expiry_rebuild_copy_path_unicode_fallback(self, tmp_path):
+        """Solo rewrite where the survivor raw-copies (_copy_block) and has
+        unicode content (native tokenizer flags it): the rebuilt file filter
+        must still carry the survivor's keys — zero false negatives."""
+        pred = bs.prefilter_expiry(bs.partition(bs.partition_equals("cold")))
+        engine, store = make_engine(
+            tmp_path, partition_func=lambda r: r["part"], ttl_predicate=pred
+        )
+        try:
+            ingest_flush(
+                engine,
+                [
+                    {"n": 1, "part": "cold", "msg": "onlycold"},
+                    {"n": 2, "part": "hot", "msg": "Grüße WARMTOKEN"},
+                ],
+            )
+            engine.merge()
+            files = store.get_maybe_files_for_query(None)
+            assert len(files) == 1
+            filters = files[0].metadata.bloom_filters
+            assert filters.token.test("warmtoken")
+            assert filters.token.test("grüße")
+            assert not filters.token.test("onlycold")
+            rows = engine.query_sync(
+                bs.new_query().field_token("msg", "grüße").build(), timeout=TIMEOUT
+            )
+            assert [r["n"] for r in rows] == [2]
         finally:
             engine.stop(timeout=TIMEOUT)
 
