@@ -9,7 +9,9 @@
 // Exposed via a plain C ABI for ctypes (no pybind11 in this image).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 
 #if defined(__GNUC__)
@@ -1741,6 +1743,269 @@ BS_EXPORT void bs_pack_stream(
       }
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// Byte-level top-level numeric field extraction for the serialized ingest
+// fast lane's minmax indexes (engine.py _ingest_serialized_rows). The Python
+// spec is: v = json.loads(row)[field]; convert_to_min_max_int64(v)
+// (minmax.py:32-46 — int -> (v,v) clamped; finite float -> (floor,ceil)
+// clamped; bool/str/other -> no value). json.loads keeps the LAST duplicate
+// key, so the walker does too. Any construct the walker cannot reproduce
+// bit-exactly flags the row for the Python fallback — minmax bounds MUST
+// cover actual values (a missed value would let prefiltering exclude a block
+// containing a match: a false negative), so under-approximation is not an
+// option here the way it is for filters.
+
+namespace {
+
+// Skip one JSON value (string/number/keyword/object/array). Returns false on
+// malformed input.
+inline bool mm_skip_value(const uint8_t*& p, const uint8_t* end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) p++;
+  if (p >= end) return false;
+  const uint8_t c = *p;
+  if (c == '"') {
+    p++;
+    while (p < end) {
+      if (*p == '\\') {
+        p += 2;
+        continue;
+      }
+      if (*p == '"') {
+        p++;
+        return true;
+      }
+      p++;
+    }
+    return false;
+  }
+  if (c == '{' || c == '[') {
+    int depth = 0;
+    while (p < end) {
+      const uint8_t d = *p;
+      if (d == '"') {
+        if (!mm_skip_value(p, end)) return false;
+        continue;
+      }
+      if (d == '{' || d == '[') depth++;
+      if (d == '}' || d == ']') {
+        depth--;
+        if (depth == 0) {
+          p++;
+          return true;
+        }
+      }
+      p++;
+    }
+    return false;
+  }
+  // primitive: run to a structural boundary
+  while (p < end && *p != ',' && *p != '}' && *p != ']' && *p != ' ' &&
+         *p != '\t' && *p != '\n' && *p != '\r')
+    p++;
+  return true;
+}
+
+// Decode a JSON key into dst (cap bytes). Returns decoded length, -1 on
+// malformed input, -2 when the key cannot be represented in ASCII (it then
+// cannot equal an ASCII field name; the caller skips it).
+inline int64_t mm_parse_key(const uint8_t*& p, const uint8_t* end, uint8_t* dst,
+                            int64_t cap) {
+  if (p >= end || *p != '"') return -1;
+  p++;
+  int64_t n = 0;
+  bool non_ascii = false;
+  while (p < end && *p != '"') {
+    uint8_t c = *p++;
+    if (c == '\\') {
+      if (p >= end) return -1;
+      const uint8_t e = *p++;
+      switch (e) {
+        case '"': c = '"'; break;
+        case '\\': c = '\\'; break;
+        case '/': c = '/'; break;
+        case 'b': c = 0x08; break;
+        case 'f': c = 0x0c; break;
+        case 'n': c = 0x0a; break;
+        case 'r': c = 0x0d; break;
+        case 't': c = 0x09; break;
+        case 'u': {
+          if (end - p < 4) return -1;
+          uint32_t cp = 0;
+          for (int i = 0; i < 4; i++) {
+            const uint8_t h = *p++;
+            cp <<= 4;
+            if (h >= '0' && h <= '9') cp |= h - '0';
+            else if (h >= 'a' && h <= 'f') cp |= h - 'a' + 10;
+            else if (h >= 'A' && h <= 'F') cp |= h - 'A' + 10;
+            else return -1;
+          }
+          if (cp >= 0x80) { non_ascii = true; c = '?'; break; }
+          c = (uint8_t)cp;
+          break;
+        }
+        default: return -1;
+      }
+    } else if (c >= 0x80) {
+      non_ascii = true;
+    }
+    if (n >= cap) return -1;
+    dst[n++] = c;
+  }
+  if (p >= end) return -1;
+  p++;  // closing quote
+  return non_ascii ? -2 : n;
+}
+
+constexpr int64_t kInt64Max = INT64_MAX;
+constexpr int64_t kInt64Min = INT64_MIN;
+
+// Parse a JSON number matching Python semantics. Returns:
+//   1 with (lo,hi) bounds, 0 if the value is non-numeric (bool/str/null/...),
+//  -1 if the row needs the Python fallback.
+inline int mm_parse_number(const uint8_t*& p, const uint8_t* end, int64_t* lo,
+                           int64_t* hi) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) p++;
+  if (p >= end) return -1;
+  const uint8_t c = *p;
+  if (c == '"' || c == '{' || c == '[' || c == 't' || c == 'f' || c == 'n') {
+    return mm_skip_value(p, end) ? 0 : -1;
+  }
+  // NaN / Infinity / -Infinity (json.loads non-strict): non-finite -> None.
+  if (c == 'N' || c == 'I' || (c == '-' && end - p >= 2 && p[1] == 'I')) {
+    return mm_skip_value(p, end) ? 0 : -1;
+  }
+  char buf[384];
+  int64_t n = 0;
+  bool has_dot = false, has_exp = false;
+  while (p < end && ((*p >= '0' && *p <= '9') || *p == '-' || *p == '+' ||
+                     *p == '.' || *p == 'e' || *p == 'E')) {
+    if (*p == '.') has_dot = true;
+    if (*p == 'e' || *p == 'E') has_exp = true;
+    if (n >= (int64_t)sizeof(buf) - 1) return -1;  // absurd length: fallback
+    buf[n++] = (char)*p++;
+  }
+  if (n == 0) return -1;
+  buf[n] = '\0';
+  // Strict JSON number grammar: '-'? (0|[1-9][0-9]*) ('.'[0-9]+)?
+  // ([eE][+-]?[0-9]+)?. strtod is laxer than json.loads ("+5", "5.", ".5",
+  // "007"); anything non-conforming falls back so Python raises/handles
+  // identically to the dict lane.
+  {
+    int64_t i = (buf[0] == '-') ? 1 : 0;
+    if (i >= n || buf[i] < '0' || buf[i] > '9') return -1;
+    if (buf[i] == '0' && i + 1 < n && buf[i + 1] >= '0' && buf[i + 1] <= '9')
+      return -1;
+    while (i < n && buf[i] >= '0' && buf[i] <= '9') i++;
+    if (i < n && buf[i] == '.') {
+      i++;
+      if (i >= n || buf[i] < '0' || buf[i] > '9') return -1;
+      while (i < n && buf[i] >= '0' && buf[i] <= '9') i++;
+    }
+    if (i < n && (buf[i] == 'e' || buf[i] == 'E')) {
+      i++;
+      if (i < n && (buf[i] == '+' || buf[i] == '-')) i++;
+      if (i >= n || buf[i] < '0' || buf[i] > '9') return -1;
+      while (i < n && buf[i] >= '0' && buf[i] <= '9') i++;
+    }
+    if (i != n) return -1;
+  }
+  if (!has_dot && !has_exp) {
+    // Integer: arbitrary precision in Python, clamped to int64. Saturate.
+    const bool neg = buf[0] == '-';
+    int64_t i = neg ? 1 : 0;
+    if (i >= n) return -1;
+    uint64_t acc = 0;
+    bool sat = false;
+    for (; i < n; i++) {
+      if (buf[i] < '0' || buf[i] > '9') return -1;
+      if (acc > (UINT64_MAX - 9) / 10) { sat = true; break; }
+      acc = acc * 10 + (uint64_t)(buf[i] - '0');
+    }
+    int64_t v;
+    if (sat) {
+      v = neg ? kInt64Min : kInt64Max;
+    } else if (neg) {
+      v = (acc > (uint64_t)kInt64Max + 1) ? kInt64Min : (int64_t)(0 - acc);
+    } else {
+      v = (acc > (uint64_t)kInt64Max) ? kInt64Max : (int64_t)acc;
+    }
+    *lo = *hi = v;
+    return 1;
+  }
+  // Float: correctly-rounded strtod == CPython float(); then floor/ceil
+  // clamped to int64 (clamp_int64 semantics).
+  char* endp = nullptr;
+  const double d = std::strtod(buf, &endp);
+  if (endp != buf + n) return -1;
+  if (!std::isfinite(d)) return 0;  // convert_to_min_max_int64 -> None
+  const double fl = std::floor(d), ce = std::ceil(d);
+  *lo = (fl >= 9.223372036854775807e18) ? kInt64Max
+        : (fl < -9.223372036854775808e18) ? kInt64Min
+                                          : (int64_t)fl;
+  *hi = (ce >= 9.223372036854775807e18) ? kInt64Max
+        : (ce < -9.223372036854775808e18) ? kInt64Min
+                                          : (int64_t)ce;
+  return 1;
+}
+
+}  // namespace
+
+// status per row: 0 = field absent / non-numeric, 1 = numeric value in
+// (lo,hi), 2 = Python fallback required. Returns 0, or -2 on bad args.
+BS_EXPORT int64_t bs_extract_minmax(
+    const uint8_t* data, const int64_t* row_offsets, const int64_t* row_lengths,
+    int64_t n_rows, const uint8_t* field, int64_t field_len, int64_t* lo_out,
+    int64_t* hi_out, uint8_t* status_out) {
+  if (field_len <= 0 || field_len > 256) return -2;
+  for (int64_t i = 0; i < field_len; i++) {
+    if (field[i] >= 0x80) return -2;  // ASCII-only fast path
+  }
+  uint8_t key[257];
+  for (int64_t r = 0; r < n_rows; r++) {
+    const uint8_t* p = data + row_offsets[r];
+    const uint8_t* end = p + row_lengths[r];
+    status_out[r] = 0;
+    lo_out[r] = 0;
+    hi_out[r] = 0;
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) p++;
+    if (p >= end || *p != '{') {
+      status_out[r] = 2;  // non-object row: Python decides
+      continue;
+    }
+    p++;
+    bool bad = false;
+    while (true) {
+      while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) p++;
+      if (p < end && *p == '}') break;
+      const int64_t klen = mm_parse_key(p, end, key, 256);
+      if (klen == -1) { bad = true; break; }
+      while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) p++;
+      if (p >= end || *p != ':') { bad = true; break; }
+      p++;
+      const bool is_target =
+          klen == field_len && std::memcmp(key, field, (size_t)field_len) == 0;
+      if (is_target) {
+        int64_t lo = 0, hi = 0;
+        const int rc = mm_parse_number(p, end, &lo, &hi);
+        if (rc < 0) { bad = true; break; }
+        // Last duplicate key wins, matching json.loads: overwrite.
+        status_out[r] = (uint8_t)rc;
+        if (rc == 1) { lo_out[r] = lo; hi_out[r] = hi; }
+      } else {
+        while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) p++;
+        if (!mm_skip_value(p, end)) { bad = true; break; }
+      }
+      while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) p++;
+      if (p < end && *p == ',') { p++; continue; }
+      if (p < end && *p == '}') break;
+      bad = true;
+      break;
+    }
+    if (bad) status_out[r] = 2;
+  }
+  return 0;
 }
 
 BS_EXPORT int64_t bs_version() { return 1; }

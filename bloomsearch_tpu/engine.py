@@ -1006,27 +1006,31 @@ class BloomSearchEngine:
         rows: list[bytes],
         done: Optional[Future] = None,
         timeout: Optional[float] = None,
-        partition_id: str = "",
+        partition_id: Optional[str] = None,
     ) -> None:
         """Fast lane for pre-serialized rows (e.g. JSON-lines log pipelines).
 
         Each element is one compact-JSON object's bytes; they are stored
         verbatim and tokenized entirely by the native path (no Python dict
-        round-trip). Requires ``partition_func`` and ``min_max_indexes`` to
-        be unset — those hooks operate on parsed rows (a later byte-level
-        extractor API can lift this). ``partition_id`` routes the whole
-        batch to one partition explicitly (pre-partitioned pipelines keep
-        partition pruning without the dict round-trip a PartitionFunc
-        would need).
+        round-trip). ``min_max_indexes`` are supported: values extract at
+        byte level (native bs_extract_minmax; rows it can't reproduce
+        bit-exactly parse via the Python spec). ``partition_id`` routes the
+        whole batch to one partition explicitly; when ``partition_func`` is
+        configured it stays authoritative for ``ingest_rows``, so the fast
+        lane then *requires* an explicit ``partition_id`` (the caller
+        asserts the batch's partition — evaluating an arbitrary Python
+        callable would force the dict round-trip this lane exists to skip).
         """
-        if self.config.partition_func is not None or self.config.min_max_indexes:
+        if self.config.partition_func is not None and partition_id is None:
             raise InvalidConfigError(
-                "ingest_serialized requires partition_func=None and no min_max_indexes"
+                "ingest_serialized with partition_func configured requires an "
+                "explicit partition_id (the fast lane cannot evaluate a "
+                "Python PartitionFunc without parsing rows)"
             )
         if self._stop_event.is_set() or not self._started:
             raise RuntimeError("engine is not running")
         self._ingest_queue.put(
-            _IngestRequest(rows, done, serialized=True, partition_id=partition_id),
+            _IngestRequest(rows, done, serialized=True, partition_id=partition_id or ""),
             timeout=timeout,
         )
 
@@ -2670,13 +2674,33 @@ class _IngestState:
         self.buffered_row_count += len(serialized)
         self.buffered_bytes += batch_bytes
 
+        # Shared byte-level view of the batch for the native tokenizer and
+        # the minmax extractor (one join, two passes).
+        joined = joined_offsets = joined_lengths = None
+        if serialized and _native_ingest_available():
+            joined_lengths = np.fromiter(
+                (len(b) for b in serialized), dtype=np.int64, count=len(serialized)
+            )
+            joined_offsets = np.zeros(len(serialized), dtype=np.int64)
+            if len(serialized) > 1:
+                np.cumsum(joined_lengths[:-1], out=joined_offsets[1:])
+            joined = b"".join(serialized)
+
+        if config.min_max_indexes and serialized:
+            self._update_minmax_serialized(
+                buf, serialized, joined, joined_offsets, joined_lengths
+            )
+
         native_result = None
         if (
             config.tokenizer is basic_whitespace_lower_tokenizer
-            and _native_ingest_available()
-            and serialized
+            and joined is not None
         ):
-            native_result = _native_tokenize(serialized, config.delimiter)
+            from . import native as _native_mod
+
+            native_result = _native_mod.ingest_tokenize(
+                joined, joined_offsets, joined_lengths, config.delimiter
+            )
         if native_result is not None:
             field_h, token_h, ft_h, fallback_mask = native_result
             self._record_keys(
@@ -2697,6 +2721,64 @@ class _IngestState:
             flagged = [json.loads(row) for row in serialized]
         if flagged:
             self._add_python_keys(buf, flagged)
+
+    def _update_minmax_serialized(
+        self, buf: _PartitionBuffer, serialized, joined, joined_offsets, joined_lengths
+    ) -> None:
+        """Fast-lane minmax: byte-level extraction with per-row Python
+        fallback (VERDICT r3 item 9). Bounds must cover actual values —
+        a missed value would let prefiltering exclude a matching block
+        (false negative) — so uncertain rows always parse via the spec."""
+        config = self.config
+        parsed_rows: dict[int, Any] = {}
+
+        def parsed(i: int):
+            if i not in parsed_rows:
+                parsed_rows[i] = json.loads(serialized[i])
+            return parsed_rows[i]
+
+        for index_field in config.min_max_indexes:
+            res = None
+            if joined is not None:
+                from . import native as _native_mod
+
+                res = _native_mod.extract_minmax(
+                    joined, joined_offsets, joined_lengths, index_field
+                )
+            int64_min_max = None
+            fallback_idx: Any = range(len(serialized))
+            if res is not None:
+                lo_arr, hi_arr, status = res
+                found = status == 1
+                if found.any():
+                    int64_min_max = (
+                        int(lo_arr[found].min()),
+                        int(hi_arr[found].max()),
+                    )
+                fallback_idx = np.nonzero(status == 2)[0]
+            for i in fallback_idx:
+                row = parsed(int(i))
+                if not isinstance(row, dict) or index_field not in row:
+                    continue
+                bounds = convert_to_min_max_int64(row[index_field])
+                if bounds is None:
+                    continue
+                if int64_min_max is None:
+                    int64_min_max = bounds
+                else:
+                    int64_min_max = (
+                        min(int64_min_max[0], bounds[0]),
+                        max(int64_min_max[1], bounds[1]),
+                    )
+            if int64_min_max is None:
+                continue
+            existing = buf.min_max_indexes.get(index_field)
+            if existing is None:
+                buf.min_max_indexes[index_field] = MinMaxIndex(*int64_min_max)
+            else:
+                buf.min_max_indexes[index_field] = update_min_max_index(
+                    existing, *int64_min_max
+                )
 
     def _check_flush_triggers(self) -> None:
         """(reference :616-650) — partition caps, then buffer caps."""

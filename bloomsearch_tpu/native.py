@@ -160,6 +160,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p,
             ]
             lib.bs_pack_stream.restype = None
+        if hasattr(lib, "bs_extract_minmax"):  # absent in pre-round-4 cached .so
+            lib.bs_extract_minmax.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.bs_extract_minmax.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -506,6 +513,47 @@ def ingest_tokenize(
             continue
         return None
     return None
+
+
+def extract_minmax(
+    data: bytes,
+    row_offsets: np.ndarray,
+    row_lengths: np.ndarray,
+    field: str,
+) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Byte-level top-level numeric field extraction for fast-lane minmax.
+
+    Per row returns int64 (lo, hi) bounds plus a status byte: 0 = field
+    absent/non-numeric, 1 = bounds valid, 2 = Python fallback required
+    (semantic spec: convert_to_min_max_int64(json.loads(row)[field]),
+    minmax.py:32-46 ≙ reference min_max.go:16-28). None when the library or
+    symbol is unavailable or the field name is outside the ASCII fast path.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "bs_extract_minmax"):
+        return None
+    try:
+        field_b = field.encode("ascii")
+    except UnicodeEncodeError:
+        return None
+    if not field_b or len(field_b) > 256:
+        return None
+    n_rows = row_offsets.shape[0]
+    buf = np.frombuffer(data, dtype=np.uint8) if data else np.empty(0, dtype=np.uint8)
+    fbuf = np.frombuffer(field_b, dtype=np.uint8)
+    offs = np.ascontiguousarray(row_offsets, dtype=np.int64)
+    lens = np.ascontiguousarray(row_lengths, dtype=np.int64)
+    lo = np.empty(max(n_rows, 1), dtype=np.int64)
+    hi = np.empty(max(n_rows, 1), dtype=np.int64)
+    status = np.zeros(max(n_rows, 1), dtype=np.uint8)
+    rc = lib.bs_extract_minmax(
+        _ptr(buf), _ptr(offs), _ptr(lens), n_rows,
+        _ptr(fbuf), len(field_b),
+        _ptr(lo), _ptr(hi), _ptr(status),
+    )
+    if rc != 0:
+        return None
+    return lo[:n_rows], hi[:n_rows], status[:n_rows]
 
 
 _CODEC_IDS = {"none": 0, "snappy": 1, "zstd": 2}
