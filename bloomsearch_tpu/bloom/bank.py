@@ -51,6 +51,10 @@ def _pad_terms(n: int) -> int:
 # launches alone (one-off larger shape, compiled on first use).
 _PROBE_BATCH_MAX_MEMBERS = 16
 _PROBE_BATCH_MAX_TERMS = 16
+# Clause cap is its own constant (even while equal to the term cap): the
+# drained CNF clause total must stay inside the warmed Cp=16 program shape
+# independently of any retuning of the term cap.
+_PROBE_BATCH_MAX_CLAUSES = 16
 
 
 class Superbank:
@@ -481,7 +485,7 @@ class DeviceProbeBackend:
                             if batch and (
                                 len(batch) >= _PROBE_BATCH_MAX_MEMBERS
                                 or total_t + nxt.T > _PROBE_BATCH_MAX_TERMS
-                                or total_c + nxt_c > _PROBE_BATCH_MAX_TERMS
+                                or total_c + nxt_c > _PROBE_BATCH_MAX_CLAUSES
                             ):
                                 break
                             batch.append(entry.requests.pop(0))

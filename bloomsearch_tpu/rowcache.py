@@ -57,8 +57,11 @@ from . import native as _native
 CHUNK_BYTES = 512
 MAX_NEEDLE = 32  # longer needles fall back to always-candidate
 STREAM_STRIDE = CHUNK_BYTES - MAX_NEEDLE  # payload bytes per chunk (480)
-# Per-needle bitmap cache entries (packed ~cap_chunks/8 bytes each).
+# Per-needle bitmap cache entries (packed ~cap_chunks/8 bytes each). The
+# byte cap dominates at large streams: a 10 GB stream's ~21M-chunk bitmaps
+# are ~2.6 MB each, so 128 entries would silently hold ~340 MB of host RAM.
 _NEEDLE_CACHE_MAX = 128
+_NEEDLE_CACHE_MAX_BYTES = 32 << 20
 # Sparse segment scans above this many (pow2-bucketed) segments fall back
 # to dense scan-all: warmup precompiles exactly buckets {1, 2, 4} plus the
 # dense program, so no query-time jit ever fires.
@@ -613,9 +616,15 @@ class DeviceRowCache:
                 bucket.segments[key] = (used, n_chunks)
                 bucket.used = used + n_chunks
                 self._blocks[key] = block
-                # LRU eviction under the byte budget.
+                # LRU eviction under the byte budget. _remove_locked only
+                # turns device chunks DEAD (compaction reclaims them after),
+                # so budget against the post-compaction footprint — counting
+                # dead chunks would evict the whole warm cache down to one
+                # block whenever the device term alone exceeded the budget
+                # (e.g. right after a growth step overshoots).
                 while (
-                    self._total_bytes_locked() > self.capacity_bytes
+                    self._total_bytes_locked() - self._bucket.dead * CHUNK_BYTES
+                    > self.capacity_bytes
                     and len(self._blocks) > 1
                 ):
                     oldest = next(iter(self._blocks))
@@ -862,7 +871,15 @@ class DeviceRowCache:
                             bucket.needle_cache[needle] = (
                                 version, np.ascontiguousarray(row),
                             )
-                        while len(bucket.needle_cache) > _NEEDLE_CACHE_MAX:
+                        per_entry = max(
+                            (ent[1].nbytes for ent in bucket.needle_cache.values()),
+                            default=0,
+                        )
+                        max_entries = min(
+                            _NEEDLE_CACHE_MAX,
+                            _NEEDLE_CACHE_MAX_BYTES // per_entry if per_entry else _NEEDLE_CACHE_MAX,
+                        )
+                        while len(bucket.needle_cache) > max(max_entries, 1):
                             bucket.needle_cache.pop(next(iter(bucket.needle_cache)))
 
         bits: dict[bytes, tuple[bool, np.ndarray]] = {}  # needle -> (full?, bits)
