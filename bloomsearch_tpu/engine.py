@@ -212,6 +212,16 @@ class BloomSearchEngineConfig:
     # when the device probe backend is active.
     row_cache_bytes: int = 0
 
+    # Host shadow policy for pinned blocks. False = shadow-free: only
+    # offset/length/flag arrays stay host-side and candidate rows re-read
+    # from the store at extraction time (ranged reads + chunk-granular
+    # snappy decode) — serving host memory drops from ~1.2x raw to a few %.
+    # True = keep the decompressed bytes host-side (no store reads on the
+    # query path — right when the store is remote/slow). "auto" = shadow-
+    # free iff the data store advertises supports_fast_ranged_reads
+    # (FileSystemDataStore does; object stores pay a network GET per read).
+    row_cache_host_shadow: Any = "auto"
+
     # Shared block-decode pool size (None = policy below). The fused native
     # pipeline releases the GIL, so ~1 worker per core saturates CPU and a
     # 2x oversubscription covers disk stalls; measure YOUR host with
@@ -554,6 +564,8 @@ class BloomSearchEngine:
             raise InvalidConfigError("bloom_layout must be classic|blocked256")
         if config.mesh_devices is not None and config.mesh_devices < 1:
             raise InvalidConfigError("mesh_devices must be >= 1 (or None for auto)")
+        if config.row_cache_host_shadow not in ("auto", True, False):
+            raise InvalidConfigError('row_cache_host_shadow must be "auto", True, or False')
         if isinstance(config.block_bloom_expected_items, str):
             if config.block_bloom_expected_items != "auto":
                 raise InvalidConfigError(
@@ -628,6 +640,13 @@ class BloomSearchEngine:
             self._row_cache = DeviceRowCache(
                 config.row_cache_bytes, mesh_devices=config.mesh_devices
             )
+        # Host shadow policy for pinned blocks (see config docstring).
+        if config.row_cache_host_shadow == "auto":
+            self._row_shadow = not getattr(
+                data_store, "supports_fast_ranged_reads", False
+            )
+        else:
+            self._row_shadow = bool(config.row_cache_host_shadow)
 
         # Incremental file-level filter banks per (m, k, layout) group:
         # columns append on first sight of a file and free on tombstone, so
@@ -939,7 +958,103 @@ class BloomSearchEngine:
                 raise InvalidHashError("row data CRC mismatch")
             data = decompress_block(compressed, blk.compression, blk.uncompressed_size)
             _, offsets, lengths = split_rows_arrays(data)
-        return self._row_cache.pin((pointer, blk.offset), data, offsets, lengths)
+        return self._row_cache.pin(
+            (pointer, blk.offset), data, offsets, lengths,
+            fetcher=self._make_row_fetcher(pointer, blk, compressed),
+        )
+
+    def _make_row_fetcher(self, pointer: bytes, blk, compressed):
+        """Shadow-free extraction source for a pinned block, or None when the
+        host shadow is enabled. Captures only tiny state (block metadata and,
+        for snappy, the ~nchunks-entry compressed chunk index)."""
+        if self._row_shadow:
+            return None
+        comp_index = None
+        if blk.compression == "snappy":
+            from . import snappy as _snappy
+
+            comp_index = _snappy.chunk_index(compressed)
+
+        def fetch(idx, offsets, lengths):
+            return self._fetch_pinned_rows(pointer, blk, comp_index, idx, offsets, lengths)
+
+        return fetch
+
+    def _fetch_pinned_rows(self, pointer, blk, comp_index, idx, offsets, lengths):
+        """Ranged re-read of specific pinned rows from the data store.
+
+        Returns ``(buffer, local_offsets, local_lengths)``. The block's CRC
+        was verified when it was pinned and files are immutable (tombstone
+        grace keeps replaced files readable until in-flight queries drain),
+        so the re-read trusts the store; snappy chunks still self-validate
+        in the native decoder. Codecs:
+        - none: row byte spans pread directly (coalesced into runs);
+        - snappy: only the 64 KiB chunks overlapping candidate rows decode
+          (chunk_index random access);
+        - zstd (single frame): whole-block decode on demand.
+        """
+        out_len = np.asarray(lengths, dtype=np.int64)[idx]
+        n = len(out_len)
+        out_off = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return b"", out_off, out_len
+        row_off = np.asarray(offsets, dtype=np.int64)[idx]
+        parts: list[bytes] = []
+        pos = 0
+        with self.data_store.open_file(pointer) as fh:
+            if blk.compression == "snappy" and comp_index is not None:
+                from .snappy import CHUNK_SIZE as _SNAP_CHUNK
+                from .snappy import decompress_chunk_run
+
+                c0 = row_off // _SNAP_CHUNK
+                c1 = (row_off + out_len - 1) // _SNAP_CHUNK + 1
+                rs, re_ = int(c0[0]), int(c1[0])
+                runs: list[tuple[int, int, list[int]]] = []
+                rows: list[int] = [0]
+                for j in range(1, n):
+                    if int(c0[j]) <= re_:
+                        re_ = max(re_, int(c1[j]))
+                        rows.append(j)
+                    else:
+                        runs.append((rs, re_, rows))
+                        rs, re_, rows = int(c0[j]), int(c1[j]), [j]
+                runs.append((rs, re_, rows))
+                for rs, re_, rows in runs:
+                    fh.seek(blk.offset + int(comp_index[rs]))
+                    comp = fh.read(int(comp_index[re_] - comp_index[rs]))
+                    buf = decompress_chunk_run(comp)
+                    base = rs * _SNAP_CHUNK
+                    for j in rows:
+                        out_off[j] = pos + int(row_off[j]) - base
+                    parts.append(buf)
+                    pos += len(buf)
+            elif blk.compression == "none":
+                ends = row_off + out_len
+                rs, re_ = int(row_off[0]), int(ends[0])
+                runs2: list[tuple[int, int, list[int]]] = []
+                rows = [0]
+                for j in range(1, n):
+                    if int(row_off[j]) - re_ <= 4096:
+                        re_ = max(re_, int(ends[j]))
+                        rows.append(j)
+                    else:
+                        runs2.append((rs, re_, rows))
+                        rs, re_, rows = int(row_off[j]), int(ends[j]), [j]
+                runs2.append((rs, re_, rows))
+                for rs, re_, rows in runs2:
+                    fh.seek(blk.offset + rs)
+                    buf = fh.read(re_ - rs)
+                    for j in rows:
+                        out_off[j] = pos + int(row_off[j]) - rs
+                    parts.append(buf)
+                    pos += len(buf)
+            else:
+                payload = read_block_rows_compressed(fh, blk, verify=False)
+                data = decompress_block(
+                    payload, blk.compression, blk.uncompressed_size
+                )
+                return data, row_off, out_len
+        return b"".join(parts), out_off, out_len
 
     def stop(self, timeout: Optional[float] = None) -> None:
         """Graceful shutdown: buffered rows are flushed to a complete file
@@ -1916,7 +2031,12 @@ class BloomSearchEngine:
                 if self._row_cache is not None:
                     if not isinstance(data, bytes):
                         data = bytes(data)
-                    pinned = self._row_cache.pin(cache_key, data, offsets, lengths)
+                    pinned = self._row_cache.pin(
+                        cache_key, data, offsets, lengths,
+                        fetcher=self._make_row_fetcher(
+                            job.file_pointer, job.block, compressed
+                        ),
+                    )
             num_rows = offsets.shape[0]
             stats.rows_processed = num_rows
             stats.bytes_processed = int(lengths.sum())
@@ -1940,6 +2060,13 @@ class BloomSearchEngine:
                     candidate_idx = np.nonzero(mask)[0]
             if candidate_idx is None:
                 candidate_idx = np.arange(num_rows, dtype=np.int64)
+
+            if pinned is not None and data is None:
+                # Shadow-free serving: pull exactly the candidate rows back
+                # from the store (ranged read + chunk-granular decode); all
+                # downstream indices become local to the compact buffer.
+                data, offsets, lengths = pinned.fetch_rows(candidate_idx)
+                candidate_idx = np.arange(offsets.shape[0], dtype=np.int64)
 
             tokenizer = self.config.tokenizer
             delimiter = self.config.delimiter

@@ -246,11 +246,12 @@ def _device_scan_fn(mesh):
 class _PinnedBlock:
     __slots__ = (
         "key", "num_chunks", "num_rows", "always_candidate",
-        "nbytes", "data", "row_offsets", "row_lengths", "_row_ends",
+        "nbytes", "host_nbytes", "data", "fetcher",
+        "row_offsets", "row_lengths", "_row_ends",
     )
 
     def __init__(self, key, num_chunks, num_rows, always_candidate,
-                 data, row_offsets, row_lengths):
+                 data, row_offsets, row_lengths, fetcher=None):
         # The block's chunk placement lives ONLY in the stream bucket's
         # segments map (snapshot under the cache lock) — never on the block
         # object, where an unsynchronized copy would go stale under
@@ -259,12 +260,28 @@ class _PinnedBlock:
         self.num_chunks = num_chunks
         self.num_rows = num_rows
         self.always_candidate = always_candidate  # bool[num_rows]
-        # Host shadow of the original bytes for candidate extraction/parsing.
+        # Candidate extraction source — exactly one of the two:
+        #  - data: host shadow of the decompressed block bytes;
+        #  - fetcher(idx, offsets, lengths) -> (buffer, local_off, local_len):
+        #    on-demand ranged re-read of candidate rows from the store
+        #    (shadow-free serving drops the ~1.2x-of-raw host copy).
         self.data = data
+        self.fetcher = fetcher
         self.row_offsets = row_offsets
         self.row_lengths = row_lengths
         self._row_ends = None  # lazy: row_offsets + row_lengths
-        self.nbytes = num_chunks * CHUNK_BYTES + len(data)
+        self.host_nbytes = (
+            (len(data) if data is not None else 0)
+            + row_offsets.nbytes
+            + row_lengths.nbytes
+            + (always_candidate.nbytes if hasattr(always_candidate, "nbytes") else 0)
+        )
+        self.nbytes = num_chunks * CHUNK_BYTES + self.host_nbytes
+
+    def fetch_rows(self, idx) -> tuple:
+        """-> (buffer, offsets, lengths) for the given row indices; offsets
+        are local to the returned buffer."""
+        return self.fetcher(idx, self.row_offsets, self.row_lengths)
 
     def row_ends(self) -> np.ndarray:
         if self._row_ends is None:
@@ -402,10 +419,13 @@ class DeviceRowCache:
     def stats(self) -> dict:
         """Public observability snapshot (the contract engine.stats() uses)."""
         with self._lock:
-            total = self._total_bytes_locked()
+            device = self._bucket.cap * CHUNK_BYTES
+            host = sum(blk.host_nbytes for blk in self._blocks.values())
             pinned = len(self._blocks)
         return {
-            "bytes": total,
+            "bytes": device + host,
+            "device_bytes": device,
+            "host_bytes": host,
             "pinned_blocks": pinned,
             "scan_launches": self.launches,
             "scan_requests": self.scan_requests,
@@ -414,7 +434,7 @@ class DeviceRowCache:
 
     def _total_bytes_locked(self) -> int:
         bucket_bytes = self._bucket.cap * CHUNK_BYTES
-        host_bytes = sum(len(blk.data) for blk in self._blocks.values())
+        host_bytes = sum(blk.host_nbytes for blk in self._blocks.values())
         return bucket_bytes + host_bytes
 
     def get(self, key: tuple[bytes, int]) -> Optional[_PinnedBlock]:
@@ -491,9 +511,17 @@ class DeviceRowCache:
         data: bytes,
         row_offsets: np.ndarray,
         row_lengths: np.ndarray,
+        fetcher=None,
     ) -> _PinnedBlock:
         """Chunk + lowercase a block's row buffer and append it to the
         stream matrix.
+
+        With ``fetcher`` the block pins SHADOW-FREE: ``data`` feeds the
+        device pack but is not retained host-side; candidate rows re-read
+        through ``fetcher(idx, offsets, lengths)`` at extraction time
+        (engine._fetch_pinned_rows — ranged store reads + chunk-granular
+        snappy decode). Cuts serving host memory from ~1.2x raw to just the
+        offset/length/flag arrays.
 
         The host pack and the device upload run under _upload_lock only —
         a cold pin's multi-MB h2d transfer must not stall concurrent warm
@@ -603,9 +631,16 @@ class DeviceRowCache:
                     )
                     off += piece
 
+            # Retained coordinate arrays downcast to int32 (a block is at
+            # most max_row_group_bytes, far under 2^31) — with the shadow
+            # gone these arrays ARE the host footprint.
+            if len(data) < (1 << 31):
+                row_offsets = np.asarray(row_offsets, dtype=np.int32)
+                row_lengths = np.asarray(row_lengths, dtype=np.int32)
             block = _PinnedBlock(
                 key, n_chunks, num_rows, always_candidate,
-                data, row_offsets, row_lengths,
+                None if fetcher is not None else data,
+                row_offsets, row_lengths, fetcher=fetcher,
             )
             with self._lock:
                 bucket.matrix = matrix

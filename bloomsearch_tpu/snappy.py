@@ -56,6 +56,37 @@ class SnappyStreamCompressor:
         return bytes(out)
 
 
+def chunk_index(data: bytes):
+    """Per-chunk compressed offsets for random access into a stream.
+
+    Returns an int64 array of length n_chunks+1: chunk ``i``'s compressed
+    bytes live at ``data[index[i]+4 : index[i+1]]`` (4 = its length header)
+    and cover uncompressed ``[i*CHUNK_SIZE, (i+1)*CHUNK_SIZE)`` (last chunk
+    shorter). Chunks are independent snappy blocks, so any subrange decodes
+    without touching the rest — the basis for shadow-free candidate
+    extraction (engine._fetch_pinned_rows).
+    """
+    import numpy as np
+
+    offsets = [0]
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("truncated snappy stream chunk header")
+        (clen,) = struct.unpack_from("<I", data, pos)
+        pos += 4 + clen
+        if pos > n:
+            raise ValueError("truncated snappy stream chunk")
+        offsets.append(pos)
+    return np.asarray(offsets, dtype=np.int64)
+
+
+def decompress_chunk_run(data: bytes) -> bytes:
+    """Decode a contiguous run of framed chunks (a chunk_index subrange)."""
+    return decompress_stream(data)
+
+
 def decompress_stream(data: bytes) -> bytes:
     if not available():
         raise RuntimeError("snappy decompression requires the native library")

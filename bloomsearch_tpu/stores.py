@@ -168,6 +168,11 @@ class FileSystemDataStore:
     under concurrent merges matter.
     """
 
+    # Local files serve sub-ms ranged reads, so shadow-free serving
+    # (engine row_cache_host_shadow="auto") re-reads candidate rows from
+    # disk instead of holding a decompressed host copy per pinned block.
+    supports_fast_ranged_reads = True
+
     def __init__(self, root_dir: str, tombstone_grace_seconds: float = 0.0):
         os.makedirs(root_dir, exist_ok=True)
         self.root_dir = root_dir
