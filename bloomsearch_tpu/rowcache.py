@@ -395,6 +395,11 @@ class DeviceRowCache:
         self._upload_lock = threading.Lock()
         self._blocks: dict[tuple[bytes, int], _PinnedBlock] = {}
         self._bucket = _StreamBucket()
+        # Shape floor set by reserve(): compaction never shrinks cap below
+        # it and pins reclaim-in-place instead of growing past it, so the
+        # stream matrix keeps ONE shape (= one set of compiled scan
+        # programs) across arbitrary pin/evict churn.
+        self._reserved_cap = 0
         self._scan, self._scan_segments = _device_scan_fn(self.mesh)
         # On TPU the SWAR byte-scan kernel is the production path (the
         # byte-per-lane predecessor lost to XLA fusion; the packed-word
@@ -415,6 +420,17 @@ class DeviceRowCache:
     def total_bytes(self) -> int:
         with self._lock:
             return self._total_bytes_locked()
+
+    def stream_free_chunks(self) -> Optional[int]:
+        """Chunks still pinnable without evicting, or None when no
+        reservation fixes the capacity (warmup's pin pass stops here so a
+        beyond-budget dataset doesn't churn the whole stream through
+        evictions)."""
+        if not self._reserved_cap:
+            return None
+        with self._lock:
+            b = self._bucket
+            return max(self._reserved_cap - (b.used - b.dead), 0)
 
     def stats(self) -> dict:
         """Public observability snapshot (the contract engine.stats() uses)."""
@@ -460,7 +476,47 @@ class DeviceRowCache:
             # The block's whole chunk footprint becomes reclaimable.
             self._bucket.dead += seg[1]
 
-    def _maybe_compact(self) -> None:
+    def reserve(self, total_chunks: int) -> int:
+        """Pre-size the stream matrix so its SHAPE is final before pinning.
+
+        Warmup calls this with the dataset's total chunk count (derivable
+        from block metadata): scan programs then compile once on the final
+        shape BEFORE the long pin pass, so queries arriving mid-warmup run
+        warm-shaped programs, and later pin/evict churn never reshapes the
+        matrix (compaction floors at the reservation; pins reclaim in place
+        instead of growing past it). Capped at ~90% of the device byte
+        budget to leave headroom for the host-side arrays. Returns the
+        reserved cap in chunks.
+        """
+        unit = self._chunk_unit
+        # Budget cap rounds DOWN to the unit (rounding up could overshoot
+        # the device byte budget); the dataset size rounds up.
+        budget_chunks = max(
+            ((int(self.capacity_bytes * 0.9)) // CHUNK_BYTES // unit) * unit, unit
+        )
+        cap = min(_round_up(max(total_chunks, 1) + 512, unit), budget_chunks)
+        with self._upload_lock:
+            bucket = self._bucket
+            if cap <= bucket.cap:
+                self._reserved_cap = max(self._reserved_cap, bucket.cap)
+                return bucket.cap
+            from .parallel.mesh import sharded_pad_rows, sharded_zeros_rows
+
+            if bucket.matrix is None:
+                matrix = sharded_zeros_rows(
+                    self.mesh, cap, CHUNK_BYTES // 4, dtype=self._jnp.int32
+                )
+            else:
+                matrix = sharded_pad_rows(self.mesh, bucket.matrix, cap)
+            with self._lock:
+                bucket.matrix = matrix
+                bucket.cap = cap
+                bucket.version += 1
+                bucket.needle_cache.clear()
+            self._reserved_cap = cap
+        return cap
+
+    def _maybe_compact(self, force: bool = False) -> None:
         """Compact dead chunk ranges out of the stream. Caller holds
         _upload_lock; the device gather runs WITHOUT self._lock (scans keep
         flowing against the old matrix snapshot) and the new layout
@@ -472,7 +528,7 @@ class DeviceRowCache:
         jnp = self._jnp
         bucket = self._bucket
         with self._lock:
-            if bucket.dead == 0 or bucket.dead * 2 < bucket.used:
+            if bucket.dead == 0 or (not force and bucket.dead * 2 < bucket.used):
                 return
             order = sorted(bucket.segments.items(), key=lambda kv: kv[1][0])
             matrix = bucket.matrix
@@ -484,7 +540,10 @@ class DeviceRowCache:
             new_segments[key] = (cursor, n)
             cursor += n
         unit = self._chunk_unit
-        new_cap = max(unit, _round_up(max(cursor, 1), unit))
+        # Never shrink below a reservation: shape stability is the contract.
+        new_cap = max(
+            unit, _round_up(max(cursor, 1), unit), self._reserved_cap
+        )
         if cursor:
             idx = jnp.asarray(
                 np.concatenate(
@@ -585,6 +644,28 @@ class DeviceRowCache:
             # Upload decomposes into pow2 pieces (below), whose zero-padded
             # tail may extend into not-yet-used space — size capacity for it.
             n_upload = _round_up(n_chunks, 512)
+            if (
+                used + n_upload > cap
+                and self._reserved_cap
+                and cap >= self._reserved_cap
+            ):
+                # Stream at reserved capacity: reclaim in place instead of
+                # growing (growth would reshape the matrix and invalidate
+                # every compiled scan program). Evict LRU blocks until the
+                # LIVE chunks fit, then force-compact — the matrix keeps its
+                # shape, only its contents rearrange. This is the steady
+                # state of beyond-HBM serving (dataset > row_cache_bytes).
+                with self._lock:
+                    for oldest in list(self._blocks):
+                        if (bucket.used - bucket.dead) + n_upload <= cap:
+                            break
+                        if oldest == key:
+                            continue
+                        self._remove_locked(oldest)
+                self._maybe_compact(force=True)
+                matrix = bucket.matrix
+                cap = bucket.cap
+                used = bucket.used
             if used + n_upload > cap:
                 # Growth: double while small, then bounded increments — the
                 # copy in sharded_pad_rows holds old+new concurrently, and

@@ -110,3 +110,113 @@ class TestWarmup:
             assert engine.query_sync(bs.new_query().token("x").build(), timeout=TIMEOUT) == []
         finally:
             engine.stop(timeout=TIMEOUT)
+
+
+class TestIncrementalWarmup:
+    """VERDICT r3 item 5: scan programs compile on a RESERVED final matrix
+    shape before the long pin pass; queries arriving mid-warmup run warm."""
+
+    def _serving_store(self, tmp_path, blocks=6, rows=300, pad=0):
+        store = bs.FileSystemDataStore(str(tmp_path / "data"))
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(probe_backend="host"), store, store
+        )
+        engine.start()
+        filler = "x" * pad
+        for b in range(blocks):
+            engine.ingest_rows(
+                [
+                    {"b": b, "n": i, "w": f"blk{b}tok filler {i}", "p": filler}
+                    for i in range(rows)
+                ],
+                timeout=TIMEOUT,
+            )
+            engine.flush(timeout=TIMEOUT)
+        engine.stop(timeout=TIMEOUT)
+        return store
+
+    def test_timeline_and_shape_stability(self, tmp_path):
+        store = self._serving_store(tmp_path)
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(
+                probe_backend="device", row_cache_bytes=256 << 20
+            ),
+            store,
+            store,
+        )
+        engine.start()
+        try:
+            engine.warmup(block=True, timeout=120)
+            tl = engine.stats()["warmup"]
+            # Programs ready no later than the full pin pass completes.
+            assert tl["warm_ready_s"] <= tl["pins_s"] <= tl["total_s"]
+            assert tl["reserved_chunks"] > 0
+            cap_after_warm = engine._row_cache._bucket.cap
+            # Reservation covered the dataset: no growth during pins.
+            assert cap_after_warm == tl["reserved_chunks"]
+            for b in range(6):
+                res = engine.query_sync(
+                    bs.new_query().token(f"blk{b}tok").build(), timeout=TIMEOUT
+                )
+                assert len(res) == 300
+            assert engine._row_cache._bucket.cap == cap_after_warm
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_query_during_warmup_is_correct(self, tmp_path):
+        store = self._serving_store(tmp_path)
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(
+                probe_backend="device", row_cache_bytes=256 << 20
+            ),
+            store,
+            store,
+        )
+        engine.start()
+        try:
+            fut = engine.warmup(block=False)
+            # Race the warmup: results must be exact regardless of how much
+            # of the pin/compile work has happened.
+            res = engine.query_sync(bs.new_query().token("blk3tok").build(), timeout=60)
+            assert len(res) == 300 and all(r["b"] == 3 for r in res)
+            fut.result(timeout=120)
+            res = engine.query_sync(bs.new_query().token("blk5tok").build(), timeout=60)
+            assert len(res) == 300
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_beyond_budget_serving_evicts_in_place(self, tmp_path):
+        """Dataset larger than row_cache_bytes: pins stop at the reservation,
+        queries pin on demand with LRU evict-in-place, the matrix shape never
+        changes, and every result stays exact (the xlscale steady state)."""
+        # ~8 blocks x ~90 KB: the 300 KB budget reserves 512 chunks (256 KB)
+        # and can hold only ~3 blocks at a time.
+        store = self._serving_store(tmp_path, blocks=8, rows=400, pad=180)
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(
+                probe_backend="device",
+                row_cache_bytes=300 << 10,
+            ),
+            store,
+            store,
+        )
+        engine.start()
+        try:
+            engine.warmup(block=True, timeout=120)
+            rc = engine._row_cache
+            cap0 = rc._bucket.cap
+            assert rc._reserved_cap == cap0
+            pinned0 = len(rc._blocks)
+            assert pinned0 < 8  # budget can't hold everything
+            # Sweep all blocks repeatedly: forces pin->evict->compact churn.
+            for rep in range(2):
+                for b in range(8):
+                    res = engine.query_sync(
+                        bs.new_query().token(f"blk{b}tok").build(), timeout=60
+                    )
+                    assert len(res) == 400 and all(r["b"] == b for r in res)
+            assert rc._bucket.cap == cap0  # shape never moved
+            st = rc.stats()
+            assert st["device_bytes"] == cap0 * 512
+        finally:
+            engine.stop(timeout=TIMEOUT)
