@@ -212,6 +212,13 @@ class BloomSearchEngineConfig:
     # when the device probe backend is active.
     row_cache_bytes: int = 0
 
+    # Cold-block pins happen OFF the query's critical path when the native
+    # pipeline already produced the scan result inline (the pin is then a
+    # pure cache-warm upload — hundreds of ms through remote-attached
+    # chips). False pins synchronously (deterministic cache state after
+    # every query; tests use it).
+    row_cache_async_pins: bool = True
+
     # Host shadow policy for pinned blocks. False = shadow-free: only
     # offset/length/flag arrays stay host-side and candidate rows re-read
     # from the store at extraction time (ranged reads + chunk-granular
@@ -643,6 +650,13 @@ class BloomSearchEngine:
         # Warmup phase timings (reserve / first pins / programs / pins),
         # populated by _warmup_impl; exposed via stats()["warmup"].
         self._warmup_timeline: dict = {}
+        # Background cache-warm pins (bounded; duplicates and overflow drop —
+        # a dropped pin is just a cache miss that retries on a later query).
+        self._bg_pins: set = set()
+        self._bg_pin_lock = threading.Lock()
+        self._pin_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="bloomsearch-bgpin"
+        )
         # Host shadow policy for pinned blocks (see config docstring).
         if config.row_cache_host_shadow == "auto":
             self._row_shadow = not getattr(
@@ -1008,6 +1022,34 @@ class BloomSearchEngine:
             fetcher=self._make_row_fetcher(pointer, blk, compressed),
         )
 
+    def _submit_background_pin(self, key, data, offsets, lengths, fetcher) -> None:
+        """Queue a cache-warm pin; bounded, deduplicated, best-effort."""
+        with self._bg_pin_lock:
+            if key in self._bg_pins or len(self._bg_pins) >= 8:
+                return  # dropped = stays a miss; a later query retries
+            self._bg_pins.add(key)
+
+        def work():
+            try:
+                if not self._stop_event.is_set():
+                    self._row_cache.pin(key, data, offsets, lengths, fetcher=fetcher)
+            except Exception:
+                logger.exception("background pin failed for %r", key)
+            finally:
+                with self._bg_pin_lock:
+                    self._bg_pins.discard(key)
+
+        try:
+            self._pin_pool.submit(work)
+        except RuntimeError:  # pool shut down during stop()
+            with self._bg_pin_lock:
+                self._bg_pins.discard(key)
+
+    def drain_background_pins(self, timeout: Optional[float] = None) -> None:
+        """Wait until every queued background pin has landed (tests and
+        benchmarks that assert cache state after a query)."""
+        self._pin_pool.submit(lambda: None).result(timeout)
+
     def _make_row_fetcher(self, pointer: bytes, blk, compressed):
         """Shadow-free extraction source for a pinned block, or None when the
         host shadow is enabled. Captures only tiny state (block metadata and,
@@ -1143,6 +1185,7 @@ class BloomSearchEngine:
         # can never be needed again; without this, processes that construct
         # many engines accumulate idle non-daemon threads.
         self._block_pool.shutdown(wait=False)
+        self._pin_pool.shutdown(wait=False)
         self._warm_pool.shutdown(wait=False)
         self._started = False
 
@@ -2078,12 +2121,21 @@ class BloomSearchEngine:
                 if self._row_cache is not None:
                     if not isinstance(data, bytes):
                         data = bytes(data)
-                    pinned = self._row_cache.pin(
-                        cache_key, data, offsets, lengths,
-                        fetcher=self._make_row_fetcher(
-                            job.file_pointer, job.block, compressed
-                        ),
+                    fetcher = self._make_row_fetcher(
+                        job.file_pointer, job.block, compressed
                     )
+                    if self.config.row_cache_async_pins and processed is not None:
+                        # The native pipeline already scanned this block
+                        # inline; the pin is a pure cache-warm upload —
+                        # keep it off this query's critical path (through
+                        # remote-attached chips an upload is ~100s of ms).
+                        self._submit_background_pin(
+                            cache_key, data, offsets, lengths, fetcher
+                        )
+                    else:
+                        pinned = self._row_cache.pin(
+                            cache_key, data, offsets, lengths, fetcher=fetcher
+                        )
             num_rows = offsets.shape[0]
             stats.rows_processed = num_rows
             stats.bytes_processed = int(lengths.sum())

@@ -414,6 +414,9 @@ class DeviceRowCache:
         self.needle_cache_enabled = True
         self.launches = 0  # observability
         self.scan_requests = 0
+        self.pins = 0        # blocks pinned (incl. re-pins after eviction)
+        self.evictions = 0   # blocks evicted for capacity (not invalidation)
+        self.compactions = 0 # stream compaction passes
 
     # -- residency ------------------------------------------------------
 
@@ -445,6 +448,9 @@ class DeviceRowCache:
             "pinned_blocks": pinned,
             "scan_launches": self.launches,
             "scan_requests": self.scan_requests,
+            "pins": self.pins,
+            "evictions": self.evictions,
+            "compactions": self.compactions,
             "mesh_devices": self.mesh.shape["blocks"] if self.mesh is not None else 1,
         }
 
@@ -563,6 +569,7 @@ class DeviceRowCache:
             bucket.segments = new_segments
             bucket.version += 1
             bucket.needle_cache.clear()
+            self.compactions += 1
 
     def pin(
         self,
@@ -662,6 +669,7 @@ class DeviceRowCache:
                         if oldest == key:
                             continue
                         self._remove_locked(oldest)
+                        self.evictions += 1
                 self._maybe_compact(force=True)
                 matrix = bucket.matrix
                 cap = bucket.cap
@@ -747,6 +755,8 @@ class DeviceRowCache:
                     if oldest == key:
                         break
                     self._remove_locked(oldest)
+                    self.evictions += 1
+            self.pins += 1
             self._maybe_compact()
         return block
 

@@ -263,6 +263,7 @@ class TestShadowFreeServing:
         engine = self._run_engine(tmp_path, f"sf-{codec}", codec, shadow=False)
         try:
             for _ in range(2):  # cold pin, then warm shadow-free extraction
+                engine.drain_background_pins(timeout=30)
                 res = engine.query_sync(
                     bs.new_query().token("needle").build(), timeout=60
                 )
@@ -282,6 +283,7 @@ class TestShadowFreeServing:
         engine = self._run_engine(tmp_path, "auto", "none", shadow="auto", n_rows=50)
         try:
             engine.query_sync(bs.new_query().token("needle").build(), timeout=60)
+            engine.drain_background_pins(timeout=30)
             key = next(iter(engine._row_cache._blocks))
             assert engine._row_cache._blocks[key].data is None
             assert engine._row_cache._blocks[key].fetcher is not None
@@ -292,6 +294,7 @@ class TestShadowFreeServing:
         engine = self._run_engine(tmp_path, "shadow", "none", shadow=True, n_rows=50)
         try:
             engine.query_sync(bs.new_query().token("needle").build(), timeout=60)
+            engine.drain_background_pins(timeout=30)
             key = next(iter(engine._row_cache._blocks))
             assert engine._row_cache._blocks[key].data is not None
         finally:
@@ -304,6 +307,7 @@ class TestShadowFreeServing:
         engine = self._run_engine(tmp_path, "spot", "snappy", shadow=False, n_rows=2000)
         try:
             engine.query_sync(bs.new_query().token("needle").build(), timeout=60)
+            engine.drain_background_pins(timeout=30)
             key, blk = next(iter(engine._row_cache._blocks.items()))
             idx = np.array([0, 1, 7, 500, 1999], dtype=np.int64)
             buf, off, ln = blk.fetch_rows(idx)
