@@ -330,7 +330,7 @@ def xlscale_bench() -> dict:
         max_query_concurrency=100,
         probe_backend="auto",
         bank_cache_bytes=2 << 30,   # < total banks: sparse cold probes live
-        row_cache_bytes=4 << 30,    # < packed stream: partial residency
+        row_cache_bytes=3584 << 20, # < packed stream: ~37% residency
     )
     engine = bs.BloomSearchEngine(config, store, store)
     engine.start()
@@ -600,6 +600,14 @@ def main() -> None:
         f"per-launch: {per_launch * 1e6:.1f} us | {probes_per_sec / 1e9:.3f} B probes/s"
     )
 
+    # Free the kernel phase's 1.8 GB device bank before the e2e phases — the
+    # xlscale warmup needs the HBM (r4: leaving it live OOM'd the 3.6 GB
+    # stream reserve + 2 GB bank budget).
+    import gc
+
+    del bank2d
+    gc.collect()
+
     # Ingest first: the e2e phase leaves background threads/teardown that
     # contend for this one-core container and depress a following ingest
     # measurement (74k vs 161k rows/s observed).
@@ -631,11 +639,13 @@ def main() -> None:
     except Exception as exc:  # never lose the headline metric
         log(f"e2e bench failed: {exc!r}")
         extra["e2e_error"] = repr(exc)
+    gc.collect()  # drop the previous phase's device buffers before the next
     try:
         extra.update(refscale_bench())
     except Exception as exc:
         log(f"refscale bench failed: {exc!r}")
         extra["refscale_error"] = repr(exc)
+    gc.collect()
     try:
         extra.update(xlscale_bench())
     except Exception as exc:
