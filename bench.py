@@ -621,7 +621,12 @@ def main() -> None:
         # Each gathered filter row costs a full 8-sublane tile of DMA
         # (docs/PERFORMANCE.md: 50 us floor at these params = 41 MB/launch
         # over 819 GB/s v5e HBM) -> floor = 819e9 / (k * 4 * 8) probes/s.
+        # The floor uses the DATASHEET rate; a chained sequential reduce
+        # measures ~740 GB/s achievable on this chip, and the probe's 4 KB
+        # random row-tiles run at ~86% of that — ~2.0 B probes/s is the
+        # honest steady state (docs/PERFORMANCE.md round-4 decomposition).
         "kernel_hbm_floor_probes_per_sec": round(819e9 / (params.k * 4 * 8)),
+        "kernel_floor_note": "datasheet-rate floor; measured sequential HBM ~740 GB/s -> achievable floor ~2.31B; kernel at ~86% of achievable",
         # Every e2e wall below includes this per-query fetch floor (2
         # device->host fetches/query). The sub-refscale phases' p50 (40-60
         # ms at 48 MB) sits ON this floor — their vs_ref keys measure the
