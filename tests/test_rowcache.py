@@ -736,6 +736,70 @@ class TestNeedleBitmapCache:
         assert cache.launches == launches + 1
 
 
+class TestNeedleCacheByteCap:
+    def test_cache_capped_by_total_bytes(self, monkeypatch):
+        """ADVICE r3: entry-count cap alone let multi-GB streams hold
+        hundreds of MB of bitmaps; a byte cap must bound it."""
+        import bloomsearch_tpu.rowcache as rc_mod
+
+        cache = DeviceRowCache(64 << 20)
+        rows = [{"m": f"tok{i} word"} for i in range(500)]
+        data = make_stream(rows)
+        _, offs, lens = split_rows_arrays(data)
+        b0 = cache.pin((b"f0", 0), data, offs, lens)
+        # One entry's packed bitmap is cap/8 bytes; cap the budget at ~3.
+        per_entry = -(-cache._bucket.cap // 32) * 4
+        monkeypatch.setattr(rc_mod, "_NEEDLE_CACHE_MAX_BYTES", per_entry * 3)
+        for i in range(10):
+            cache.scan(b0, [b"tok%d " % i])
+        n = len(cache._bucket.needle_cache)
+        assert 1 <= n <= 3, n
+        # Cached entries still serve correct hits.
+        launches = cache.launches
+        out = cache.scan(b0, [b"tok9 "])
+        assert cache.launches == launches and out[0][9]
+
+
+class TestReserve:
+    def test_reserve_fixes_shape_and_rounds_down_to_budget(self):
+        cache = DeviceRowCache(300 << 10, mesh_devices=1)  # 300 KB device budget
+        got = cache.reserve(10_000_000)  # dataset far beyond budget
+        # Budget cap rounds DOWN to the 512-chunk unit: never overshoots.
+        assert got * 512 <= int(300 << 10 * 1)  # bytes within budget
+        assert got % 512 == 0
+        assert cache._reserved_cap == got == cache._bucket.cap
+        assert cache.stream_free_chunks() == got
+
+    def test_reserve_small_dataset_covers_it(self):
+        cache = DeviceRowCache(1 << 30, mesh_devices=1)
+        got = cache.reserve(100)  # tiny dataset
+        assert got >= 100 + 512 or got == 512 * 2  # rounded to unit
+        # Pins within the reservation never change the cap.
+        rows = [{"m": f"r{i} data"} for i in range(50)]
+        data = make_stream(rows)
+        _, offs, lens = split_rows_arrays(data)
+        cache.pin((b"a", 0), data, offs, lens)
+        cache.pin((b"b", 0), data, offs, lens)
+        assert cache._bucket.cap == got
+
+    def test_churn_keeps_shape_at_reserved_cap(self):
+        cache = DeviceRowCache(600 << 10, mesh_devices=1)
+        got = cache.reserve(10_000_000)
+        # ~64 KB per block; reservation holds ~8; pin 24 -> forced churn.
+        rows = [{"m": "x" * 120 + f" blk r{i}"} for i in range(500)]
+        data = make_stream(rows)
+        _, offs, lens = split_rows_arrays(data)
+        for b in range(24):
+            cache.pin((b"f%d" % b, 0), data, offs, lens)
+        assert cache._bucket.cap == got  # shape never moved
+        assert cache.evictions > 0 and cache.compactions > 0
+        # The most recent block survives and scans correctly.
+        last = cache.get((b"f23", 0))
+        assert last is not None
+        out = cache.scan(last, [b"blk r7"])
+        assert out[0].any()
+
+
 class TestMeshShardedRowCache:
     def test_stream_shards_across_devices(self):
         import jax
