@@ -159,3 +159,19 @@ class TestEngineCompletesPathologicalQuery:
             assert len(out) == 1 and out[0]["message"] == "a" * 50
         finally:
             engine.stop(timeout=TIMEOUT)
+
+
+class TestFlagAndFallbackRouting:
+    def test_ignorecase_risky_pattern_still_correct(self):
+        # IGNORECASE is outside the VM subset -> budgeted fallback engine.
+        m = build_safe_matcher(r"(?i)(a+)+$")
+        assert m("AAA") and not m("AAB")
+
+    def test_multiline_risky_pattern_still_correct(self):
+        m = build_safe_matcher(r"(?m)^(x+)+$")
+        assert m("yy\nxxx") and not m("yy\nxxz")
+
+    def test_counted_repeat_blowup_routes_to_fallback(self):
+        # Program-size cap: (a{0,500}){0,500} would expand enormously.
+        m = build_safe_matcher(r"(a{0,500}){0,500}b")
+        assert m("aaab") and not m("aaac")

@@ -135,3 +135,42 @@ class TestMalformedInputSafety:
                 native.snappy_decompress_block(comp[:cut])
             except ValueError:
                 pass
+
+
+class TestChunkIndex:
+    """Random access into the chunked framing (shadow-free serving)."""
+
+    def test_index_slices_decode_identically(self):
+        import numpy as np
+
+        from bloomsearch_tpu import snappy as sn
+
+        if not sn.available():
+            pytest.skip("native snappy unavailable")
+        rng = random.Random(11)
+        raw = bytes(
+            rng.choice(b"abcdefgh {}:,\"0123") for _ in range(sn.CHUNK_SIZE * 3 + 777)
+        )
+        comp = sn.SnappyStreamCompressor()
+        stream = comp.compress(raw) + comp.flush()
+        idx = sn.chunk_index(stream)
+        n_chunks = len(idx) - 1
+        assert n_chunks == -(-len(raw) // sn.CHUNK_SIZE)
+        whole = sn.decompress_stream(stream)
+        assert whole == raw
+        # Every chunk subrange decodes to exactly its uncompressed span.
+        for c0 in range(n_chunks):
+            for c1 in (c0 + 1, n_chunks):
+                part = sn.decompress_chunk_run(stream[idx[c0] : idx[c1]])
+                assert part == raw[c0 * sn.CHUNK_SIZE : c1 * sn.CHUNK_SIZE][: len(part)]
+                assert len(part) == min(c1 * sn.CHUNK_SIZE, len(raw)) - c0 * sn.CHUNK_SIZE
+
+    def test_truncated_stream_raises(self):
+        from bloomsearch_tpu import snappy as sn
+
+        if not sn.available():
+            pytest.skip("native snappy unavailable")
+        comp = sn.SnappyStreamCompressor()
+        stream = comp.compress(b"hello world " * 100) + comp.flush()
+        with pytest.raises(ValueError):
+            sn.chunk_index(stream[:-3])
