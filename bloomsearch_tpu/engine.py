@@ -980,7 +980,14 @@ class BloomSearchEngine:
                 entry = self._row_cache.get(key)
                 if entry is None:
                     try:
-                        entry = self._decode_and_pin(mf.pointer, blk)
+                        # The long (limit=None, background-thread) pass
+                        # yields to in-flight queries; the tiny synchronous
+                        # phase-1 pass that feeds the scan compiles does not.
+                        entry = self._decode_and_pin(
+                            mf.pointer, blk,
+                            yield_to=None if limit is not None
+                            else self._pins_should_yield,
+                        )
                     except FileNotFoundError:
                         break
                     except Exception:
@@ -990,7 +997,7 @@ class BloomSearchEngine:
                     pins.append(entry)
         return pins
 
-    def _decode_and_pin(self, pointer: bytes, blk):
+    def _decode_and_pin(self, pointer: bytes, blk, yield_to=None):
         """Decode one block (CRC-verified) and pin its rows in the device
         row cache — the warmup counterpart of the query path's decode+pin."""
         from . import native as _native
@@ -1020,7 +1027,16 @@ class BloomSearchEngine:
         return self._row_cache.pin(
             (pointer, blk.offset), data, offsets, lengths,
             fetcher=self._make_row_fetcher(pointer, blk, compressed),
+            yield_to=yield_to,
         )
+
+    def _pins_should_yield(self) -> bool:
+        """Gate for background/warmup pin device work: truthy while queries
+        are in flight, so pin uploads and stream compactions never queue
+        ahead of a query's probe/scan launches on the device stream (the
+        xlscale erratic-latency fix — a 3-19 s p99 at partial residency came
+        from scans waiting behind multi-GB pin/compaction device work)."""
+        return bool(self._active_query_ids) and not self._stop_event.is_set()
 
     def _submit_background_pin(self, key, data, offsets, lengths, fetcher) -> None:
         """Queue a cache-warm pin; bounded, deduplicated, best-effort."""
@@ -1032,7 +1048,10 @@ class BloomSearchEngine:
         def work():
             try:
                 if not self._stop_event.is_set():
-                    self._row_cache.pin(key, data, offsets, lengths, fetcher=fetcher)
+                    self._row_cache.pin(
+                        key, data, offsets, lengths, fetcher=fetcher,
+                        yield_to=self._pins_should_yield,
+                    )
             except Exception:
                 logger.exception("background pin failed for %r", key)
             finally:

@@ -296,6 +296,20 @@ def sharded_update_rows(
     return _constrain_rows(out, mesh)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh",), donate_argnums=(1,))
+def sharded_update_rows_donated(
+    mesh: Optional[Mesh], mat: jax.Array, chunk: jax.Array, start: jax.Array
+) -> jax.Array:
+    """In-place variant of sharded_update_rows: donates ``mat`` so XLA
+    aliases the output buffer instead of copying the (multi-GB at serving
+    scale) stream matrix per upload piece. ONLY safe for chain
+    intermediates the caller privately owns — donating the published
+    matrix snapshot would invalidate it under concurrent scans
+    (rowcache.pin tracks privateness explicitly)."""
+    out = jax.lax.dynamic_update_slice(mat, chunk, (start, jnp.int32(0)))
+    return _constrain_rows(out, mesh)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "new_rows"))
 def sharded_take_rows(
     mesh: Optional[Mesh], mat: jax.Array, idx: jax.Array, new_rows: int

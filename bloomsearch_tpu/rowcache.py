@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import sys
 import threading
+import time
 from typing import Optional
 
 import numpy as np
@@ -69,6 +70,27 @@ _SPARSE_MAX_SEGS = 4
 # Stream growth increment once doubling would exceed this many bytes (the
 # grow-copy holds old+new matrices concurrently in HBM).
 _GROWTH_STEP_BYTES = 512 << 20
+# Total seconds a background pin may spend paused at its yield points
+# waiting for in-flight queries to drain. Bounded so a pin holding
+# _upload_lock can never stall invalidate_file (merge tombstones) or other
+# pins indefinitely under a saturating query stream.
+_PIN_YIELD_MAX_S = 5.0
+
+
+def _yield_point(yield_to, deadline: float) -> None:
+    """Pause while ``yield_to()`` is truthy (queries in flight), up to
+    ``deadline``. Background pins call this before each expensive device
+    step so query probe/scan launches never queue behind multi-MB stream
+    uploads or compaction gathers on the single device stream."""
+    if yield_to is None:
+        return
+    while time.monotonic() < deadline:
+        try:
+            if not yield_to():
+                return
+        except Exception:
+            return
+        time.sleep(0.005)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -578,6 +600,7 @@ class DeviceRowCache:
         row_offsets: np.ndarray,
         row_lengths: np.ndarray,
         fetcher=None,
+        yield_to=None,
     ) -> _PinnedBlock:
         """Chunk + lowercase a block's row buffer and append it to the
         stream matrix.
@@ -592,7 +615,13 @@ class DeviceRowCache:
         The host pack and the device upload run under _upload_lock only —
         a cold pin's multi-MB h2d transfer must not stall concurrent warm
         scans, which take just self._lock. The new segment publishes
-        atomically under self._lock once the upload lands."""
+        atomically under self._lock once the upload lands.
+
+        ``yield_to`` (background/warmup pins only — NEVER a query-path
+        sync pin, which would deadlock on itself): a callable polled at
+        each device-work boundary; while truthy the pin pauses (bounded by
+        _PIN_YIELD_MAX_S total) so in-flight queries' launches aren't
+        queued behind this pin's uploads/compactions on the device."""
         jnp = self._jnp
         num_rows = row_offsets.shape[0]
         with self._lock:
@@ -629,6 +658,8 @@ class DeviceRowCache:
                 m32[..., 0] | (m32[..., 1] << 8) | (m32[..., 2] << 16) | (m32[..., 3] << 24)
             ).view(np.int32)
 
+        deadline = time.monotonic() + _PIN_YIELD_MAX_S
+        _yield_point(yield_to, deadline)
         with self._upload_lock:
             with self._lock:
                 existing = self._blocks.get(key)
@@ -638,6 +669,7 @@ class DeviceRowCache:
             from .parallel.mesh import (
                 sharded_pad_rows,
                 sharded_update_rows,
+                sharded_update_rows_donated,
                 sharded_zeros_rows,
             )
 
@@ -648,6 +680,11 @@ class DeviceRowCache:
             matrix = bucket.matrix
             cap = bucket.cap
             used = bucket.used
+            # True once ``matrix`` is a chain intermediate only this pin
+            # references (growth copy or a post-first update output) —
+            # donation is then safe and the update aliases in place
+            # instead of copying the whole stream.
+            matrix_private = False
             # Upload decomposes into pow2 pieces (below), whose zero-padded
             # tail may extend into not-yet-used space — size capacity for it.
             n_upload = _round_up(n_chunks, 512)
@@ -662,6 +699,7 @@ class DeviceRowCache:
                 # LIVE chunks fit, then force-compact — the matrix keeps its
                 # shape, only its contents rearrange. This is the steady
                 # state of beyond-HBM serving (dataset > row_cache_bytes).
+                _yield_point(yield_to, deadline)
                 with self._lock:
                     for oldest in list(self._blocks):
                         if (bucket.used - bucket.dead) + n_upload <= cap:
@@ -690,6 +728,7 @@ class DeviceRowCache:
                     )
                 else:
                     matrix = sharded_pad_rows(self.mesh, matrix, cap)
+                matrix_private = True
             if n_chunks > 0:
                 # Piecewise pow2 upload: the update program compiles per
                 # update SHAPE, and one-compile-per-distinct-block-size was
@@ -700,6 +739,8 @@ class DeviceRowCache:
                 # overwritten by the next pin's real bytes).
                 off = 0
                 while off < n_chunks:
+                    if off:
+                        _yield_point(yield_to, deadline)
                     remaining = n_chunks - off
                     piece = 512
                     while piece * 2 <= remaining:
@@ -715,9 +756,21 @@ class DeviceRowCache:
                                 ),
                             ]
                         )
-                    matrix = sharded_update_rows(
+                    # First piece against the PUBLISHED matrix must copy
+                    # (concurrent scans hold that snapshot); every later
+                    # piece (and any growth copy) is private to this pin
+                    # and updates in place via donation — one stream copy
+                    # per pin instead of one per piece, and the transient
+                    # HBM peak stays at old+new regardless of piece count.
+                    update = (
+                        sharded_update_rows_donated
+                        if matrix_private
+                        else sharded_update_rows
+                    )
+                    matrix = update(
                         self.mesh, matrix, jnp.asarray(sub), jnp.int32(used + off)
                     )
+                    matrix_private = True
                     off += piece
 
             # Retained coordinate arrays downcast to int32 (a block is at
@@ -757,6 +810,10 @@ class DeviceRowCache:
                     self._remove_locked(oldest)
                     self.evictions += 1
             self.pins += 1
+            with self._lock:
+                will_compact = bucket.dead > 0 and bucket.dead * 2 >= bucket.used
+            if will_compact:
+                _yield_point(yield_to, deadline)
             self._maybe_compact()
         return block
 

@@ -628,6 +628,8 @@ class TestStatsSnapshot:
             ingest_and_flush(engine, [{"n": i, "w": f"word{i}"} for i in range(100)])
             for _ in range(2):
                 engine.query_sync(bs.new_query().token("word7").build(), timeout=TIMEOUT)
+                # Pins are async and yield to in-flight queries.
+                engine.drain_background_pins(timeout=30)
             s1 = engine.stats()
             assert s1["device"]["superbank_bytes"] > 0
             assert s1["device"]["probe_launches"] >= 1

@@ -219,10 +219,13 @@ class TestEngineServingMode:
             engine.ingest_rows(rows, timeout=10)
             engine.flush(timeout=10)
 
-            # First query pins the block; second scans on-device.
+            # First query pins the block (asynchronously — pins yield to
+            # in-flight queries, so drain before relying on residency);
+            # second scans on-device.
             for _ in range(2):
                 res = engine.query_sync(bs.new_query().token("needle").build(), timeout=60)
                 assert len(res) == 1 and res[0]["n"] == -1
+                engine.drain_background_pins(timeout=30)
             assert engine._row_cache.total_bytes() > 0
 
             res = engine.query_sync(bs.new_query().token("word42").build(), timeout=60)
@@ -424,7 +427,10 @@ class TestStreamBucket:
             assert release_upload.wait(timeout=10), "test deadlock"
             return orig(*a, **k)
 
+        # The pin may route through either variant (donated for private
+        # chain intermediates) — stall both.
         monkeypatch.setattr(mesh_mod, "sharded_update_rows", slow_update)
+        monkeypatch.setattr(mesh_mod, "sharded_update_rows_donated", slow_update)
         rows2 = [{"m": f"cold tok2_{i}"} for i in range(30)]
         data2 = make_stream(rows2)
         _, offs2, lens2 = split_rows_arrays(data2)
