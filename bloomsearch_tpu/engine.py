@@ -817,10 +817,15 @@ class BloomSearchEngine:
         # host cache); remember one (pointer, gi) per (m, k, layout) for the
         # compile pass below.
         compile_reps: dict[tuple, tuple] = {}
+        # Total seconds warmup may spend paused letting queries go first
+        # (shared across the bank-load, probe-compile and scan-compile
+        # loops below).
+        yield_budget = [60.0]
         for mf in maybe_files:
             if self._stop_event.is_set():
                 return
             for gi, group in enumerate(mf.metadata.bank_groups):
+                self._yield_warmup_device_work(yield_budget)
                 mk = (group.m_bits, group.k, group.params.layout)
 
                 def load(pointer=mf.pointer, group=group) -> np.ndarray:
@@ -859,6 +864,7 @@ class BloomSearchEngine:
                 for qi, tokens in enumerate(warm_queries):
                     if self._stop_event.is_set():
                         return
+                    self._yield_warmup_device_work(yield_budget)
                     builder = new_query()
                     for tok in tokens:
                         builder = builder.token(tok)
@@ -913,6 +919,7 @@ class BloomSearchEngine:
                 from .bloom.pallas_kernels import SCAN_WORD_BUCKETS
 
                 for wb in SCAN_WORD_BUCKETS:
+                    self._yield_warmup_device_work(yield_budget)
                     ln = min(4 * wb - 3, 32)  # longest length in this bucket
                     needle = (b"\x00warm" + b"\x00" * ln)[:ln]
                     try:
@@ -1029,6 +1036,23 @@ class BloomSearchEngine:
             fetcher=self._make_row_fetcher(pointer, blk, compressed),
             yield_to=yield_to,
         )
+
+    def _yield_warmup_device_work(self, budget: list) -> None:
+        """Pause a warmup device-work loop while queries are in flight.
+
+        Warmup's bank uploads and probe compile executions share the single
+        device stream with query launches; without this gate a query
+        arriving mid-warmup waited 10-40 s behind them. ``budget`` is a
+        1-element mutable total-seconds allowance shared across the whole
+        warmup so a saturating query stream can only stretch warmup by a
+        bounded amount."""
+        while (
+            budget[0] > 0
+            and self._active_query_ids
+            and not self._stop_event.is_set()
+        ):
+            time.sleep(0.005)
+            budget[0] -= 0.005
 
     def _pins_should_yield(self) -> bool:
         """Gate for background/warmup pin device work: truthy while queries
