@@ -699,10 +699,15 @@ class DeviceRowCache:
                 # LIVE chunks fit, then force-compact — the matrix keeps its
                 # shape, only its contents rearrange. This is the steady
                 # state of beyond-HBM serving (dataset > row_cache_bytes).
+                # Evict with SLACK (cap/8, at least this pin): compaction is
+                # a full-stream device gather, and freeing only n_upload
+                # would re-trigger it on every subsequent at-capacity pin —
+                # the slack lets ~cap/8 of fresh pins append compaction-free.
                 _yield_point(yield_to, deadline)
+                target = max(n_upload, cap // 8)
                 with self._lock:
                     for oldest in list(self._blocks):
-                        if (bucket.used - bucket.dead) + n_upload <= cap:
+                        if (bucket.used - bucket.dead) + target <= cap:
                             break
                         if oldest == key:
                             continue

@@ -805,6 +805,24 @@ class TestReserve:
         out = cache.scan(last, [b"blk r7"])
         assert out[0].any()
 
+    def test_slack_eviction_amortizes_compaction(self):
+        """At-capacity pins evict with cap/8 slack so the full-stream
+        compaction gather runs once per ~slack of churn, not once per pin.
+        (Needs a cap comfortably above the 512-chunk upload-piece floor —
+        at tiny caps the piece granularity eats any slack.)"""
+        cache = DeviceRowCache(8 << 20, mesh_devices=1)
+        cache.reserve(10_000_000)  # caps at ~90% of the 8 MB budget
+        rows = [{"m": "x" * 120 + f" slk r{i}"} for i in range(500)]
+        data = make_stream(rows)
+        _, offs, lens = split_rows_arrays(data)
+        for b in range(200):  # ~64 KB per block; ~2x capacity of churn
+            cache.pin((b"s%d" % b, 0), data, offs, lens)
+        assert cache.compactions > 0
+        assert cache.compactions <= 200 // 4
+        last = cache.get((b"s199", 0))
+        assert last is not None
+        assert cache.scan(last, [b"slk r7"])[0].any()
+
 
 class TestMeshShardedRowCache:
     def test_stream_shards_across_devices(self):
