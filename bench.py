@@ -32,6 +32,21 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def log_device_mem(tag: str) -> None:
+    """Log HBM in use (phase boundaries): each e2e phase must hand the next
+    a near-empty device or warmup pins hit RESOURCE_EXHAUSTED."""
+    try:
+        import jax
+
+        st = jax.local_devices()[0].memory_stats() or {}
+        log(
+            f"{tag}: device bytes_in_use={st.get('bytes_in_use', 0) / 1e9:.2f} GB"
+            f" peak={st.get('peak_bytes_in_use', 0) / 1e9:.2f} GB"
+        )
+    except Exception:  # platforms without memory_stats
+        pass
+
+
 # Reference e2e baselines (BASELINE.md: M3 Max, ~11.2M rows, selectivity 0%).
 REF_ROWS_PER_SEC = 17.08e6
 REF_WALL_MS = 650.0
@@ -655,17 +670,20 @@ def main() -> None:
         log(f"e2e bench failed: {exc!r}")
         extra["e2e_error"] = repr(exc)
     gc.collect()  # drop the previous phase's device buffers before the next
+    log_device_mem("before refscale")
     try:
         extra.update(refscale_bench())
     except Exception as exc:
         log(f"refscale bench failed: {exc!r}")
         extra["refscale_error"] = repr(exc)
     gc.collect()
+    log_device_mem("before xlscale")
     try:
         extra.update(xlscale_bench())
     except Exception as exc:
         log(f"xlscale bench failed: {exc!r}")
         extra["xlscale_error"] = repr(exc)
+    log_device_mem("after xlscale")
     # Multicore hosts: block-pipeline scaling (skipped at nproc=1 — nothing
     # to measure; the cpu-gated test asserts >= 0.7x linear where cores exist).
     import os as _os

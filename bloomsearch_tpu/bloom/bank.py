@@ -286,6 +286,31 @@ class DeviceProbeBackend:
             sb = self._superbanks.get(mk)
             return sb is not None and seg_key in sb.segments
 
+    def release(self) -> None:
+        """Free all superbank device memory NOW (engine shutdown).
+
+        jax Arrays release HBM only when their last Python reference dies;
+        explicit Array.delete() returns it immediately even if engine/
+        thread cycles keep the backend object alive (a later engine in the
+        same process would otherwise see RESOURCE_EXHAUSTED at warmup).
+        Probes after release fail on the deleted arrays — start-after-stop
+        is already forbidden at the engine layer.
+        """
+        with self._lock:
+            banks = list(self._superbanks.values())
+            self._superbanks.clear()
+            self._lru.clear()
+            self._by_file.clear()
+        for sb in banks:
+            arr, sb.bank2d = sb.bank2d, None
+            sb.segments = {}
+            sb.capacity = sb.used = sb.dead = 0
+            if arr is not None:
+                try:
+                    arr.delete()
+                except Exception:  # pragma: no cover - already deleted
+                    pass
+
     def invalidate(self, file_pointer: bytes) -> None:
         """Drop any cached banks of a tombstoned/replaced file."""
         with self._lock:

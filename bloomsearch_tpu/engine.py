@@ -1231,6 +1231,17 @@ class BloomSearchEngine:
         self._pin_pool.shutdown(wait=False)
         self._warm_pool.shutdown(wait=False)
         self._started = False
+        # Return HBM to the process NOW: jax Arrays free device memory only
+        # when the last Python reference dies, and engine/thread/closure
+        # cycles routinely outlive stop() (observed: the next engine in the
+        # same process OOM-ing its warmup pins while this one's stream was
+        # still resident). Queries are drained above; lingering background
+        # pins fail fast on the released cache and are swallowed by the
+        # warmup error handling.
+        if self._row_cache is not None:
+            self._row_cache.release()
+        if self._device_backend is not None:
+            self._device_backend.release()
 
     # ------------------------------------------------------------------
     # Ingest API (reference IngestRows/Flush :310-346)

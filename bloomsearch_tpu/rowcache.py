@@ -43,6 +43,7 @@ by verification), never hide a true match.
 
 from __future__ import annotations
 
+import logging
 import sys
 import threading
 import time
@@ -51,6 +52,8 @@ from typing import Optional
 import numpy as np
 
 from . import native as _native
+
+logger = logging.getLogger("bloomsearch_tpu.rowcache")
 
 # Stream chunk geometry: 512-byte physical rows (128 packed int32 lanes, the
 # SWAR kernel's exact lane tile); the last MAX_NEEDLE bytes of each chunk
@@ -439,6 +442,7 @@ class DeviceRowCache:
         self.pins = 0        # blocks pinned (incl. re-pins after eviction)
         self.evictions = 0   # blocks evicted for capacity (not invalidation)
         self.compactions = 0 # stream compaction passes
+        self._closed = False
 
     # -- residency ------------------------------------------------------
 
@@ -488,6 +492,38 @@ class DeviceRowCache:
                 self._blocks[key] = block  # LRU bump
             return block
 
+    def release(self) -> None:
+        """Free the stream's device memory NOW (engine shutdown).
+
+        jax Arrays release HBM only when their last Python reference dies;
+        engine/thread/closure cycles can keep a multi-GB stream alive well
+        past stop() even across gc.collect() — observed as the NEXT engine
+        in the same process failing its warmup pins with RESOURCE_EXHAUSTED.
+        Explicit Array.delete() returns the HBM regardless of lingering
+        references. Waits for in-flight mutations (_upload_lock); later
+        pin()/reserve() raise, in-flight background pins fail and are
+        swallowed by their callers' warmup error handling.
+        """
+        with self._upload_lock:
+            with self._lock:
+                self._closed = True
+                bucket = self._bucket
+                matrix = bucket.matrix
+                bucket.matrix = None
+                bucket.cap = 0
+                bucket.used = 0
+                bucket.dead = 0
+                bucket.segments = {}
+                bucket.needle_cache.clear()
+                bucket.version += 1
+                self._blocks.clear()
+                self._reserved_cap = 0
+            if matrix is not None:
+                try:
+                    matrix.delete()
+                except Exception:  # pragma: no cover - already deleted
+                    logger.debug("stream matrix delete failed", exc_info=True)
+
     def invalidate_file(self, pointer: bytes) -> None:
         with self._upload_lock:
             with self._lock:
@@ -524,6 +560,8 @@ class DeviceRowCache:
         )
         cap = min(_round_up(max(total_chunks, 1) + 512, unit), budget_chunks)
         with self._upload_lock:
+            if self._closed:
+                raise RuntimeError("row cache released")
             bucket = self._bucket
             if cap <= bucket.cap:
                 self._reserved_cap = max(self._reserved_cap, bucket.cap)
@@ -662,6 +700,8 @@ class DeviceRowCache:
         _yield_point(yield_to, deadline)
         with self._upload_lock:
             with self._lock:
+                if self._closed:
+                    raise RuntimeError("row cache released")
                 existing = self._blocks.get(key)
                 if existing is not None:
                     return existing

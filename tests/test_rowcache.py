@@ -824,6 +824,44 @@ class TestReserve:
         assert cache.scan(last, [b"slk r7"])[0].any()
 
 
+class TestRelease:
+    def test_release_frees_device_bytes_and_closes(self):
+        """release() must drop the stream matrix (device bytes -> 0) and
+        fail later pins fast — the engine calls it at stop() so the next
+        engine in the process starts with a near-empty device."""
+        cache = DeviceRowCache(8 << 20)
+        rows = [{"m": f"rel row {i}"} for i in range(50)]
+        data = make_stream(rows)
+        _, offs, lens = split_rows_arrays(data)
+        cache.pin((b"rel", 0), data, offs, lens)
+        assert cache.stats()["device_bytes"] > 0
+        cache.release()
+        st = cache.stats()
+        assert st["device_bytes"] == 0
+        assert st["pinned_blocks"] == 0
+        with pytest.raises(RuntimeError, match="released"):
+            cache.pin((b"rel2", 0), data, offs, lens)
+        with pytest.raises(RuntimeError, match="released"):
+            cache.reserve(1000)
+        cache.release()  # idempotent
+
+    def test_engine_stop_releases_device_caches(self, tmp_path):
+        store = bs.FileSystemDataStore(str(tmp_path))
+        cfg = bs.BloomSearchEngineConfig(row_cache_bytes=8 << 20)
+        eng = bs.BloomSearchEngine(cfg, store, store)
+        eng.start()
+        eng.ingest_rows([{"m": f"stoprel {i}"} for i in range(500)])
+        eng.flush()
+        out = eng.query_sync(bs.new_query().token("stoprel").build())
+        assert len(out) == 500
+        rc, backend = eng._row_cache, eng._device_backend
+        eng.stop()
+        if rc is not None:
+            assert rc.stats()["device_bytes"] == 0
+        if backend is not None:
+            assert backend.total_bytes() == 0
+
+
 class TestMeshShardedRowCache:
     def test_stream_shards_across_devices(self):
         import jax
