@@ -968,12 +968,19 @@ class BloomSearchEngine:
 
         pins: list = []
         budget = self.config.row_cache_bytes
+        # Host-side yield budget for the background pass: block decode +
+        # pack burn the CPU the query path's host scans need (decisive on
+        # few-core hosts — a query host-scanning cold blocks mid-warmup ran
+        # 2-10x slower while the pin pass decoded on the same core).
+        host_yield = [120.0]
         for mf in maybe_files:
             for blk in mf.metadata.data_blocks:
                 if self._stop_event.is_set():
                     return pins
                 if limit is not None and len(pins) >= limit:
                     return pins
+                if limit is None:
+                    self._yield_warmup_device_work(host_yield)
                 if self._row_cache.total_bytes() >= budget:
                     break
                 free = self._row_cache.stream_free_chunks()
