@@ -365,6 +365,7 @@ def xlscale_bench() -> dict:
         out = _timed_needle_queries(engine, store, reps=4)
         rc = engine._row_cache.stats() if engine._row_cache is not None else {}
         dev = engine._device_backend.stats() if engine._device_backend else {}
+        churn_skipped = engine.stats().get("background_pins_churn_skipped", 0)
     finally:
         engine.stop(timeout=600)
     rows_per_sec = out["rows_per_sec"]
@@ -385,6 +386,7 @@ def xlscale_bench() -> dict:
         "e2e_xlscale_pins": rc.get("pins"),
         "e2e_xlscale_evictions": rc.get("evictions"),
         "e2e_xlscale_compactions": rc.get("compactions"),
+        "e2e_xlscale_bg_pins_churn_skipped": churn_skipped,
         "e2e_xlscale_bank_stats": dev,
     }
 

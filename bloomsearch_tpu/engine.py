@@ -654,6 +654,12 @@ class BloomSearchEngine:
         # a dropped pin is just a cache miss that retries on a later query).
         self._bg_pins: set = set()
         self._bg_pin_lock = threading.Lock()
+        # Churn budget for at-capacity background pins (_bg_churn_admit):
+        # starts EMPTY so the minutes right after warmup fills the stream
+        # don't immediately churn it.
+        self._bg_churn_tokens = 0.0
+        self._bg_churn_t = time.monotonic()
+        self._bg_pins_skipped = 0
         self._pin_pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="bloomsearch-bgpin"
         )
@@ -1069,8 +1075,46 @@ class BloomSearchEngine:
         from scans waiting behind multi-GB pin/compaction device work)."""
         return bool(self._active_query_ids) and not self._stop_event.is_set()
 
+    def _bg_churn_admit(self, nbytes: int) -> bool:
+        """Admission control for background pins once the stream is full.
+
+        At capacity a background pin lands only by EVICTING warm blocks.
+        When the working set exceeds the cache (every query touches cold
+        blocks) that is pure thrash: the hit rate doesn't improve, each
+        evicting pin triggers upload + compaction device work, and on
+        tunneled TPUs the uploads add queuing delay to query result
+        fetches. Evicting pins are therefore rate-limited to ~5% of
+        capacity per minute — a genuinely shifted hot set still migrates
+        in within minutes, while scan-shaped workloads stop churning.
+        Free-space pins (stream below reservation) are never limited.
+        """
+        rc = self._row_cache
+        free = rc.stream_free_chunks()
+        if free is None:
+            return True  # no reservation: pin() grows instead of evicting
+        from .rowcache import STREAM_STRIDE
+
+        need = -(-max(nbytes, 1) // STREAM_STRIDE) + 512
+        if free >= need:
+            return True
+        now = time.monotonic()
+        cap = self.config.row_cache_bytes * 0.05
+        with self._bg_pin_lock:
+            rate = cap / 60.0
+            self._bg_churn_tokens = min(
+                self._bg_churn_tokens + (now - self._bg_churn_t) * rate, cap
+            )
+            self._bg_churn_t = now
+            if self._bg_churn_tokens >= nbytes:
+                self._bg_churn_tokens -= nbytes
+                return True
+            self._bg_pins_skipped += 1
+        return False
+
     def _submit_background_pin(self, key, data, offsets, lengths, fetcher) -> None:
         """Queue a cache-warm pin; bounded, deduplicated, best-effort."""
+        if not self._bg_churn_admit(len(data)):
+            return  # stream full and churn budget spent: stays a host hit
         with self._bg_pin_lock:
             if key in self._bg_pins or len(self._bg_pins) >= 8:
                 return  # dropped = stays a miss; a later query retries
@@ -1502,6 +1546,7 @@ class BloomSearchEngine:
             "host_bank_cache_entries": len(self._host_bank_cache),
             "file_bank_groups": len(self._file_bank_cache),
             "background_warms_in_flight": len(self._warming),
+            "background_pins_churn_skipped": self._bg_pins_skipped,
         }
         if self._device_backend is not None:
             out["device"] = self._device_backend.stats()

@@ -862,6 +862,43 @@ class TestRelease:
             assert backend.total_bytes() == 0
 
 
+class TestChurnAdmission:
+    def test_bg_pins_rate_limited_at_capacity(self, tmp_path):
+        """Once the stream reservation is full, background pins admit only
+        within the churn budget (~5% capacity/min, starting empty): a
+        scan-shaped workload stops evict/upload-thrashing the warm set."""
+        store = bs.FileSystemDataStore(str(tmp_path))
+        cfg = bs.BloomSearchEngineConfig(
+            row_cache_bytes=4 << 20, probe_backend="device"
+        )
+        eng = bs.BloomSearchEngine(cfg, store, store)
+        eng.start()
+        try:
+            rc = eng._row_cache
+            assert rc is not None
+            rc.reserve(10_000_000)  # caps at ~90% of the 4 MB budget
+            # While free space remains, pins always admit.
+            assert eng._bg_churn_admit(1000)
+            # Fill the reservation.
+            rows = [{"m": "churn filler " + "y" * 100 + f" r{i}"} for i in range(300)]
+            data = make_stream(rows)
+            _, offs, lens = split_rows_arrays(data)
+            b = 0
+            while (rc.stream_free_chunks() or 0) > 1024:
+                rc.pin((b"churn%d" % b, 0), data, offs, lens)
+                b += 1
+            # At capacity with an empty token bucket: denied and counted.
+            assert not eng._bg_churn_admit(1 << 20)
+            assert eng.stats()["background_pins_churn_skipped"] == 1
+            # Refill: backdate the bucket one minute -> ~5% of 4 MB accrues.
+            eng._bg_churn_t -= 60.0
+            assert eng._bg_churn_admit(100_000)
+            # Bucket drained again for a large request.
+            assert not eng._bg_churn_admit(1 << 20)
+        finally:
+            eng.stop()
+
+
 class TestMeshShardedRowCache:
     def test_stream_shards_across_devices(self):
         import jax
