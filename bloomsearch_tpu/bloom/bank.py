@@ -20,9 +20,11 @@ on-device (32x smaller) before the single small transfer per query.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import logging
 import threading
+import time
 from typing import Callable, Optional
 
 import numpy as np
@@ -55,6 +57,42 @@ _PROBE_BATCH_MAX_TERMS = 16
 # drained CNF clause total must stay inside the warmed Cp=16 program shape
 # independently of any retuning of the term cap.
 _PROBE_BATCH_MAX_CLAUSES = 16
+
+
+# Column-staging piece size: one bank-group insert used to upload its whole
+# flat array in a single h2d (54 MB per file group at reference scale) —
+# through a tunneled TPU that holds the transfer link for seconds, and a
+# mid-warmup query's result fetches queue behind it. Pieces bound the
+# un-preemptible transfer; greedy pow2 piece column-counts bound the program
+# set to ~7 shapes per (rows, ·).
+_STAGE_PIECE_BYTES = 8 << 20
+# Total seconds one stage() may spend paused at yield points.
+_STAGE_YIELD_MAX_S = 20.0
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_fns():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("rows", "cols"))
+    def zeros(rows: int, cols: int):
+        return jnp.zeros((rows, cols), jnp.uint32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def piece(staged, sub, off):
+        # `staged` is always a private chain intermediate — donation
+        # updates in place instead of copying the whole staging buffer.
+        return jax.lax.dynamic_update_slice(staged, sub, (jnp.int32(0), off))
+
+    return zeros, piece
+
+
+def _stage_yield(yield_to, deadline: float) -> None:
+    while (
+        yield_to is not None and time.monotonic() < deadline and yield_to()
+    ):
+        time.sleep(0.005)
 
 
 class Superbank:
@@ -108,7 +146,47 @@ class Superbank:
             self.bank2d = sharded_pad_columns(self.mesh, self.bank2d, new_cap)
         self.capacity = new_cap
 
-    def insert(self, key: bytes, host_bank: np.ndarray) -> tuple[int, int]:
+    def stage(self, host_bank: np.ndarray, yield_to=None):
+        """Device-stage a group's columns OUTSIDE the backend lock.
+
+        Uploads the flat [3*num_words, B] array in greedy-pow2 column
+        pieces of ~8 MB with a ``yield_to`` poll between pieces (truthy
+        while queries are in flight), so a query's result fetches never
+        queue behind one multi-second h2d on tunneled chips. The staged
+        array is private to the caller; ``insert(..., staged=...)``
+        publishes it with a single on-device update. Small groups return
+        a direct single-transfer array (no staging overhead).
+        """
+        jnp = self._jnp
+        _, w, num_cols = host_bank.shape
+        assert w == self.num_words, (w, self.num_words)
+        flat = np.ascontiguousarray(
+            host_bank.reshape(3 * self.num_words, num_cols), dtype=np.uint32
+        )
+        col_bytes = flat.shape[0] * 4
+        max_piece = 1
+        while max_piece * 2 * col_bytes <= _STAGE_PIECE_BYTES:
+            max_piece *= 2
+        if num_cols <= max_piece:
+            return jnp.asarray(flat)
+        zeros, piece_fn = _stage_fns()
+        staged = zeros(flat.shape[0], num_cols)
+        deadline = time.monotonic() + _STAGE_YIELD_MAX_S
+        off = 0
+        while off < num_cols:
+            if off:
+                _stage_yield(yield_to, deadline)
+            piece = 1
+            while piece * 2 <= num_cols - off and piece * 2 <= max_piece:
+                piece *= 2
+            sub = jnp.asarray(np.ascontiguousarray(flat[:, off : off + piece]))
+            staged = piece_fn(staged, sub, self._jnp.int32(off))
+            off += piece
+        return staged
+
+    def insert(
+        self, key: bytes, host_bank: np.ndarray, staged=None
+    ) -> tuple[int, int]:
         """Append a file-group's bank uint32[3, num_words, B] -> (start, B)."""
         from ..parallel.mesh import sharded_update_columns
 
@@ -118,11 +196,13 @@ class Superbank:
         if self.used + num_cols > self.capacity:
             self._grow(self.used + num_cols)
         jnp = self._jnp
-        flat = host_bank.reshape(3 * self.num_words, num_cols)
+        if staged is None or staged.shape[1] != num_cols:
+            flat = host_bank.reshape(3 * self.num_words, num_cols)
+            staged = jnp.asarray(flat, dtype=jnp.uint32)
         self.bank2d = sharded_update_columns(
             self.mesh,
             self.bank2d,
-            jnp.asarray(flat, dtype=jnp.uint32),
+            staged,
             jnp.int32(self.used),
         )
         segment = (self.used, num_cols)
@@ -327,7 +407,12 @@ class DeviceProbeBackend:
         mk: tuple,
         seg_key: bytes,
         loader: Callable[[], np.ndarray],
+        yield_to=None,
     ) -> Superbank:
+        """``yield_to``: background callers (warmup loop, scheduled bank
+        warms) pass the engine's queries-in-flight gate so the staging
+        uploads pause for foreground queries; query-path callers MUST pass
+        None (yielding to themselves would stall the query)."""
         with self._lock:
             sb = self._superbanks.get(mk)
             if sb is None:
@@ -335,10 +420,13 @@ class DeviceProbeBackend:
                 self._superbanks[mk] = sb
             resident = seg_key in sb.segments
         if not resident:
-            # Load OUTSIDE the lock (disk read + host work); concurrent
-            # loaders of the same segment waste a read but stay correct —
-            # the re-check under the lock inserts only once.
+            # Load AND device-stage OUTSIDE the lock (disk read + host work
+            # + piecewise h2d); concurrent loaders of the same segment waste
+            # a read but stay correct — the re-check under the lock inserts
+            # only once. Staging outside the lock also keeps query probes
+            # (which need the lock) from blocking behind the upload.
             host_bank = loader()
+            staged = sb.stage(host_bank, yield_to=yield_to)
             with self._lock:
                 sb = self._superbanks.get(mk)
                 if sb is None:
@@ -347,7 +435,7 @@ class DeviceProbeBackend:
                     )
                     self._superbanks[mk] = sb
                 if seg_key not in sb.segments:
-                    sb.insert(seg_key, host_bank)
+                    sb.insert(seg_key, host_bank, staged=staged)
                     self._by_file.setdefault(file_pointer, []).append((mk, seg_key))
         with self._lock:
             self._lru.pop((mk, seg_key), None)

@@ -99,6 +99,38 @@ class InvalidConfigError(ValueError):
     pass
 
 
+class _ChurnBudget:
+    """Token bucket bounding background cache-churn (~5%/min of capacity).
+
+    Used for at-capacity background row pins and bank warms: when the
+    working set exceeds a cache, refilling it per query is pure thrash —
+    evict/upload cycles that never improve the hit rate but contend with
+    foreground queries for transfer bandwidth and device time. The bucket
+    starts empty (post-warmup caches are exactly as warm as they can get)
+    and accrues `frac` of capacity per `period_s`, so a genuinely shifted
+    hot set still migrates in within minutes.
+    """
+
+    def __init__(self, capacity_bytes: int, frac: float = 0.05, period_s: float = 60.0):
+        self.burst = max(capacity_bytes, 0) * frac
+        self.rate = self.burst / period_s
+        self.tokens = 0.0
+        self.t = time.monotonic()
+        self.lock = threading.Lock()
+        self.skipped = 0  # observability: denied admissions
+
+    def admit(self, nbytes: int) -> bool:
+        now = time.monotonic()
+        with self.lock:
+            self.tokens = min(self.tokens + (now - self.t) * self.rate, self.burst)
+            self.t = now
+            if self.tokens >= nbytes:
+                self.tokens -= nbytes
+                return True
+            self.skipped += 1
+            return False
+
+
 def _default_compression() -> str:
     from .compression import COMPRESSION_SNAPPY, compression_available
 
@@ -654,12 +686,13 @@ class BloomSearchEngine:
         # a dropped pin is just a cache miss that retries on a later query).
         self._bg_pins: set = set()
         self._bg_pin_lock = threading.Lock()
-        # Churn budget for at-capacity background pins (_bg_churn_admit):
-        # starts EMPTY so the minutes right after warmup fills the stream
-        # don't immediately churn it.
-        self._bg_churn_tokens = 0.0
-        self._bg_churn_t = time.monotonic()
-        self._bg_pins_skipped = 0
+        # Churn budgets for background cache fills once a cache is full
+        # (buckets start EMPTY so the minutes right after warmup fills them
+        # don't immediately churn): one for row-stream pins, one for bank
+        # warms — a working set beyond either cache must not evict/upload-
+        # thrash it on every query.
+        self._pin_churn = _ChurnBudget(config.row_cache_bytes)
+        self._bank_churn = _ChurnBudget(config.bank_cache_bytes)
         self._pin_pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="bloomsearch-bgpin"
         )
@@ -825,8 +858,10 @@ class BloomSearchEngine:
         compile_reps: dict[tuple, tuple] = {}
         # Total seconds warmup may spend paused letting queries go first
         # (shared across the bank-load, probe-compile and scan-compile
-        # loops below).
-        yield_budget = [60.0]
+        # loops below). Generous: warmup is background work — stretching it
+        # under sustained query load is the right trade, bounded so a
+        # saturating stream can't stall it forever.
+        yield_budget = [120.0]
         for mf in maybe_files:
             if self._stop_event.is_set():
                 return
@@ -842,7 +877,8 @@ class BloomSearchEngine:
                     if self._device_backend is not None:
                         seg_key = self._device_backend.segment_key(mf.pointer, gi)
                         self._device_backend._ensure_resident(
-                            mf.pointer, mk, seg_key, load
+                            mf.pointer, mk, seg_key, load,
+                            yield_to=self._pins_should_yield,
                         )
                         compile_reps.setdefault(mk, (mf.pointer, gi, load))
                     elif self._host_bank(mf.pointer, group) is None:
@@ -1097,19 +1133,7 @@ class BloomSearchEngine:
         need = -(-max(nbytes, 1) // STREAM_STRIDE) + 512
         if free >= need:
             return True
-        now = time.monotonic()
-        cap = self.config.row_cache_bytes * 0.05
-        with self._bg_pin_lock:
-            rate = cap / 60.0
-            self._bg_churn_tokens = min(
-                self._bg_churn_tokens + (now - self._bg_churn_t) * rate, cap
-            )
-            self._bg_churn_t = now
-            if self._bg_churn_tokens >= nbytes:
-                self._bg_churn_tokens -= nbytes
-                return True
-            self._bg_pins_skipped += 1
-        return False
+        return self._pin_churn.admit(nbytes)
 
     def _submit_background_pin(self, key, data, offsets, lengths, fetcher) -> None:
         """Queue a cache-warm pin; bounded, deduplicated, best-effort."""
@@ -1523,6 +1547,7 @@ class BloomSearchEngine:
                     (group.m_bits, group.k, group.params.layout),
                     seg_key,
                     lambda bank=bank: bank,
+                    yield_to=self._pins_should_yield,
                 )
         except Exception:
             logger.exception("bank warm-on-flush failed (queries will reload)")
@@ -1546,7 +1571,8 @@ class BloomSearchEngine:
             "host_bank_cache_entries": len(self._host_bank_cache),
             "file_bank_groups": len(self._file_bank_cache),
             "background_warms_in_flight": len(self._warming),
-            "background_pins_churn_skipped": self._bg_pins_skipped,
+            "background_pins_churn_skipped": self._pin_churn.skipped,
+            "bank_warms_churn_skipped": self._bank_churn.skipped,
         }
         if self._device_backend is not None:
             out["device"] = self._device_backend.stats()
@@ -2072,6 +2098,18 @@ class BloomSearchEngine:
         this warm is purely a residency optimization: the full group loads
         (and its whole-payload CRC re-verifies) so the next query probes
         the resident bank instead of seeking."""
+        backend = self._device_backend
+        if backend is not None:
+            # Churn budget: when the dataset's banks exceed the cache, every
+            # query sparse-probes the non-resident groups and would schedule
+            # their full loads — evicting other groups and re-uploading GBs
+            # per query forever (sparse probes stay correct either way).
+            size = getattr(group, "size", 0) or 0
+            if (
+                backend.total_bytes() + size > backend.cache_bytes
+                and not self._bank_churn.admit(size)
+            ):
+                return
         key = (pointer, group.offset)
         with self._warm_lock:
             if key in self._warming:
@@ -2090,7 +2128,10 @@ class BloomSearchEngine:
                         with self.data_store.open_file(pointer) as fh:
                             return read_bank_group(fh, group)
 
-                    self._device_backend._ensure_resident(pointer, mk, seg_key, load)
+                    self._device_backend._ensure_resident(
+                        pointer, mk, seg_key, load,
+                        yield_to=self._pins_should_yield,
+                    )
                 else:
                     if self._host_bank(pointer, group) is None:
                         with self.data_store.open_file(pointer) as fh:

@@ -133,6 +133,28 @@ class TestSuperbank:
         host = np.asarray(sb.bank2d[: 3 * sb.num_words, :3])
         np.testing.assert_array_equal(host, bank1.reshape(3 * sb.num_words, 3))
 
+    def test_staged_insert_matches_direct(self, monkeypatch):
+        """Piecewise column staging (pow2 pieces + yield points) must
+        publish bit-identical columns to the single-shot upload path."""
+        from bloomsearch_tpu.bloom import bank as bank_mod
+
+        # Force multi-piece staging at test sizes (default pieces are 8 MB).
+        monkeypatch.setattr(bank_mod, "_STAGE_PIECE_BYTES", PARAMS.num_words * 3 * 4 * 2)
+        sb_direct = self.make_sb()
+        sb_staged = self.make_sb()
+        big = make_bank(
+            PARAMS, [([f"f{i}"], [f"t{i}"], [f"ft{i}"]) for i in range(11)]
+        )
+        sb_direct.insert(b"k", big)
+        yields = []
+        staged = sb_staged.stage(big, yield_to=lambda: yields.append(1) and False)
+        assert staged.shape == (3 * sb_staged.num_words, 11)
+        assert yields  # multi-piece: the gate was polled between pieces
+        sb_staged.insert(b"k", big, staged=staged)
+        np.testing.assert_array_equal(
+            np.asarray(sb_direct.bank2d), np.asarray(sb_staged.bank2d)
+        )
+
     def test_remove_and_compact(self):
         sb = self.make_sb()
         bank1 = make_bank(PARAMS, BLOCK_KEYS)

@@ -891,10 +891,32 @@ class TestChurnAdmission:
             assert not eng._bg_churn_admit(1 << 20)
             assert eng.stats()["background_pins_churn_skipped"] == 1
             # Refill: backdate the bucket one minute -> ~5% of 4 MB accrues.
-            eng._bg_churn_t -= 60.0
+            eng._pin_churn.t -= 60.0
             assert eng._bg_churn_admit(100_000)
             # Bucket drained again for a large request.
             assert not eng._bg_churn_admit(1 << 20)
+        finally:
+            eng.stop()
+
+    def test_bank_warm_churn_budget(self, tmp_path):
+        """A sparse-probed group whose load would overflow the bank cache
+        is not rescheduled for a full load once the churn budget is spent
+        (sparse probes remain correct; only the residency warm is skipped)."""
+        store = bs.FileSystemDataStore(str(tmp_path))
+        cfg = bs.BloomSearchEngineConfig(probe_backend="device")
+        eng = bs.BloomSearchEngine(cfg, store, store)
+        eng.start()
+        try:
+            eng._device_backend.cache_bytes = 0  # any load would evict
+
+            class G:
+                size = 10 << 20
+                offset = 0
+
+            before = eng.stats()["bank_warms_churn_skipped"]
+            eng._schedule_bank_warm(b"ptr", 0, G())
+            assert eng.stats()["bank_warms_churn_skipped"] == before + 1
+            assert not eng._warming  # nothing scheduled
         finally:
             eng.stop()
 
