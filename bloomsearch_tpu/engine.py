@@ -1137,12 +1137,16 @@ class BloomSearchEngine:
 
     def _submit_background_pin(self, key, data, offsets, lengths, fetcher) -> None:
         """Queue a cache-warm pin; bounded, deduplicated, best-effort."""
-        if not self._bg_churn_admit(len(data)):
-            return  # stream full and churn budget spent: stays a host hit
         with self._bg_pin_lock:
             if key in self._bg_pins or len(self._bg_pins) >= 8:
                 return  # dropped = stays a miss; a later query retries
             self._bg_pins.add(key)
+        # Admission AFTER dedup so duplicate submissions of one in-flight
+        # block can't drain the churn budget.
+        if not self._bg_churn_admit(len(data)):
+            with self._bg_pin_lock:
+                self._bg_pins.discard(key)
+            return  # stream full and churn budget spent: stays a host hit
 
         def work():
             try:
