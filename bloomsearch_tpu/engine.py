@@ -838,7 +838,15 @@ class BloomSearchEngine:
             except Exception:
                 logger.exception("warmup: stream reserve failed")
             timeline["reserve_s"] = round(time.monotonic() - t0, 3)
-            first_pins.extend(self._warmup_pin_rows(maybe_files, limit=4))
+            # SIX first pins, not 4: the scan-route chooser goes sparse at
+            # <=4 segments, so a 4-block warm list would compile ONLY
+            # sparse-shaped programs in the pass below (n_real pinned at 8)
+            # and leave every DENSE (n_real 1/2/4/8) program to the first
+            # >=5-block query — measured as a ~1-1.5 s first-query cliff on
+            # the 48 MB serving variant. With 6 pins the full-list scans go
+            # dense while the [:1]/[:2]/[:3] subsets still cover sparse
+            # segment buckets {1, 2, 4}.
+            first_pins.extend(self._warmup_pin_rows(maybe_files, limit=6))
             timeline["first_pins_s"] = round(time.monotonic() - t0, 3)
 
             def _pin_rest():
