@@ -34,6 +34,15 @@ logger = logging.getLogger("bloomsearch_tpu.bank")
 LANE = 128
 
 
+class BackendReleasedError(RuntimeError):
+    """Raised when a (background) bank load races engine shutdown past
+    DeviceProbeBackend.release(): inserting after release would allocate
+    device memory owned by a dead engine's backend — the HBM leak
+    release() exists to prevent. Query paths never see this (the engine
+    drains queries before releasing); warm/warmup paths catch it and
+    stop quietly."""
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -317,6 +326,7 @@ class DeviceProbeBackend:
             self.mesh = None
         self._lock = threading.RLock()
         self._superbanks: dict[tuple, Superbank] = {}
+        self._released = False  # set by release(); blocks late re-uploads
         # Cross-query launch batching (see _probe_superbank_batched).
         self._batch_lock = threading.Lock()
         self._batch_pending: dict[int, _BankBatchEntry] = {}
@@ -377,6 +387,7 @@ class DeviceProbeBackend:
         is already forbidden at the engine layer.
         """
         with self._lock:
+            self._released = True
             banks = list(self._superbanks.values())
             self._superbanks.clear()
             self._lru.clear()
@@ -414,6 +425,8 @@ class DeviceProbeBackend:
         uploads pause for foreground queries; query-path callers MUST pass
         None (yielding to themselves would stall the query)."""
         with self._lock:
+            if self._released:
+                raise BackendReleasedError("probe backend released")
             sb = self._superbanks.get(mk)
             if sb is None:
                 sb = Superbank(mk[0], mk[1], mk[2], self._jnp, self._jax, mesh=self.mesh)
@@ -428,6 +441,12 @@ class DeviceProbeBackend:
             host_bank = loader()
             staged = sb.stage(host_bank, yield_to=yield_to)
             with self._lock:
+                if self._released:
+                    # A warm that raced engine shutdown past release():
+                    # inserting would allocate device memory owned by a dead
+                    # engine's (cycle-kept) backend — the leak release()
+                    # exists to prevent.
+                    raise BackendReleasedError("probe backend released")
                 sb = self._superbanks.get(mk)
                 if sb is None:
                     sb = Superbank(

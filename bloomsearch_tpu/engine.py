@@ -39,6 +39,7 @@ from typing import Any, Callable, Optional
 
 import numpy as np
 
+from .bloom.bank import BackendReleasedError
 from .bloom.hashing import hash_keys
 from .bloom.params import BloomParams
 from .bloom.probe import (
@@ -124,11 +125,28 @@ class _ChurnBudget:
         with self.lock:
             self.tokens = min(self.tokens + (now - self.t) * self.rate, self.burst)
             self.t = now
-            if self.tokens >= nbytes:
+            # Admit once a full burst (or the request, if smaller) has
+            # accrued, letting tokens go negative for items larger than the
+            # burst: a deficit bucket keeps the long-run rate exact while a
+            # single 10 MB block can still migrate past a 6 MB burst —
+            # `tokens >= nbytes` alone would deny it forever.
+            if self.tokens >= min(float(nbytes), self.burst) and self.burst > 0:
                 self.tokens -= nbytes
                 return True
             self.skipped += 1
             return False
+
+    def drain(self) -> None:
+        """Empty the bucket (e.g. at warmup completion).
+
+        The budget exists for the post-warmup steady state; tokens accrued
+        while a multi-minute warmup ran would otherwise fund an immediate
+        burst of pure-thrash refills the moment serving begins.
+        """
+        now = time.monotonic()
+        with self.lock:
+            self.tokens = min(self.tokens, 0.0)
+            self.t = now
 
 
 def _default_compression() -> str:
@@ -672,12 +690,25 @@ class BloomSearchEngine:
                     raise
                 logger.debug("device probe backend unavailable: %s", exc)
 
+        # Host shadow policy for pinned blocks (see config docstring) —
+        # resolved BEFORE the row cache exists: the cache's stream
+        # reservation splits the byte budget differently when every pin
+        # carries a ~1x-of-raw host shadow.
+        if config.row_cache_host_shadow == "auto":
+            self._row_shadow = not getattr(
+                data_store, "supports_fast_ranged_reads", False
+            )
+        else:
+            self._row_shadow = bool(config.row_cache_host_shadow)
+
         self._row_cache = None
         if config.row_cache_bytes > 0 and self._device_backend is not None:
             from .rowcache import DeviceRowCache
 
             self._row_cache = DeviceRowCache(
-                config.row_cache_bytes, mesh_devices=config.mesh_devices
+                config.row_cache_bytes,
+                mesh_devices=config.mesh_devices,
+                host_shadow=self._row_shadow,
             )
         # Warmup phase timings (reserve / first pins / programs / pins),
         # populated by _warmup_impl; exposed via stats()["warmup"].
@@ -696,13 +727,6 @@ class BloomSearchEngine:
         self._pin_pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="bloomsearch-bgpin"
         )
-        # Host shadow policy for pinned blocks (see config docstring).
-        if config.row_cache_host_shadow == "auto":
-            self._row_shadow = not getattr(
-                data_store, "supports_fast_ranged_reads", False
-            )
-        else:
-            self._row_shadow = bool(config.row_cache_host_shadow)
 
         # Incremental file-level filter banks per (m, k, layout) group:
         # columns append on first sight of a file and free on tombstone, so
@@ -893,6 +917,8 @@ class BloomSearchEngine:
                         self._host_bank_put(mf.pointer, group, load())
                 except FileNotFoundError:
                     break  # merged/tombstoned during warmup
+                except BackendReleasedError:
+                    return  # engine stopped mid-warmup
                 except Exception:
                     logger.exception("warmup: bank load failed for %r", mf.pointer)
 
@@ -1008,6 +1034,13 @@ class BloomSearchEngine:
                 pin_thread.join()
             timeline["pins_s"] = round(time.monotonic() - t0, 3)
         timeline["total_s"] = round(time.monotonic() - t0, 3)
+        # Start serving with EMPTY churn buckets: tokens accrued over a
+        # multi-minute warmup would otherwise fund an immediate burst of
+        # at-capacity refills (pure thrash whose uploads queue ahead of the
+        # first queries' fetches) — the caches are exactly as warm as they
+        # can get at this instant.
+        self._pin_churn.drain()
+        self._bank_churn.drain()
 
     def _warmup_pin_rows(self, maybe_files, limit: Optional[int] = None) -> list:
         """Pre-pin rows up to the serving cache budget (warmup pin pass;
@@ -1561,6 +1594,8 @@ class BloomSearchEngine:
                     lambda bank=bank: bank,
                     yield_to=self._pins_should_yield,
                 )
+        except BackendReleasedError:
+            pass  # raced engine stop; nothing left to warm
         except Exception:
             logger.exception("bank warm-on-flush failed (queries will reload)")
 
@@ -2110,6 +2145,14 @@ class BloomSearchEngine:
         this warm is purely a residency optimization: the full group loads
         (and its whole-payload CRC re-verifies) so the next query probes
         the resident bank instead of seeking."""
+        key = (pointer, group.offset)
+        # Dedup BEFORE the churn admit: a concurrent burst sparse-probing one
+        # cold group schedules the same warm many times, and each duplicate
+        # would otherwise drain the budget for a load that happens once.
+        with self._warm_lock:
+            if key in self._warming:
+                return
+            self._warming.add(key)
         backend = self._device_backend
         if backend is not None:
             # Churn budget: when the dataset's banks exceed the cache, every
@@ -2121,12 +2164,9 @@ class BloomSearchEngine:
                 backend.total_bytes() + size > backend.cache_bytes
                 and not self._bank_churn.admit(size)
             ):
+                with self._warm_lock:
+                    self._warming.discard(key)
                 return
-        key = (pointer, group.offset)
-        with self._warm_lock:
-            if key in self._warming:
-                return
-            self._warming.add(key)
 
         def warm():
             try:
@@ -2151,6 +2191,8 @@ class BloomSearchEngine:
                         self._host_bank_put(pointer, group, bank)
             except FileNotFoundError:
                 pass  # merged/tombstoned meanwhile: nothing left to warm
+            except BackendReleasedError:
+                pass  # raced engine stop; the backend refused the upload
             except Exception:
                 logger.exception(
                     "background bank warm failed for %r group@%d (sparse probes "

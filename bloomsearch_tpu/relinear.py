@@ -159,18 +159,11 @@ def _risky(items) -> bool:
                 # Repeat over a possibly-empty body: (a?)* and friends.
                 if _can_match_empty(body):
                     return True
-                # Quantified alternation — safe only when every branch
-                # starts with a distinct literal character (no overlap).
-                for bop, bav in body if isinstance(body, list) else list(body):
-                    if bop == sre_c.BRANCH or _subpattern_body(bop, bav) is not None:
-                        inner = bav[1] if bop == sre_c.BRANCH else _subpattern_body(bop, bav)
-                        if bop != sre_c.BRANCH:
-                            if _risky_branch_like(inner):
-                                return True
-                            continue
-                        firsts = [_first_literal(b) for b in inner]
-                        if len(set(firsts)) != len(firsts) or None in firsts:
-                            return True
+                # Quantified alternation — any branch ANYWHERE in the
+                # repeated body whose iteration split could be ambiguous
+                # compounds exponentially under the enclosing repeat.
+                if _ambiguous_branch(list(body)):
+                    return True
                 # Huge bounded repeats still multiply; treat big-x-big as
                 # nested even without an inner star.
                 if hi >= _BIG_REPEAT and _contains_repeat(body, _BIG_REPEAT):
@@ -193,12 +186,74 @@ def _risky(items) -> bool:
     return False
 
 
-def _risky_branch_like(items) -> bool:
-    """Helper: a subpattern inside a repeat whose own body is a branch."""
+def _fixed_length(items) -> Optional[int]:
+    """The single match length (in chars) of ``items``, or None if variable
+    or unknown. Zero-width constructs count 0."""
+    total = 0
+    for op, av in items:
+        if op in (sre_c.LITERAL, sre_c.NOT_LITERAL, sre_c.IN, sre_c.ANY):
+            total += 1
+            continue
+        if op == sre_c.AT or op in (sre_c.ASSERT, sre_c.ASSERT_NOT):
+            continue  # zero-width
+        body = _subpattern_body(op, av)
+        if body is not None:
+            n = _fixed_length(list(body))
+            if n is None:
+                return None
+            total += n
+            continue
+        bounds = _repeat_bounds(op, av)
+        if bounds is not None:
+            lo, hi = bounds
+            if lo != hi:
+                return None
+            n = _fixed_length(list(av[2]))
+            if n is None:
+                return None
+            total += lo * n
+            continue
+        if op == sre_c.BRANCH:
+            lens = {_fixed_length(b) for b in av[1]}
+            if None in lens or len(lens) != 1:
+                return None
+            total += next(iter(lens))
+            continue
+        return None  # GROUPREF / unknown op: length not provable
+    return total
+
+
+def _ambiguous_branch(items) -> bool:
+    """Any BRANCH at ANY depth inside a repeated body whose alternatives
+    could overlap. Safe requires: every alternative starts with a distinct
+    literal (the first char uniquely picks the alternative) AND has a fixed
+    match length (the pick deterministically bounds the iteration) — e.g.
+    ``(foo|bar)+`` is safe, while ``((a|a))+b`` (one group deeper than the
+    old one-level check saw) and ``(ab?|b)+c`` (variable alternative lets
+    iteration splits compound) are risky."""
     for op, av in items:
         if op == sre_c.BRANCH:
-            firsts = [_first_literal(b) for b in av[1]]
+            alts = av[1]
+            firsts = [_first_literal(b) for b in alts]
             if len(set(firsts)) != len(firsts) or None in firsts:
+                return True
+            if any(_fixed_length(b) is None for b in alts):
+                return True
+            if any(_ambiguous_branch(b) for b in alts):
+                return True
+            continue
+        body = _subpattern_body(op, av)
+        if body is not None:
+            if _ambiguous_branch(list(body)):
+                return True
+            continue
+        bounds = _repeat_bounds(op, av)
+        if bounds is not None:
+            if _ambiguous_branch(list(av[2])):
+                return True
+            continue
+        if op in (sre_c.ASSERT, sre_c.ASSERT_NOT):
+            if _ambiguous_branch(list(av[1])):
                 return True
     return False
 

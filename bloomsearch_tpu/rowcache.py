@@ -387,13 +387,23 @@ class _PendingScan:
 class DeviceRowCache:
     """LRU cache of pinned blocks keyed by (file pointer, block offset)."""
 
-    def __init__(self, capacity_bytes: int, mesh_devices: Optional[int] = None):
+    def __init__(
+        self,
+        capacity_bytes: int,
+        mesh_devices: Optional[int] = None,
+        host_shadow: bool = False,
+    ):
         import jax
         import jax.numpy as jnp
 
         self._jax = jax
         self._jnp = jnp
         self.capacity_bytes = capacity_bytes
+        # Shadowed pins keep the block's decompressed bytes host-side
+        # (~0.94x their device chunk bytes), so the reservation must split
+        # the byte budget between the stream and the shadows; shadow-free
+        # pins retain only offset/length arrays (a few % of raw).
+        self.host_shadow = bool(host_shadow)
         # Multi-chip serving: the stream matrix shards its CHUNK axis over
         # a 1-D mesh (same auto policy as the filter superbanks) — pinned
         # capacity and scan compute scale linearly in chips.
@@ -548,15 +558,21 @@ class DeviceRowCache:
         shape BEFORE the long pin pass, so queries arriving mid-warmup run
         warm-shaped programs, and later pin/evict churn never reshapes the
         matrix (compaction floors at the reservation; pins reclaim in place
-        instead of growing past it). Capped at ~90% of the device byte
-        budget to leave headroom for the host-side arrays. Returns the
-        reserved cap in chunks.
+        instead of growing past it). Capped at ~90% of the byte budget
+        (shadow-free: host side is just offset/length arrays) or ~45% with
+        the host shadow on — each pinned chunk then also costs ~0.94x its
+        device bytes host-side, and a 90% device claim would leave pin()'s
+        byte-budget eviction only ~10% of the budget for LIVE content (the
+        stream never reaches its reservation, stream_free_chunks() stays
+        large, and the churn rate-limiter silently never engages). Returns
+        the reserved cap in chunks.
         """
         unit = self._chunk_unit
         # Budget cap rounds DOWN to the unit (rounding up could overshoot
         # the device byte budget); the dataset size rounds up.
+        frac = 0.45 if self.host_shadow else 0.9
         budget_chunks = max(
-            ((int(self.capacity_bytes * 0.9)) // CHUNK_BYTES // unit) * unit, unit
+            ((int(self.capacity_bytes * frac)) // CHUNK_BYTES // unit) * unit, unit
         )
         cap = min(_round_up(max(total_chunks, 1) + 512, unit), budget_chunks)
         with self._upload_lock:

@@ -36,6 +36,16 @@ class TestRiskScreen:
             r"([a-z]+)*@",
             r"(\d+|\w+)+!",
             r"(?:x*)+y",
+            # Ambiguous alternation nested one (or more) groups deeper than
+            # the repeat body's top level — the one-level screen missed
+            # these and re hung ~23 s on 'a'*27 (exponential).
+            r"((a|a))+b",
+            r"((((a|a))))+b",
+            r"(?:(?:a|a))+b",
+            r"((a|a)x?)+b",
+            # Distinct firsts but a variable-length alternative: iteration
+            # splits overlap ('ab' = one iter or 'a'+'b') and compound.
+            r"(ab?|b)+c",
         ],
     )
     def test_pathological_flagged(self, pattern):
@@ -53,10 +63,23 @@ class TestRiskScreen:
             r"[a-z]+@[a-z]+\.(com|net)",
             r"a+b*c?",
             r"\bword\b",
+            r"((ab|cd)(ef|gh))+x",  # distinct firsts + fixed lengths: safe
         ],
     )
     def test_common_patterns_stay_on_re(self, pattern):
         assert not pattern_is_risky(pattern)
+
+    def test_nested_ambiguous_alternation_bounded(self):
+        """The review repro: one extra group layer around (a|a) defeated the
+        old screen; matching must now complete instantly, both polarities."""
+        for pattern in (r"((a|a))+b", r"((a|a)x?)+b", r"(ab?|b)+c"):
+            matcher = build_safe_matcher(pattern)
+            t0 = time.monotonic()
+            assert matcher("a" * 40 + "z") is False
+            assert time.monotonic() - t0 < TIMEOUT
+            ref = re.compile(pattern)
+            for s in ("xxaab yy", "zzabbc", "a" * 5 + "b", "ab" * 3 + "c"):
+                assert matcher(s) == (ref.search(s) is not None), (pattern, s)
 
 
 class TestLinearMatcherParity:

@@ -890,11 +890,20 @@ class TestChurnAdmission:
             # At capacity with an empty token bucket: denied and counted.
             assert not eng._bg_churn_admit(1 << 20)
             assert eng.stats()["background_pins_churn_skipped"] == 1
-            # Refill: backdate the bucket one minute -> ~5% of 4 MB accrues.
+            # Refill: backdate the bucket one minute -> one full burst
+            # (~5% of 4 MB = ~205 KB) accrues. A request LARGER than the
+            # burst still admits — deficit bucket: tokens go negative so a
+            # single big block can migrate while the long-run rate stays
+            # exact (`tokens >= nbytes` would deny it forever)...
             eng._pin_churn.t -= 60.0
-            assert eng._bg_churn_admit(100_000)
-            # Bucket drained again for a large request.
-            assert not eng._bg_churn_admit(1 << 20)
+            assert eng._bg_churn_admit(1 << 20)
+            assert eng._pin_churn.tokens < 0
+            # ...and nothing else admits until the deficit repays (300 KB
+            # needs >1024 chunks, so this can't slip through free space).
+            assert not eng._bg_churn_admit(300_000)
+            # ~7 min repays the ~840 KB deficit plus a fresh burst.
+            eng._pin_churn.t -= 420.0
+            assert eng._bg_churn_admit(300_000)
         finally:
             eng.stop()
 
