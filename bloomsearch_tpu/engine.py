@@ -3102,9 +3102,19 @@ class _IngestState:
         self.buffered_bytes += batch_bytes
 
         # Shared byte-level view of the batch for the native tokenizer and
-        # the minmax extractor (one join, two passes).
+        # the minmax extractor (one join, two passes) — built only when at
+        # least one of those consumers will actually run: a custom tokenizer
+        # with no minmax indexes would otherwise pay a batch-sized memcpy
+        # per call for data nothing reads.
         joined = joined_offsets = joined_lengths = None
-        if serialized and _native_ingest_available():
+        if (
+            serialized
+            and _native_ingest_available()
+            and (
+                config.min_max_indexes
+                or config.tokenizer is basic_whitespace_lower_tokenizer
+            )
+        ):
             joined_lengths = np.fromiter(
                 (len(b) for b in serialized), dtype=np.int64, count=len(serialized)
             )

@@ -258,9 +258,193 @@ def _ambiguous_branch(items) -> bool:
     return False
 
 
+class _CharSet:
+    """Coarse over-approximation of the characters a subpattern can consume.
+
+    ``any`` means "could be anything" (negated classes, ``.``, unknown ops);
+    the empty set (nothing consumed, e.g. a pure assertion) never overlaps.
+    Over-approximation only mis-routes a safe pattern to the linear VM —
+    speed, never correctness.
+    """
+
+    __slots__ = ("any", "chars", "ranges", "cats")
+
+    def __init__(self):
+        self.any = False
+        self.chars: set = set()
+        self.ranges: List[Tuple[int, int]] = []
+        self.cats: set = set()
+
+    def empty(self) -> bool:
+        return not (self.any or self.chars or self.ranges or self.cats)
+
+
+# Category pairs that provably do NOT overlap (Unicode semantics; \d ⊂ \w).
+_DISJOINT_CATS = {
+    frozenset((sre_c.CATEGORY_DIGIT, sre_c.CATEGORY_SPACE)),
+    frozenset((sre_c.CATEGORY_DIGIT, sre_c.CATEGORY_NOT_DIGIT)),
+    frozenset((sre_c.CATEGORY_DIGIT, sre_c.CATEGORY_NOT_WORD)),
+    frozenset((sre_c.CATEGORY_WORD, sre_c.CATEGORY_SPACE)),
+    frozenset((sre_c.CATEGORY_WORD, sre_c.CATEGORY_NOT_WORD)),
+    frozenset((sre_c.CATEGORY_SPACE, sre_c.CATEGORY_NOT_SPACE)),
+}
+
+
+def _cat_overlaps_char(cat, code: int) -> bool:
+    try:
+        return _category_pred(cat)(chr(code))
+    except _Unsupported:
+        return True
+
+
+def _cs_overlap(a: _CharSet, b: _CharSet) -> bool:
+    if a.empty() or b.empty():
+        return False
+    if a.any or b.any:
+        return True
+    if a.chars & b.chars:
+        return True
+    for x, y in ((a, b), (b, a)):
+        for c in x.chars:
+            if any(lo <= c <= hi for lo, hi in y.ranges):
+                return True
+            if any(_cat_overlaps_char(cat, c) for cat in y.cats):
+                return True
+    for lo1, hi1 in a.ranges:
+        if any(lo1 <= hi2 and lo2 <= hi1 for lo2, hi2 in b.ranges):
+            return True
+    for x, y in ((a, b), (b, a)):
+        for lo, hi in x.ranges:
+            if hi - lo > 1024:
+                if y.cats:
+                    return True  # huge range vs category: assume overlap
+                continue
+            for cat in y.cats:
+                if any(_cat_overlaps_char(cat, c) for c in range(lo, hi + 1)):
+                    return True
+    for c1 in a.cats:
+        for c2 in b.cats:
+            if c1 == c2 or frozenset((c1, c2)) not in _DISJOINT_CATS:
+                return True
+    return False
+
+
+def _alphabet(items, cs: Optional[_CharSet] = None) -> _CharSet:
+    """Union of every character ``items`` could consume, at any depth."""
+    if cs is None:
+        cs = _CharSet()
+    for op, av in items:
+        if op == sre_c.LITERAL:
+            cs.chars.add(av)
+        elif op == sre_c.IN:
+            for iop, iav in av:
+                if iop == sre_c.LITERAL:
+                    cs.chars.add(iav)
+                elif iop == sre_c.RANGE:
+                    cs.ranges.append(iav)
+                elif iop == sre_c.CATEGORY:
+                    cs.cats.add(iav)
+                else:  # NEGATE or unknown: could be anything
+                    cs.any = True
+        elif op in (sre_c.AT, sre_c.ASSERT, sre_c.ASSERT_NOT):
+            continue  # zero-width
+        elif op == sre_c.BRANCH:
+            for b in av[1]:
+                _alphabet(b, cs)
+        else:
+            body = _subpattern_body(op, av)
+            bounds = _repeat_bounds(op, av)
+            if body is not None:
+                _alphabet(list(body), cs)
+            elif bounds is not None:
+                _alphabet(list(av[2]), cs)
+            else:  # ANY / NOT_LITERAL / GROUPREF / unknown
+                cs.any = True
+    return cs
+
+
+def _item_nullable(op, av) -> bool:
+    return _can_match_empty([(op, av)])
+
+
+def _poly_risky(items, open_sets: Optional[list] = None) -> Tuple[bool, list, bool]:
+    """Sequential-quantifier (polynomial) screen.
+
+    ``a*a*$`` and friends backtrack in O(n^k) without any nested repeat: two
+    flexible repeats that can consume the SAME characters, adjacent up to
+    nullable separators, multiply their iteration-split choices. Walk each
+    sequence tracking the alphabets of still-"open" flexible repeats (those
+    reachable without consuming a character they can't); a new flexible
+    repeat overlapping an open one is risky. Returns
+    (risky, open_sets_after, sequence_nullable).
+    """
+    opens = list(open_sets or [])
+    nullable_all = True
+    for op, av in items:
+        body = _subpattern_body(op, av)
+        if body is not None:  # plain group: inline into this walk
+            risky, opens, nl = _poly_risky(list(body), opens)
+            if risky:
+                return True, opens, False
+            nullable_all = nullable_all and nl
+            continue
+        bounds = _repeat_bounds(op, av)
+        if bounds is not None:
+            lo, hi = bounds
+            alpha = _alphabet(list(av[2]))
+            if hi > lo and hi >= _BIG_REPEAT:  # flexible repeat
+                if any(_cs_overlap(alpha, o) for o in opens):
+                    return True, opens, False
+                risky, _, _ = _poly_risky(list(av[2]))
+                if risky:
+                    return True, opens, False
+                consumes = lo >= 1 and not _can_match_empty(av[2])
+                if consumes:
+                    nullable_all = False
+                    # Mandatory consumption separates disjoint prior repeats.
+                    opens = [o for o in opens if _cs_overlap(o, alpha)]
+                opens.append(alpha)
+            else:  # bounded repeat: an ordinary (maybe nullable) item
+                risky, _, _ = _poly_risky(list(av[2]))
+                if risky:
+                    return True, opens, False
+                if not _item_nullable(op, av):
+                    nullable_all = False
+                    opens = [o for o in opens if _cs_overlap(o, alpha)]
+            continue
+        if op == sre_c.BRANCH:
+            merged: list = []
+            all_nullable = True
+            for b in av[1]:
+                risky, b_opens, b_nl = _poly_risky(list(b), opens)
+                if risky:
+                    return True, opens, False
+                merged.extend(b_opens)
+                all_nullable = all_nullable and b_nl
+            merged += opens if all_nullable else []
+            opens = list({id(o): o for o in merged}.values())
+            nullable_all = nullable_all and all_nullable
+            continue
+        if op == sre_c.AT:
+            continue  # zero-width
+        if op in (sre_c.ASSERT, sre_c.ASSERT_NOT):
+            risky, _, _ = _poly_risky(list(av[1]))
+            if risky:
+                return True, opens, False
+            continue
+        # Simple consuming item (LITERAL / NOT_LITERAL / IN / ANY / ...).
+        alpha = _alphabet([(op, av)])
+        nullable_all = False
+        opens = [o for o in opens if _cs_overlap(o, alpha)]
+    return False, opens, nullable_all
+
+
 def pattern_is_risky(pattern: str) -> bool:
     """True if ``pattern`` may backtrack super-linearly under ``re``."""
-    return _risky(list(sre_parse.parse(pattern)))
+    items = list(sre_parse.parse(pattern))
+    if _risky(items):
+        return True
+    return _poly_risky(items)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -337,7 +521,10 @@ class LinearMatcher:
         flags = parsed.state.flags
         # TEMPLATE/DEBUG aside, only flags that change matching semantics in
         # ways the VM does not model are rejected (fallback handles them).
-        if flags & (re.IGNORECASE | re.MULTILINE | re.LOCALE):
+        # ASCII flips \d/\w/\s/\b from the Unicode definitions the VM's
+        # predicates implement (a (?a) pattern would match Unicode digits
+        # the user excluded — wrong results, not just missed ones).
+        if flags & (re.IGNORECASE | re.MULTILINE | re.LOCALE | re.ASCII):
             raise _Unsupported("flags")
         self._dotall = bool(flags & re.DOTALL)
         self._prog = _Program()
@@ -368,6 +555,13 @@ class LinearMatcher:
         elif op == sre_c.AT:
             prog.emit(_ASSERT, av)
         elif op == sre_c.SUBPATTERN:
+            # av = (group, add_flags, del_flags, items): scoped inline flags
+            # like (?i:...) change matching semantics for just this group —
+            # compiling only the body would silently drop them (false
+            # negatives at the exact-verify stage). The budgeted fallback
+            # engine models them; reject here.
+            if av[1] or av[2]:
+                raise _Unsupported("scoped inline flags")
             self._compile_seq(av[3])
         elif op == sre_c.BRANCH:
             branches = av[1]

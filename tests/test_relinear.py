@@ -46,6 +46,15 @@ class TestRiskScreen:
             # Distinct firsts but a variable-length alternative: iteration
             # splits overlap ('ab' = one iter or 'a'+'b') and compound.
             r"(ab?|b)+c",
+            # POLYNOMIAL escapes: no nested repeat at all, but adjacent
+            # flexible repeats over overlapping alphabets multiply their
+            # split choices — a*a*a*a*a*$ is O(n^5) under re on 'a'*n+'b'.
+            r"a*a*a*a*a*$",
+            r"a*a*$",
+            r"\w+\s*\w+$",  # \s* is nullable: the two \w+ become adjacent
+            r"a*(x?)a*b",  # nullable separator keeps the stars adjacent
+            r"[ab]+b*c",  # class/literal alphabet overlap ('b')
+            r".*a.*a$",  # dot overlaps everything
         ],
     )
     def test_pathological_flagged(self, pattern):
@@ -64,6 +73,11 @@ class TestRiskScreen:
             r"a+b*c?",
             r"\bword\b",
             r"((ab|cd)(ef|gh))+x",  # distinct firsts + fixed lengths: safe
+            # Sequential repeats with provably-disjoint alphabets are fine:
+            r"connection\s+\w+",
+            r"\d+\.\d+\.\d+",
+            r"[a-f]+[g-z]+",
+            r"b*a+b*",  # mandatory 'a' run separates the disjoint b-stars
         ],
     )
     def test_common_patterns_stay_on_re(self, pattern):
@@ -80,6 +94,51 @@ class TestRiskScreen:
             ref = re.compile(pattern)
             for s in ("xxaab yy", "zzabbc", "a" * 5 + "b", "ab" * 3 + "c"):
                 assert matcher(s) == (ref.search(s) is not None), (pattern, s)
+
+
+class TestFlagRouting:
+    """Flags the Pike VM cannot model must route to the budgeted fallback,
+    never silently change semantics (the VM dropping (?i:...) made matching
+    rows disappear from results — a zero-false-negative violation)."""
+
+    def test_scoped_inline_flags_parity(self):
+        # Risky pattern + scoped IGNORECASE: VM must refuse (it has no flag
+        # plumbing), and the fallback must match re exactly.
+        pattern = r"(?i:(a+)+b)"
+        with pytest.raises(Exception):
+            LinearMatcher(pattern)
+        matcher = build_safe_matcher(pattern)
+        ref = re.compile(pattern)
+        for s in ("AAAB", "aab", "xxxx", "A" * 30 + "c", "aAaAb"):
+            assert matcher(s) == (ref.search(s) is not None), s
+
+    def test_scoped_dotall_parity(self):
+        pattern = r"(?s:(.+)+x)"
+        matcher = build_safe_matcher(pattern)
+        ref = re.compile(pattern)
+        for s in ("a\nbx", "a\nb", "x",):
+            assert matcher(s) == (ref.search(s) is not None), repr(s)
+
+    def test_ascii_flag_parity(self):
+        # (?a) flips \d to ASCII-only; the VM's Unicode predicates would
+        # match Arabic-Indic digits the user excluded (wrong results).
+        pattern = r"(?a)(\d+)+x"
+        with pytest.raises(Exception):
+            LinearMatcher(pattern)
+        matcher = build_safe_matcher(pattern)
+        ref = re.compile(pattern)
+        for s in ("٣٣x", "12x", "abc", "1x"):
+            assert matcher(s) == (ref.search(s) is not None), repr(s)
+
+    def test_polynomial_chain_bounded(self):
+        # O(n^5) under raw re on a few-KB row; must complete instantly here.
+        matcher = build_safe_matcher(r"a*a*a*a*a*$")
+        t0 = time.monotonic()
+        matcher("a" * 4000 + "b")
+        assert time.monotonic() - t0 < TIMEOUT
+        ref = re.compile(r"a*a*a*a*a*$")
+        for s in ("aaa", "b", "", "ab"):
+            assert matcher(s) == (ref.search(s) is not None), repr(s)
 
 
 class TestLinearMatcherParity:
