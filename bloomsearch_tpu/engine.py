@@ -922,39 +922,40 @@ class BloomSearchEngine:
                 except Exception:
                     logger.exception("warmup: bank load failed for %r", mf.pointer)
 
-        # Compile + transfer warm per superbank shape: the solo flat-AND
-        # probe (the dominant single-query shape) AND the CNF clause
-        # program at term buckets 8/16 — coalesced concurrent queries union
-        # their terms and take the clause path, whose per-bucket compile
-        # (~0.4 s) otherwise lands on the first burst. Fetching the results
-        # also pays any first-transfer handshake before a user query does.
+        # Compile + transfer warm per superbank shape, covering BOTH probe
+        # program ladders at every pow2 term pad a real query (or a <=16-way
+        # coalesced burst) can produce — a missing pad is a fresh ~0.4 s jit
+        # (seconds through a tunnel) on the first query of that shape:
+        # - solo flat-AND reduce program at Tp = 1/2/4/8 (a plain 2-term
+        #   AND query probes at Tp=2; the old set only warmed Tp=1),
+        # - CNF clause program at Tp = 2/4/8/16 with the Cp/Mp 16 floors
+        #   (burst unions and OR-trees land here).
+        # Fetching each result also pays any first-transfer handshake
+        # before a user query does.
         if self._device_backend is not None and compile_reps:
             from .bloom.probe import compile_cnf_clauses
 
-            warm_queries = [("\x00bloomsearch-warmup\x00",)]
-            warm_queries += [
-                tuple(f"\x00warm-clause-{n}-{i}\x00" for i in range(n))
-                for n in (2, 9)  # term-pad buckets 8 and 16
-            ]
+            warm_specs = [(n, "reduce") for n in (1, 2, 3, 5)]  # Tp 1,2,4,8
+            warm_specs += [(n, "clause") for n in (2, 3, 5, 9)]  # Tp 2,4,8,16
             for mk, (pointer, gi, load) in compile_reps.items():
-                for qi, tokens in enumerate(warm_queries):
+                for n, kind in warm_specs:
                     if self._stop_event.is_set():
                         return
                     self._yield_warmup_device_work(yield_budget)
                     builder = new_query()
-                    for tok in tokens:
-                        builder = builder.token(tok)
+                    for i in range(n):
+                        builder = builder.token(f"\x00warm-{kind}-{n}-{i}\x00")
                     q = builder.build()
                     terms = compile_bloom_terms(q.bloom)
                     try:
-                        if qi == 0:
+                        if kind == "reduce":
                             self._device_backend.probe_groups(
                                 [(pointer, gi, mk, load)], terms, reduce_and=True
                             )
                         else:
                             self._device_backend.probe_groups(
                                 [(pointer, gi, mk, load)], terms,
-                                reduce_and=len(tokens) == 1,
+                                reduce_and=False,
                                 clause_mask=compile_cnf_clauses(
                                     q.bloom.expression, terms
                                 ),
@@ -967,12 +968,25 @@ class BloomSearchEngine:
 
         # Pre-spawn the block pool's worker threads (ThreadPoolExecutor
         # creates them lazily; measured ~50 ms of thread startup landing on
-        # the first query at refscale otherwise).
+        # the first query at refscale otherwise). The rendezvous needs every
+        # worker simultaneously idle, so it must ABORT the moment a query
+        # holds (or arrives wanting) a worker — a plain full-pool barrier
+        # parked every idle worker for its whole 5 s timeout whenever one
+        # worker was busy with a during-warmup query, starving that query's
+        # remaining block tasks for seconds.
         try:
-            spin = threading.Barrier(self._block_pool._max_workers + 1, timeout=5)
-            for _ in range(self._block_pool._max_workers):
-                self._block_pool.submit(spin.wait)
-            spin.wait()
+            if not self._pins_should_yield():
+                spin = threading.Barrier(self._block_pool._max_workers, timeout=5)
+                futs = [
+                    self._block_pool.submit(spin.wait)
+                    for _ in range(self._block_pool._max_workers)
+                ]
+                deadline = time.monotonic() + 5
+                while not all(f.done() for f in futs):
+                    if time.monotonic() > deadline or self._pins_should_yield():
+                        spin.abort()  # releases all waiters immediately
+                        break
+                    time.sleep(0.005)
         except Exception:
             pass  # best-effort; threads spawn on first use regardless
 

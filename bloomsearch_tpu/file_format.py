@@ -535,20 +535,50 @@ def read_bank_rows(
         )
     row_bytes = group.num_blocks * 4
     out = np.empty((len(flat_rows), group.num_blocks), dtype=np.uint32)
+    want: dict[int, list[int]] = {}
     for i, r in enumerate(flat_rows):
-        fh.seek(group.offset + int(r) * row_bytes)
+        want.setdefault(int(r), []).append(i)
+    rows_sorted = sorted(want)
+
+    # Fetch the needed 4-byte CRC entries FIRST, coalesced into ranged
+    # reads (gap <= 64 KB). Interleaving a far-away CRC seek with every
+    # payload read doubled the I/O round-trips of cold sparse probes and
+    # thrashed the object store reader's single cached window; the CRC
+    # array is contiguous, so a handful of reads covers every probed row.
+    crc_map: dict[int, int] = {}
+    gap_rows = (64 << 10) // 4
+    run_start = 0
+    while run_start < len(rows_sorted):
+        run_end = run_start
+        while (
+            run_end + 1 < len(rows_sorted)
+            and rows_sorted[run_end + 1] - rows_sorted[run_end] <= gap_rows
+        ):
+            run_end += 1
+        lo, hi = rows_sorted[run_start], rows_sorted[run_end]
+        fh.seek(group.row_crc_offset + lo * 4)
+        data = fh.read((hi - lo + 1) * 4)
+        if len(data) != (hi - lo + 1) * 4:
+            raise InvalidFormatError("short read of bank row CRC")
+        arr = np.frombuffer(data, dtype="<u4")
+        for r in rows_sorted[run_start : run_end + 1]:
+            crc_map[r] = int(arr[r - lo])
+        run_start = run_end + 1
+
+    # Payload reads in ascending offset order, each row read once even
+    # when several terms probe it.
+    for r in rows_sorted:
+        fh.seek(group.offset + r * row_bytes)
         payload = fh.read(row_bytes)
         if len(payload) != row_bytes:
             raise InvalidFormatError("short read of bank row")
-        fh.seek(group.row_crc_offset + int(r) * 4)
-        crc_bytes = fh.read(4)
-        if len(crc_bytes) != 4:
-            raise InvalidFormatError("short read of bank row CRC")
-        if crc32c(payload) != struct.unpack("<I", crc_bytes)[0]:
+        if crc32c(payload) != crc_map[r]:
             raise InvalidHashError(
-                f"bank row {int(r)} CRC mismatch on sparse read"
+                f"bank row {r} CRC mismatch on sparse read"
             )
-        out[i] = np.frombuffer(payload, dtype="<u4")
+        vals = np.frombuffer(payload, dtype="<u4")
+        for i in want[r]:
+            out[i] = vals
     return out
 
 

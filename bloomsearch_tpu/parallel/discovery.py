@@ -361,6 +361,16 @@ class CapacityScatterCoordinator:
                             launch(survivors[i], sub_pointers, attempt + 1)
                     finish()
                     return
+            # Terminal: no retry left (or partials already streamed).
+            # Deliver whatever healthy rows this attempt produced ALONGSIDE
+            # the error — the local engine's per-block semantics (good
+            # blocks' rows + an error for the bad one). Discarding the
+            # buffer here would silently lose data the caller can never
+            # recover: e.g. one corrupt block makes a whole file subset
+            # return zero rows. Exactly-once holds — these rows were never
+            # flushed before, and no retry follows.
+            flush_buffers()
+            drain_stats(forward=True)
             forward_error(failure)
             finish()
 

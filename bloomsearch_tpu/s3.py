@@ -280,7 +280,7 @@ class S3ObjectStore:
 
     def get_range(self, key: str, start: int, length: int) -> bytes:
         try:
-            _, _, data = self._request(
+            status, _, data = self._request(
                 "GET", key,
                 headers={"Range": f"bytes={start}-{start + length - 1}"},
                 ok=(200, 206),
@@ -289,6 +289,13 @@ class S3ObjectStore:
             if exc.status == 416:  # start beyond EOF: clamped read is empty
                 return b""
             raise
+        if status == 200:
+            # Server (or proxy) ignored the Range header and returned the
+            # whole object: slice locally. Returning the full body as if it
+            # started at `start` would hand callers bytes from offset 0
+            # misattributed to `start` — silently corrupt bank/metadata
+            # reads.
+            return data[start : start + length]
         return data
 
     def head(self, key: str) -> tuple[int, str]:

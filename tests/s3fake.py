@@ -26,6 +26,7 @@ class FakeS3State:
         self.lock = threading.Lock()
         self.objects: dict[str, tuple[bytes, str]] = {}
         self.fail_next = 0  # inject N 503 responses
+        self.ignore_range = False  # serve 200 + full body to ranged GETs
         self.requests = 0
 
 
@@ -181,6 +182,8 @@ class _Handler(BaseHTTPRequestHandler):
         data, etag = current
         rng = self.headers.get("Range")
         status = 200
+        if self.state.ignore_range:
+            rng = None  # a proxy/server that drops the Range header
         if rng and rng.startswith("bytes="):
             spec = rng[len("bytes="):]
             start_s, _, end_s = spec.partition("-")

@@ -275,6 +275,76 @@ class TestSharedStorageScatterGather:
             server.stop()
             live.stop(timeout=TIMEOUT)
 
+    def test_terminal_failure_delivers_buffered_rows_with_error(self):
+        """A peer that streams healthy rows AND reports a per-block error,
+        with no survivor to fail over to: the caller must receive the
+        healthy rows ALONGSIDE the error (the local engine's per-block
+        semantics) — not an empty result for the whole subset."""
+        import socket as _socket
+        import threading as _threading
+
+        from bloomsearch_tpu.parallel.remote import recv_frame, send_frame
+
+        client = InMemoryObjectStore()
+        data = ObjectStoreDataStore(client)
+        meta = ObjectStoreMetaStore(client)
+        writer = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"), meta, data
+        )
+        writer.start()
+        writer.ingest_rows([{"n": 0, "tag": "common"}], timeout=TIMEOUT)
+        writer.flush(timeout=TIMEOUT)
+        writer.stop(timeout=TIMEOUT)
+
+        # Peer: streams 3 healthy rows, a per-block error, then done.
+        lsock = _socket.socket()
+        lsock.bind(("127.0.0.1", 0))
+        lsock.listen(4)
+
+        def half_broken():
+            while True:
+                try:
+                    conn, _ = lsock.accept()
+                except OSError:
+                    return
+                try:
+                    recv_frame(conn)
+                    for i in range(3):
+                        send_frame(conn, {"row": {"n": i, "tag": "common"}})
+                    send_frame(conn, {"error": "block 7: CRC mismatch"})
+                    send_frame(conn, {"done": True})
+                finally:
+                    conn.close()
+
+        t = _threading.Thread(target=half_broken, daemon=True)
+        t.start()
+
+        reg = PeerRegistry(client, ttl_seconds=60)
+        try:
+            reg.announce("half-broken", "127.0.0.1", lsock.getsockname()[1],
+                         capacity=1.0)
+            coord = CapacityScatterCoordinator(meta, reg, max_retries=1)
+            import queue as _queue
+
+            rq: _queue.Queue = _queue.Queue()
+            eq: _queue.Queue = _queue.Queue()
+            coord.query(bs.new_query().token("common").build(), rq, eq)
+            rows = []
+            while True:
+                item = rq.get(timeout=TIMEOUT)
+                if item is None:
+                    break
+                rows.append(item)
+            errors = []
+            while not eq.empty():
+                errors.append(eq.get_nowait())
+            # Every retry attempt lands on the same (only) peer; the final
+            # attempt's healthy rows must be delivered, with the error.
+            assert sorted(r["n"] for r in rows) == [0, 1, 2], rows
+            assert errors, "per-block error must surface"
+        finally:
+            lsock.close()
+
     def test_buffer_cap_switches_to_stream_through(self):
         """Past failover_buffer_rows the funnel flushes and streams rows
         straight through (bounded coordinator memory); results stay exact

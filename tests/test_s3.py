@@ -76,6 +76,22 @@ class TestClientSemantics:
         with pytest.raises(KeyError):
             c.head("absent")
 
+    def test_range_ignoring_server_still_sliced(self, fake):
+        # A server/proxy may legally answer a ranged GET with 200 + the
+        # whole object; returning that verbatim would misattribute bytes
+        # from offset 0 to the requested offset (corrupt bank/metadata
+        # reads). The client must slice locally on 200.
+        state, endpoint = fake
+        c = make_client(state, endpoint)
+        c.put("r", bytes(range(100)))
+        state.ignore_range = True
+        try:
+            assert c.get_range("r", 10, 5) == bytes(range(10, 15))
+            assert c.get_range("r", 95, 50) == bytes(range(95, 100))
+            assert c.get_range("r", 200, 10) == b""  # past EOF
+        finally:
+            state.ignore_range = False
+
     def test_list_pagination(self, fake):
         state, endpoint = fake
         c = make_client(state, endpoint, list_page_size=3)

@@ -86,7 +86,31 @@ class TestBankRowCrcs:
         got = read_bank_rows(buf, group, rows)
         np.testing.assert_array_equal(got, full[rows])
 
-    def test_sparse_read_raises_on_corruption(self, tmp_path):
+    def test_sparse_read_unsorted_duplicate_rows(self, tmp_path):
+        """flat_rows may repeat (terms sharing hash rows) and arrive in any
+        order; each output slot must carry ITS row, with each distinct row
+        read from disk once and CRC reads coalesced (not one seek per row —
+        that doubled cold-probe round-trips through object stores)."""
+        import io
+        from bloomsearch_tpu.file_format import read_bank_group, read_bank_rows
+
+        buf, meta = self._write_file(tmp_path)
+        group = meta.bank_groups[0]
+        full = read_bank_group(buf, group).reshape(-1, group.num_blocks)
+        rows = np.array([7, 0, 3, 7, 0, group.num_words, 3])
+
+        class CountingIO(io.BytesIO):
+            reads = 0
+
+            def read(self, *a):
+                type(self).reads += 1
+                return super().read(*a)
+
+        counting = CountingIO(buf.getvalue())
+        got = read_bank_rows(counting, group, rows)
+        np.testing.assert_array_equal(got, full[rows])
+        # 4 distinct rows: 4 payload reads + 1 coalesced CRC read.
+        assert counting.reads <= 5, counting.reads
         from bloomsearch_tpu.file_format import InvalidHashError, read_bank_rows
 
         buf, meta = self._write_file(tmp_path)
