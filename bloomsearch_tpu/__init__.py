@@ -111,6 +111,7 @@ from .engine import (
     BloomSearchEngineConfig,
     InvalidConfigError,
     MergeStats,
+    StaleFileAssignmentError,
     default_config,
     prefilter_expiry,
 )

@@ -100,6 +100,19 @@ class InvalidConfigError(ValueError):
     pass
 
 
+class StaleFileAssignmentError(RuntimeError):
+    """A query restricted to ``file_pointers`` found some of them missing
+    from this engine's metadata listing.
+
+    Scatter/gather assigns disjoint file subsets from the COORDINATOR's
+    metadata snapshot; if a merge/expiry publishes between that snapshot
+    and the peer's own listing, the assigned file's rows now live in a
+    replacement file that is in nobody's assignment. Silently returning
+    the surviving subset would drop those rows from the gathered result —
+    the peer must error instead, so the caller can retry the query against
+    a consistent snapshot."""
+
+
 class _ChurnBudget:
     """Token bucket bounding background cache-churn (~5%/min of capacity).
 
@@ -1943,6 +1956,13 @@ class BloomSearchEngine:
         maybe_files = self.meta_store.get_maybe_files_for_query(q.prefilter)
         if file_pointers is not None:
             maybe_files = [mf for mf in maybe_files if mf.pointer in file_pointers]
+            missing = set(file_pointers) - {mf.pointer for mf in maybe_files}
+            if missing:
+                raise StaleFileAssignmentError(
+                    f"{len(missing)} assigned file(s) no longer listed (merged "
+                    "or expired since the coordinator's snapshot); retry the "
+                    "query for a consistent view"
+                )
         if not maybe_files:
             return []
 

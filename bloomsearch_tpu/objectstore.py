@@ -402,25 +402,42 @@ class LocalDirObjectStore:
 
     class _Lock:
         def __init__(self, path: str, timeout: float):
+            import os
+            import uuid
+
             self.path = path
             self.timeout = timeout
+            # Unique owner token: release must only ever remove OUR lock —
+            # a blind remove after a timeout-steal deletes the NEW holder's
+            # lock and cascades double-holds of the CAS critical section.
+            self.token = f"{os.getpid()}:{uuid.uuid4().hex}".encode()
 
         def __enter__(self):
             import os
+            import uuid
 
             deadline = time.monotonic() + self.timeout
             delay = 0.001
             while True:
                 try:
                     fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.write(fd, str(os.getpid()).encode())
+                    os.write(fd, self.token)
                     os.close(fd)
                     return self
                 except FileExistsError:
-                    # Steal locks older than the timeout (crashed holder).
+                    # Steal locks older than the timeout (crashed holder) —
+                    # ATOMICALLY, via rename: exactly one stealer's replace
+                    # succeeds; losers get FileNotFoundError and go back to
+                    # competing for the O_EXCL create. (A bare os.remove
+                    # here let a second stealer delete the lock the first
+                    # stealer had just re-created, admitting two processes
+                    # to the critical section and silently losing a CAS
+                    # update.)
                     try:
                         if time.time() - os.stat(self.path).st_mtime > self.timeout:
-                            os.remove(self.path)
+                            stale = f"{self.path}.stale.{uuid.uuid4().hex}"
+                            os.replace(self.path, stale)
+                            os.remove(stale)
                             continue
                     except FileNotFoundError:
                         continue
@@ -433,6 +450,9 @@ class LocalDirObjectStore:
             import os
 
             try:
+                with open(self.path, "rb") as fh:
+                    if fh.read() != self.token:
+                        return  # stolen while we held it: not ours anymore
                 os.remove(self.path)
             except FileNotFoundError:
                 pass

@@ -116,6 +116,22 @@ class TestFilePointerRestriction:
                     break
                 rows.append(item)
             assert len(rows) == 2
+
+            # A pointer the engine's own listing no longer knows (merged or
+            # expired since the coordinator's snapshot) must ERROR, not
+            # silently return the surviving subset — the missing file's rows
+            # live in a replacement file that is in nobody's assignment.
+            result_q = queue.Queue()
+            error_q: queue.Queue = queue.Queue()
+            engine.query(
+                bs.new_query().token("common").build(), result_q,
+                error_q,
+                file_pointers={files[1].pointer, b"\x00" * len(files[1].pointer)},
+            )
+            while result_q.get(timeout=TIMEOUT) is not None:
+                pass
+            err = error_q.get_nowait()
+            assert isinstance(err, bs.StaleFileAssignmentError)
         finally:
             engine.stop(timeout=TIMEOUT)
 

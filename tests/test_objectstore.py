@@ -226,6 +226,37 @@ class TestLocalDirObjectStore:
         assert c.list("data/") == ["data/a/b.dat"]
         assert c.list("") == ["data/a/b.dat", "meta/manifest.json"]
 
+    def test_lock_release_after_steal_keeps_new_holders_lock(self, tmp_path):
+        # A holder whose lock was stolen (mtime past timeout → crashed-holder
+        # heuristic) must NOT remove the stealer's lock on release: release
+        # checks the owner token first. A blind remove would re-admit a third
+        # process while the stealer is still inside the critical section.
+        import os
+        import time
+
+        c = self._client(tmp_path)
+        old = c._cas_lock()
+        old.__enter__()
+        past = time.time() - c._LOCK_TIMEOUT - 1
+        os.utime(old.path, (past, past))
+
+        stealer = c._cas_lock()
+        stealer.__enter__()  # steals the stale lock
+        assert os.path.exists(stealer.path)
+
+        old.__exit__(None, None, None)  # crashed holder "wakes up"
+        assert os.path.exists(stealer.path), "stale release removed live lock"
+        with open(stealer.path, "rb") as fh:
+            assert fh.read() == stealer.token
+
+        stealer.__exit__(None, None, None)
+        assert not os.path.exists(stealer.path)
+
+        # And a fresh acquire/release round-trips normally afterwards.
+        with c._cas_lock():
+            assert os.path.exists(old.path)
+        assert not os.path.exists(old.path)
+
     def test_two_store_instances_cas_contention(self, tmp_path):
         # Two INSTANCES over the same directory (the cross-process shape).
         import io as iomod
