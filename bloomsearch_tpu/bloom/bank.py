@@ -58,8 +58,9 @@ def _pad_terms(n: int) -> int:
 # Combined-launch caps: the probe combiner drains at most this many members
 # / total terms / total CNF clauses per launch so coalesced bursts never
 # exceed the program shapes engine.warmup() precompiles (Tp/Cp/Mp 16);
-# undrained requests lead the next launch. A SINGLE query above a cap still
-# launches alone (one-off larger shape, compiled on first use).
+# undrained requests lead the next launch. A SINGLE request above a cap is
+# split / host-evaluated (see _probe_superbank_batched) so even oversized
+# queries stay inside the warmed shape set.
 _PROBE_BATCH_MAX_MEMBERS = 16
 _PROBE_BATCH_MAX_TERMS = 16
 # Clause cap is its own constant (even while equal to the term cap): the
@@ -578,7 +579,53 @@ class DeviceProbeBackend:
         latency; concurrent queries share launches — the per-launch cost
         (dominant through remote-TPU tunnels, still ~10s of µs locally)
         amortizes across queries.
+
+        Shape-space discipline: NO launch may exceed the program shapes
+        warmup precompiles (Tp<=16, Cp=Mp=16) — an oversized solo request
+        would otherwise pay a fresh ~0.4 s jit (seconds through a tunnel)
+        on first use. Requests with T > the term cap split into <=16-term
+        chunks recombined host-side (AND for flat-AND; full-bitmap concat +
+        host CNF otherwise); clause masks wider than the clause cap skip
+        device fusion and evaluate host-side over the full bitmap. Both
+        recombinations preserve this method's fusion contract ([1, B]
+        survivors for reduce/clause requests).
         """
+        if T > _PROBE_BATCH_MAX_TERMS:
+            per = len(flat_rows) // T  # entries per term (= k hashes)
+            parts = []
+            for t0 in range(0, T, _PROBE_BATCH_MAX_TERMS):
+                tn = min(_PROBE_BATCH_MAX_TERMS, T - t0)
+                parts.append(
+                    self._probe_superbank_batched(
+                        bank2d, capacity, k,
+                        flat_rows[t0 * per : (t0 + tn) * per],
+                        shifts[t0 * per : (t0 + tn) * per],
+                        tn, reduce_and, None,
+                    )
+                )
+            if reduce_and:
+                out = parts[0]
+                for p in parts[1:]:
+                    out = np.logical_and(out, p)
+                return out
+            full = np.concatenate(parts, axis=0)
+            if clause_mask is not None:
+                from .probe import evaluate_cnf_mask
+
+                return evaluate_cnf_mask(clause_mask, full)[None, :]
+            return full
+        if (
+            clause_mask is not None
+            and not reduce_and
+            and clause_mask.shape[0] > _PROBE_BATCH_MAX_CLAUSES
+        ):
+            full = self._probe_superbank_batched(
+                bank2d, capacity, k, flat_rows, shifts, T, False, None
+            )
+            from .probe import evaluate_cnf_mask
+
+            return evaluate_cnf_mask(clause_mask, full)[None, :]
+
         req = _PendingProbe(flat_rows, shifts, T, reduce_and, clause_mask)
         key = id(bank2d)
         with self._batch_lock:

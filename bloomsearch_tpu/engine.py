@@ -939,17 +939,18 @@ class BloomSearchEngine:
         # program ladders at every pow2 term pad a real query (or a <=16-way
         # coalesced burst) can produce — a missing pad is a fresh ~0.4 s jit
         # (seconds through a tunnel) on the first query of that shape:
-        # - solo flat-AND reduce program at Tp = 1/2/4/8 (a plain 2-term
-        #   AND query probes at Tp=2; the old set only warmed Tp=1),
-        # - CNF clause program at Tp = 2/4/8/16 with the Cp/Mp 16 floors
+        # - solo flat-AND reduce program at Tp = 1/2/4/8/16 (a plain 2-term
+        #   AND query probes at Tp=2; bank.py splits >16-term requests into
+        #   <=16-term chunks, so 16 is the ladder's top),
+        # - CNF clause program at Tp = 1/2/4/8/16 with the Cp/Mp 16 floors
         #   (burst unions and OR-trees land here).
         # Fetching each result also pays any first-transfer handshake
         # before a user query does.
         if self._device_backend is not None and compile_reps:
             from .bloom.probe import compile_cnf_clauses
 
-            warm_specs = [(n, "reduce") for n in (1, 2, 3, 5)]  # Tp 1,2,4,8
-            warm_specs += [(n, "clause") for n in (2, 3, 5, 9)]  # Tp 2,4,8,16
+            warm_specs = [(n, "reduce") for n in (1, 2, 3, 5, 9)]  # Tp 1-16
+            warm_specs += [(n, "clause") for n in (1, 2, 3, 5, 9)]  # Tp 1-16
             for mk, (pointer, gi, load) in compile_reps.items():
                 for n, kind in warm_specs:
                     if self._stop_event.is_set():

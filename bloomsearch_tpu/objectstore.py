@@ -401,47 +401,40 @@ class LocalDirObjectStore:
     # -- cross-process critical section ------------------------------------
 
     class _Lock:
-        def __init__(self, path: str, timeout: float):
-            import os
-            import uuid
+        """Cross-process critical section via ``flock(2)`` on a persistent
+        lock file (never unlinked — unlink would let a late acquirer lock a
+        deleted inode while a newcomer locks a fresh one).
 
+        The kernel drops the lock when the holder's fd closes — including
+        process crash — so there are NO stale locks and NO steal heuristic.
+        (Earlier mtime-based stealing could steal from a merely-SLOW live
+        holder, admitting two processes to the CAS critical section; every
+        release scheme short of the kernel's is a TOCTOU.) A holder that
+        cannot acquire within the timeout raises TimeoutError instead.
+        Local filesystems only (flock is advisory and unreliable on NFS) —
+        which is this store's contract: a local directory posing as a
+        bucket."""
+
+        def __init__(self, path: str, timeout: float):
             self.path = path
             self.timeout = timeout
-            # Unique owner token: release must only ever remove OUR lock —
-            # a blind remove after a timeout-steal deletes the NEW holder's
-            # lock and cascades double-holds of the CAS critical section.
-            self.token = f"{os.getpid()}:{uuid.uuid4().hex}".encode()
+            self._fd: Optional[int] = None
 
         def __enter__(self):
+            import fcntl
             import os
-            import uuid
 
+            fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
             deadline = time.monotonic() + self.timeout
             delay = 0.001
             while True:
                 try:
-                    fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.write(fd, self.token)
-                    os.close(fd)
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    self._fd = fd
                     return self
-                except FileExistsError:
-                    # Steal locks older than the timeout (crashed holder) —
-                    # ATOMICALLY, via rename: exactly one stealer's replace
-                    # succeeds; losers get FileNotFoundError and go back to
-                    # competing for the O_EXCL create. (A bare os.remove
-                    # here let a second stealer delete the lock the first
-                    # stealer had just re-created, admitting two processes
-                    # to the critical section and silently losing a CAS
-                    # update.)
-                    try:
-                        if time.time() - os.stat(self.path).st_mtime > self.timeout:
-                            stale = f"{self.path}.stale.{uuid.uuid4().hex}"
-                            os.replace(self.path, stale)
-                            os.remove(stale)
-                            continue
-                    except FileNotFoundError:
-                        continue
+                except OSError:
                     if time.monotonic() > deadline:
+                        os.close(fd)
                         raise TimeoutError(f"CAS lock stuck: {self.path}")
                     time.sleep(delay)
                     delay = min(delay * 2, 0.05)
@@ -449,13 +442,9 @@ class LocalDirObjectStore:
         def __exit__(self, *exc):
             import os
 
-            try:
-                with open(self.path, "rb") as fh:
-                    if fh.read() != self.token:
-                        return  # stolen while we held it: not ours anymore
-                os.remove(self.path)
-            except FileNotFoundError:
-                pass
+            if self._fd is not None:
+                os.close(self._fd)  # close releases the flock
+                self._fd = None
 
     def _cas_lock(self) -> "_Lock":
         return self._Lock(self._lock_path, self._LOCK_TIMEOUT)

@@ -199,6 +199,7 @@ class CapacityScatterCoordinator:
         registry: PeerRegistry,
         max_retries: int = 1,
         failover_buffer_rows: int = 100_000,
+        stale_snapshot_retries: int = 1,
     ):
         self.meta_store = meta_store
         self.registry = registry
@@ -209,8 +210,116 @@ class CapacityScatterCoordinator:
         # the peer's stream flushes through and a later death surfaces as
         # an error instead of a replay (bounded coordinator memory).
         self.failover_buffer_rows = failover_buffer_rows
+        # A StaleFileAssignmentError (a merge/expiry published between this
+        # coordinator's metadata snapshot and a peer's own listing) fails
+        # DETERMINISTICALLY on every peer — reassignment can't absorb it,
+        # and a per-subset retry could double-count rows whose merged
+        # replacement file overlaps another peer's still-listed input. The
+        # only exactly-once recovery is restarting the WHOLE query from a
+        # fresh snapshot, discarding every buffered row of the failed
+        # attempt; this is how many times to do that before surfacing the
+        # error. Rows hold back globally up to failover_buffer_rows during
+        # an attempt; past the cap the stream flushes through and a later
+        # stale error surfaces instead of retrying (bounded memory, same
+        # contract as peer failover).
+        self.stale_snapshot_retries = stale_snapshot_retries
 
     def query(
+        self,
+        q: Optional[Query],
+        result_queue: queue.Queue,
+        error_queue: Optional[queue.Queue] = None,
+        stats_queue: Optional[queue.Queue] = None,
+    ) -> None:
+        """Scatter/gather with the single-engine streaming contract:
+        unordered rows then one ``None`` sentinel; errors on
+        ``error_queue``. Stale-snapshot races (merge/expiry between this
+        coordinator's file listing and a peer's) retry transparently from a
+        fresh snapshot up to ``stale_snapshot_retries`` times."""
+        if self.stale_snapshot_retries <= 0:
+            self._query_attempt(q, result_queue, error_queue, stats_queue)
+            return
+        threading.Thread(
+            target=self._query_with_snapshot_retries,
+            args=(q, result_queue, error_queue, stats_queue),
+            name="scatter-coordinator",
+            daemon=True,
+        ).start()
+
+    def _query_with_snapshot_retries(
+        self,
+        q: Optional[Query],
+        result_queue: queue.Queue,
+        error_queue: Optional[queue.Queue],
+        stats_queue: Optional[queue.Queue],
+    ) -> None:
+        from ..engine import StaleFileAssignmentError
+
+        for attempt in range(self.stale_snapshot_retries + 1):
+            rq: queue.Queue = queue.Queue()
+            eq: queue.Queue = queue.Queue()
+            sq: Optional[queue.Queue] = (
+                queue.Queue(maxsize=_STATS_BUFFER_MAX)
+                if stats_queue is not None
+                else None
+            )
+            self._query_attempt(q, rq, eq, sq)
+            # Hold rows back (bounded) so a stale-snapshot restart stays
+            # exactly-once: nothing reaches the caller until the attempt
+            # either completes or overflows the cap into stream-through.
+            buffered: list = []
+            streaming = False
+            while True:
+                item = rq.get()
+                if item is None:
+                    break
+                if streaming:
+                    result_queue.put(item)
+                else:
+                    buffered.append(item)
+                    if len(buffered) > self.failover_buffer_rows:
+                        streaming = True
+                        for row in buffered:
+                            result_queue.put(row)
+                        buffered.clear()
+            errors: list = []
+            while True:
+                try:
+                    errors.append(eq.get_nowait())
+                except queue.Empty:
+                    break
+            stale = any(
+                isinstance(e, StaleFileAssignmentError) for e in errors
+            )
+            if stale and not streaming and attempt < self.stale_snapshot_retries:
+                logger.warning(
+                    "stale file assignment (merge/expiry during scatter); "
+                    "retrying from a fresh metadata snapshot (%d/%d)",
+                    attempt + 1, self.stale_snapshot_retries,
+                )
+                continue  # discard the attempt wholesale; stats too
+            for row in buffered:
+                result_queue.put(row)
+            if sq is not None and stats_queue is not None:
+                while True:
+                    try:
+                        st = sq.get_nowait()
+                    except queue.Empty:
+                        break
+                    try:
+                        stats_queue.put_nowait(st)  # lossy by contract
+                    except queue.Full:
+                        pass
+            if error_queue is not None:
+                for e in errors:
+                    try:
+                        error_queue.put_nowait(e)
+                    except queue.Full:
+                        pass
+            result_queue.put(None)
+            return
+
+    def _query_attempt(
         self,
         q: Optional[Query],
         result_queue: queue.Queue,
@@ -341,8 +450,20 @@ class CapacityScatterCoordinator:
                 finish()
                 return
             # Peer failed. Reassign its disjoint subset to survivors — but
-            # only if nothing partial reached the caller (still buffering).
-            if buffering and attempt < self.max_retries:
+            # only if nothing partial reached the caller (still buffering),
+            # and never for a stale file assignment: that is the shared
+            # metadata changing, not this peer dying — every survivor's own
+            # listing lacks the same files, so reassignment deterministically
+            # re-raises and burns the retries. It goes terminal here and the
+            # coordinator restarts the whole query from a fresh snapshot
+            # (_query_with_snapshot_retries).
+            from ..engine import StaleFileAssignmentError as _Stale
+
+            if (
+                buffering
+                and attempt < self.max_retries
+                and not isinstance(failure, _Stale)
+            ):
                 survivors = [
                     p for p in self.registry.live_peers() if p.peer_id != peer.peer_id
                 ]

@@ -35,7 +35,7 @@ import struct
 import threading
 from typing import Optional
 
-from ..engine import BlockStats, try_put
+from ..engine import BlockStats, StaleFileAssignmentError, try_put
 from ..query import Query, query_from_json, query_to_json
 
 logger = logging.getLogger("bloomsearch_tpu.remote")
@@ -197,7 +197,14 @@ class QueryServer:
                     err = error_q.get_nowait()
                 except queue.Empty:
                     break
-                send_frame(conn, {"error": repr(err)})
+                frame = {"error": repr(err)}
+                # Typed errors the coordinator reacts to structurally (a
+                # stale file assignment triggers a fresh-snapshot retry, not
+                # peer failover) carry a kind tag — repr alone reconstructs
+                # as an opaque RuntimeError on the client.
+                if isinstance(err, StaleFileAssignmentError):
+                    frame["error_kind"] = "stale_file_assignment"
+                send_frame(conn, frame)
             send_frame(conn, {"done": True})
         except (ConnectionError, OSError) as exc:
             cancel.set()  # client went away mid-stream: stop block workers
@@ -276,12 +283,12 @@ class RemoteQueryPeer:
                         for s in frame["stats"]:
                             try_put(stats_queue, _stats_from_json(s))
                     if "error" in frame:
-                        try_put(
-                            error_queue,
-                            RuntimeError(
-                                f"peer {self.host}:{self.port}: {frame['error']}"
-                            ),
-                        )
+                        msg = f"peer {self.host}:{self.port}: {frame['error']}"
+                        if frame.get("error_kind") == "stale_file_assignment":
+                            err: BaseException = StaleFileAssignmentError(msg)
+                        else:
+                            err = RuntimeError(msg)
+                        try_put(error_queue, err)
                     if frame.get("done"):
                         return
             except (ConnectionError, OSError) as exc:

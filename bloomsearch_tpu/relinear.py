@@ -146,7 +146,7 @@ def _contains_repeat(items, min_span: int = 2) -> bool:
     return False
 
 
-def _risky(items) -> bool:
+def _risky(items, fold: bool = False) -> bool:
     for op, av in items:
         bounds = _repeat_bounds(op, av)
         if bounds is not None:
@@ -162,26 +162,26 @@ def _risky(items) -> bool:
                 # Quantified alternation — any branch ANYWHERE in the
                 # repeated body whose iteration split could be ambiguous
                 # compounds exponentially under the enclosing repeat.
-                if _ambiguous_branch(list(body)):
+                if _ambiguous_branch(list(body), fold):
                     return True
                 # Huge bounded repeats still multiply; treat big-x-big as
                 # nested even without an inner star.
                 if hi >= _BIG_REPEAT and _contains_repeat(body, _BIG_REPEAT):
                     return True
-            if _risky(body):
+            if _risky(body, fold):
                 return True
             continue
         body = _subpattern_body(op, av)
         if body is not None:
-            if _risky(body):
+            if _risky(body, fold):
                 return True
             continue
         if op == sre_c.BRANCH:
-            if any(_risky(b) for b in av[1]):
+            if any(_risky(b, fold) for b in av[1]):
                 return True
             continue
         if op in (sre_c.ASSERT, sre_c.ASSERT_NOT):
-            if _risky(av[1]):
+            if _risky(av[1], fold):
                 return True
     return False
 
@@ -223,37 +223,44 @@ def _fixed_length(items) -> Optional[int]:
     return total
 
 
-def _ambiguous_branch(items) -> bool:
+def _ambiguous_branch(items, fold: bool = False) -> bool:
     """Any BRANCH at ANY depth inside a repeated body whose alternatives
     could overlap. Safe requires: every alternative starts with a distinct
     literal (the first char uniquely picks the alternative) AND has a fixed
     match length (the pick deterministically bounds the iteration) — e.g.
     ``(foo|bar)+`` is safe, while ``((a|a))+b`` (one group deeper than the
     old one-level check saw) and ``(ab?|b)+c`` (variable alternative lets
-    iteration splits compound) are risky."""
+    iteration splits compound) are risky. With ``fold`` (the pattern is
+    case-insensitive somewhere), "distinct" means distinct AFTER case
+    folding — ``(?i)(ab|AB)+c`` is the same exponential escape as
+    ``(ab|ab)+c``."""
     for op, av in items:
         if op == sre_c.BRANCH:
             alts = av[1]
             firsts = [_first_literal(b) for b in alts]
-            if len(set(firsts)) != len(firsts) or None in firsts:
+            keys = [
+                None if f is None else (chr(f).casefold() if fold else f)
+                for f in firsts
+            ]
+            if len(set(keys)) != len(keys) or None in keys:
                 return True
             if any(_fixed_length(b) is None for b in alts):
                 return True
-            if any(_ambiguous_branch(b) for b in alts):
+            if any(_ambiguous_branch(b, fold) for b in alts):
                 return True
             continue
         body = _subpattern_body(op, av)
         if body is not None:
-            if _ambiguous_branch(list(body)):
+            if _ambiguous_branch(list(body), fold):
                 return True
             continue
         bounds = _repeat_bounds(op, av)
         if bounds is not None:
-            if _ambiguous_branch(list(av[2])):
+            if _ambiguous_branch(list(av[2]), fold):
                 return True
             continue
         if op in (sre_c.ASSERT, sre_c.ASSERT_NOT):
-            if _ambiguous_branch(list(av[1])):
+            if _ambiguous_branch(list(av[1]), fold):
                 return True
     return False
 
@@ -329,19 +336,47 @@ def _cs_overlap(a: _CharSet, b: _CharSet) -> bool:
     return False
 
 
-def _alphabet(items, cs: Optional[_CharSet] = None) -> _CharSet:
-    """Union of every character ``items`` could consume, at any depth."""
+def _fold_chars(code: int) -> set:
+    """All codepoints a case-insensitive match of ``code`` could consume
+    (over-approximated via lower/upper/casefold of the single char)."""
+    ch = chr(code)
+    out = {code}
+    for v in (ch.lower(), ch.upper(), ch.casefold()):
+        for c in v:
+            out.add(ord(c))
+    return out
+
+
+# Enumerating a RANGE for case folding is bounded; past this the range's
+# alphabet degrades to "anything" (over-approximation = safe: it only
+# routes more patterns to the linear/budgeted engines).
+_FOLD_RANGE_MAX = 1024
+
+
+def _alphabet(items, cs: Optional[_CharSet] = None, fold: bool = False) -> _CharSet:
+    """Union of every character ``items`` could consume, at any depth.
+
+    With ``fold``, literals and ranges expand to their case variants so the
+    overlap tests model case-insensitive matching (``(?i)a*A*$`` must look
+    like ``a*a*$``)."""
     if cs is None:
         cs = _CharSet()
     for op, av in items:
         if op == sre_c.LITERAL:
-            cs.chars.add(av)
+            cs.chars.update(_fold_chars(av) if fold else (av,))
         elif op == sre_c.IN:
             for iop, iav in av:
                 if iop == sre_c.LITERAL:
-                    cs.chars.add(iav)
+                    cs.chars.update(_fold_chars(iav) if fold else (iav,))
                 elif iop == sre_c.RANGE:
+                    lo, hi = iav
                     cs.ranges.append(iav)
+                    if fold:
+                        if hi - lo <= _FOLD_RANGE_MAX:
+                            for c in range(lo, hi + 1):
+                                cs.chars.update(_fold_chars(c))
+                        else:
+                            cs.any = True
                 elif iop == sre_c.CATEGORY:
                     cs.cats.add(iav)
                 else:  # NEGATE or unknown: could be anything
@@ -350,14 +385,14 @@ def _alphabet(items, cs: Optional[_CharSet] = None) -> _CharSet:
             continue  # zero-width
         elif op == sre_c.BRANCH:
             for b in av[1]:
-                _alphabet(b, cs)
+                _alphabet(b, cs, fold)
         else:
             body = _subpattern_body(op, av)
             bounds = _repeat_bounds(op, av)
             if body is not None:
-                _alphabet(list(body), cs)
+                _alphabet(list(body), cs, fold)
             elif bounds is not None:
-                _alphabet(list(av[2]), cs)
+                _alphabet(list(av[2]), cs, fold)
             else:  # ANY / NOT_LITERAL / GROUPREF / unknown
                 cs.any = True
     return cs
@@ -367,7 +402,9 @@ def _item_nullable(op, av) -> bool:
     return _can_match_empty([(op, av)])
 
 
-def _poly_risky(items, open_sets: Optional[list] = None) -> Tuple[bool, list, bool]:
+def _poly_risky(
+    items, open_sets: Optional[list] = None, fold: bool = False
+) -> Tuple[bool, list, bool]:
     """Sequential-quantifier (polynomial) screen.
 
     ``a*a*$`` and friends backtrack in O(n^k) without any nested repeat: two
@@ -383,7 +420,7 @@ def _poly_risky(items, open_sets: Optional[list] = None) -> Tuple[bool, list, bo
     for op, av in items:
         body = _subpattern_body(op, av)
         if body is not None:  # plain group: inline into this walk
-            risky, opens, nl = _poly_risky(list(body), opens)
+            risky, opens, nl = _poly_risky(list(body), opens, fold)
             if risky:
                 return True, opens, False
             nullable_all = nullable_all and nl
@@ -391,11 +428,11 @@ def _poly_risky(items, open_sets: Optional[list] = None) -> Tuple[bool, list, bo
         bounds = _repeat_bounds(op, av)
         if bounds is not None:
             lo, hi = bounds
-            alpha = _alphabet(list(av[2]))
+            alpha = _alphabet(list(av[2]), fold=fold)
             if hi > lo and hi >= _BIG_REPEAT:  # flexible repeat
                 if any(_cs_overlap(alpha, o) for o in opens):
                     return True, opens, False
-                risky, _, _ = _poly_risky(list(av[2]))
+                risky, _, _ = _poly_risky(list(av[2]), fold=fold)
                 if risky:
                     return True, opens, False
                 consumes = lo >= 1 and not _can_match_empty(av[2])
@@ -405,7 +442,7 @@ def _poly_risky(items, open_sets: Optional[list] = None) -> Tuple[bool, list, bo
                     opens = [o for o in opens if _cs_overlap(o, alpha)]
                 opens.append(alpha)
             else:  # bounded repeat: an ordinary (maybe nullable) item
-                risky, _, _ = _poly_risky(list(av[2]))
+                risky, _, _ = _poly_risky(list(av[2]), fold=fold)
                 if risky:
                     return True, opens, False
                 if not _item_nullable(op, av):
@@ -416,7 +453,7 @@ def _poly_risky(items, open_sets: Optional[list] = None) -> Tuple[bool, list, bo
             merged: list = []
             all_nullable = True
             for b in av[1]:
-                risky, b_opens, b_nl = _poly_risky(list(b), opens)
+                risky, b_opens, b_nl = _poly_risky(list(b), opens, fold)
                 if risky:
                     return True, opens, False
                 merged.extend(b_opens)
@@ -428,23 +465,56 @@ def _poly_risky(items, open_sets: Optional[list] = None) -> Tuple[bool, list, bo
         if op == sre_c.AT:
             continue  # zero-width
         if op in (sre_c.ASSERT, sre_c.ASSERT_NOT):
-            risky, _, _ = _poly_risky(list(av[1]))
+            risky, _, _ = _poly_risky(list(av[1]), fold=fold)
             if risky:
                 return True, opens, False
             continue
         # Simple consuming item (LITERAL / NOT_LITERAL / IN / ANY / ...).
-        alpha = _alphabet([(op, av)])
+        alpha = _alphabet([(op, av)], fold=fold)
         nullable_all = False
         opens = [o for o in opens if _cs_overlap(o, alpha)]
     return False, opens, nullable_all
 
 
+def _uses_ignorecase(items) -> bool:
+    """Any scoped ``(?i:...)`` group at any depth (global ``(?i)`` is read
+    off the parse state separately)."""
+    for op, av in items:
+        if op == sre_c.SUBPATTERN and av[1] & re.IGNORECASE:
+            return True
+        body = _subpattern_body(op, av)
+        if body is not None:
+            if _uses_ignorecase(list(body)):
+                return True
+            continue
+        bounds = _repeat_bounds(op, av)
+        if bounds is not None:
+            if _uses_ignorecase(list(av[2])):
+                return True
+            continue
+        if op == sre_c.BRANCH:
+            if any(_uses_ignorecase(list(b)) for b in av[1]):
+                return True
+        if op in (sre_c.ASSERT, sre_c.ASSERT_NOT):
+            if _uses_ignorecase(list(av[1])):
+                return True
+    return False
+
+
 def pattern_is_risky(pattern: str) -> bool:
-    """True if ``pattern`` may backtrack super-linearly under ``re``."""
-    items = list(sre_parse.parse(pattern))
-    if _risky(items):
+    """True if ``pattern`` may backtrack super-linearly under ``re``.
+
+    Case-insensitive patterns (global ``(?i)`` or scoped ``(?i:...)``
+    anywhere) screen with case-FOLDED literal comparisons: ``(?i)(ab|AB)+c``
+    backtracks exactly like ``(ab|ab)+c``. Folding applies to the whole
+    pattern even for scoped flags — over-approximation only costs a safe
+    pattern the linear engine, never correctness."""
+    parsed = sre_parse.parse(pattern)
+    items = list(parsed)
+    fold = bool(parsed.state.flags & re.IGNORECASE) or _uses_ignorecase(items)
+    if _risky(items, fold):
         return True
-    return _poly_risky(items)[0]
+    return _poly_risky(items, fold=fold)[0]
 
 
 # ---------------------------------------------------------------------------

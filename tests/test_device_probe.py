@@ -439,3 +439,125 @@ class TestCrossQueryBatching:
             _, terms = make_terms(("token", f"t{qi}"))
             expected = probe_bank_host(bank, terms, PARAMS.m_bits, PARAMS.k)
             np.testing.assert_array_equal(out[("p", qi)], expected)
+
+
+class TestOversizedSoloRequests:
+    """A single request above the launch caps splits / host-evaluates so
+    every device launch stays inside the warmed shape set (Tp<=16, total
+    clauses<=16) — an oversized one-off shape would pay a fresh jit on the
+    first real query that produced it (shape-space discipline)."""
+
+    MK = (PARAMS.m_bits, PARAMS.k, "classic")
+
+    def _tracking_backend(self):
+        backend = DeviceProbeBackend(mesh_devices=1)
+        shapes: list[tuple[int, int]] = []
+        orig = backend._launch_combined
+
+        def tracking(bank2d, capacity, k, batch):
+            shapes.append(
+                (
+                    sum(r.T for r in batch),
+                    sum(
+                        r.clause_mask.shape[0]
+                        for r in batch
+                        if r.clause_mask is not None
+                    ),
+                )
+            )
+            return orig(bank2d, capacity, k, batch)
+
+        backend._launch_combined = tracking
+        return backend, shapes
+
+    def test_20_term_flat_and_splits_and_stays_exact(self):
+        backend, shapes = self._tracking_backend()
+        tokens = [f"t{i}" for i in range(20)]
+        # Block 0 holds every token; blocks 1/2 each miss one.
+        bank = make_bank(
+            PARAMS,
+            [([], tokens, []), ([], tokens[:19], []), ([], tokens[1:], [])],
+        )
+        _, terms = make_terms(*[("token", t) for t in tokens])
+        out = backend.probe_groups(
+            [(b"F", 0, self.MK, lambda: bank)], terms, reduce_and=True
+        )
+        expected = probe_bank_host(bank, terms, PARAMS.m_bits, PARAMS.k).all(
+            axis=0, keepdims=True
+        )
+        np.testing.assert_array_equal(out[(b"F", 0)], expected)
+        assert expected[0, 0]
+        assert len(shapes) >= 2 and all(t <= 16 for t, _ in shapes)
+
+    def test_wide_cnf_falls_back_to_host_eval(self):
+        import itertools
+
+        from bloomsearch_tpu.bloom.probe import (
+            compile_cnf_clauses,
+            evaluate_match_expression,
+        )
+
+        backend, shapes = self._tracking_backend()
+        pool = [f"p{i}" for i in range(6)]
+        bank = make_bank(
+            PARAMS, [([], pool[:4], []), ([], pool[2:], []), ([], [], [])]
+        )
+        # 20 distinct 3-token OR clauses over 6 terms: T=6 <= 16 but C=20
+        # exceeds the warmed Cp=16 — fusion must be skipped, not compiled.
+        tree = bs.and_(
+            *[
+                bs.or_(*[bs.token(t) for t in combo])
+                for combo in itertools.combinations(pool, 3)
+            ]
+        )
+        q = bs.new_query().match(tree).build()
+        terms = compile_bloom_terms(q.bloom)
+        mask = compile_cnf_clauses(q.bloom.expression, terms)
+        assert mask is not None and mask.shape[0] > 16
+        out = backend.probe_groups(
+            [(b"F", 0, self.MK, lambda: bank)], terms, clause_mask=mask
+        )
+        match = probe_bank_host(bank, terms, PARAMS.m_bits, PARAMS.k)
+        expected = np.asarray(
+            evaluate_match_expression(
+                q.bloom.expression, terms, match, match.shape[1]
+            )
+        )[None, :]
+        np.testing.assert_array_equal(out[(b"F", 0)], expected)
+        assert all(c <= 16 for _, c in shapes)
+
+    def test_oversized_clause_query_splits_and_honors_fusion_contract(self):
+        from bloomsearch_tpu.bloom.probe import (
+            compile_cnf_clauses,
+            evaluate_match_expression,
+        )
+
+        backend, shapes = self._tracking_backend()
+        # 17 AND-ed 2-token ORs -> 34 terms, 17 clauses: both caps exceeded.
+        bank = make_bank(
+            PARAMS,
+            [
+                ([], [f"a{i}" for i in range(17)], []),
+                ([], [f"a{i}" for i in range(16)] + ["b16"], []),
+                ([], ["a0"], []),
+            ],
+        )
+        tree = bs.and_(
+            *[bs.or_(bs.token(f"a{i}"), bs.token(f"b{i}")) for i in range(17)]
+        )
+        q = bs.new_query().match(tree).build()
+        terms = compile_bloom_terms(q.bloom)
+        mask = compile_cnf_clauses(q.bloom.expression, terms)
+        assert mask is not None and len(terms) > 16
+        out = backend.probe_groups(
+            [(b"F", 0, self.MK, lambda: bank)], terms, clause_mask=mask
+        )
+        match = probe_bank_host(bank, terms, PARAMS.m_bits, PARAMS.k)
+        expected = np.asarray(
+            evaluate_match_expression(
+                q.bloom.expression, terms, match, match.shape[1]
+            )
+        )[None, :]
+        np.testing.assert_array_equal(out[(b"F", 0)], expected)
+        assert expected[0, 0] and expected[0, 1]
+        assert all(t <= 16 and c <= 16 for t, c in shapes)

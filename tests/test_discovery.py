@@ -225,6 +225,65 @@ class TestSharedStorageScatterGather:
             server.stop()
             live.stop(timeout=TIMEOUT)
 
+    def test_stale_snapshot_restarts_query_from_fresh_listing(self):
+        """A merge publishes between the coordinator's metadata snapshot and
+        the peers' own listings: every assigned pre-merge pointer is missing
+        from every peer's view (StaleFileAssignmentError), so per-subset
+        failover would deterministically re-raise on each survivor. The
+        coordinator must instead restart the WHOLE query against a fresh
+        snapshot — transparently: exact rows, no duplicates, no error."""
+        client = InMemoryObjectStore()
+        data = ObjectStoreDataStore(client)
+        meta = ObjectStoreMetaStore(client)
+        writer = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"), meta, data
+        )
+        writer.start()
+        for i in range(6):
+            writer.ingest_rows([{"n": i, "tag": "common"}], timeout=TIMEOUT)
+            writer.flush(timeout=TIMEOUT)
+        stale_listing = meta.get_maybe_files_for_query(None)
+        stats = writer.merge()  # pre-merge pointers vanish from metadata
+        writer.stop(timeout=TIMEOUT)
+        assert stats.files_processed > 0
+        fresh = {mf.pointer for mf in meta.get_maybe_files_for_query(None)}
+        assert any(mf.pointer not in fresh for mf in stale_listing)
+
+        class StaleOnceMeta:
+            """First listing replays the pre-merge snapshot (the race);
+            later listings delegate to the live store."""
+
+            def __init__(self, real, stale):
+                self.real, self.stale = real, stale
+                self.calls = 0
+
+            def get_maybe_files_for_query(self, prefilter):
+                self.calls += 1
+                if self.calls == 1:
+                    return self.stale
+                return self.real.get_maybe_files_for_query(prefilter)
+
+        live = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(row_data_compression="none"),
+            ObjectStoreMetaStore(client), ObjectStoreDataStore(client),
+        )
+        live.start()
+        server = QueryServer(live)
+        server.start()
+        try:
+            reg = PeerRegistry(client, ttl_seconds=60)
+            reg.announce("alive", *server.address, capacity=1.0)
+            stale_meta = StaleOnceMeta(meta, stale_listing)
+            coord = CapacityScatterCoordinator(stale_meta, reg)
+            rows = coord.query_sync(
+                bs.new_query().token("common").build(), timeout=TIMEOUT
+            )
+            assert sorted(r["n"] for r in rows) == list(range(6))
+            assert stale_meta.calls >= 2  # a fresh snapshot was taken
+        finally:
+            server.stop()
+            live.stop(timeout=TIMEOUT)
+
     def test_mid_stream_death_retries_exactly_once(self):
         """A peer that streams SOME rows then dies mid-stream: the partial
         buffer is discarded and its subset re-runs on the survivor — the

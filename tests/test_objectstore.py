@@ -226,36 +226,43 @@ class TestLocalDirObjectStore:
         assert c.list("data/") == ["data/a/b.dat"]
         assert c.list("") == ["data/a/b.dat", "meta/manifest.json"]
 
-    def test_lock_release_after_steal_keeps_new_holders_lock(self, tmp_path):
-        # A holder whose lock was stolen (mtime past timeout → crashed-holder
-        # heuristic) must NOT remove the stealer's lock on release: release
-        # checks the owner token first. A blind remove would re-admit a third
-        # process while the stealer is still inside the critical section.
-        import os
-        import time
+    def test_cas_lock_mutual_exclusion_and_crash_release(self, tmp_path):
+        # flock-based lock: a held lock is NEVER stolen (a second acquirer
+        # times out — stealing from a slow LIVE holder admits two processes
+        # to the CAS critical section), but a crashed holder's lock releases
+        # automatically when the kernel closes its fd.
+        import subprocess
+        import sys
 
         c = self._client(tmp_path)
-        old = c._cas_lock()
-        old.__enter__()
-        past = time.time() - c._LOCK_TIMEOUT - 1
-        os.utime(old.path, (past, past))
+        held = c._cas_lock()
+        held.__enter__()
+        try:
+            contender = c._cas_lock()
+            contender.timeout = 0.2
+            with pytest.raises(TimeoutError):
+                contender.__enter__()
+        finally:
+            held.__exit__(None, None, None)
 
-        stealer = c._cas_lock()
-        stealer.__enter__()  # steals the stale lock
-        assert os.path.exists(stealer.path)
-
-        old.__exit__(None, None, None)  # crashed holder "wakes up"
-        assert os.path.exists(stealer.path), "stale release removed live lock"
-        with open(stealer.path, "rb") as fh:
-            assert fh.read() == stealer.token
-
-        stealer.__exit__(None, None, None)
-        assert not os.path.exists(stealer.path)
-
-        # And a fresh acquire/release round-trips normally afterwards.
+        # Released: reacquire round-trips.
         with c._cas_lock():
-            assert os.path.exists(old.path)
-        assert not os.path.exists(old.path)
+            pass
+
+        # Crash-release: a child process acquires the lock and exits WITHOUT
+        # releasing; the parent must acquire immediately afterwards.
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from bloomsearch_tpu.objectstore import LocalDirObjectStore\n"
+            "c = LocalDirObjectStore(%r)\n"
+            "lk = c._cas_lock(); lk.__enter__()\n"
+            "import os; os._exit(0)\n"
+        ) % ("/root/repo", str(tmp_path / "bucket"))
+        subprocess.run([sys.executable, "-c", code], check=True, timeout=TIMEOUT)
+        fast = c._cas_lock()
+        fast.timeout = 2.0
+        fast.__enter__()
+        fast.__exit__(None, None, None)
 
     def test_two_store_instances_cas_contention(self, tmp_path):
         # Two INSTANCES over the same directory (the cross-process shape).

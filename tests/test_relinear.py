@@ -55,6 +55,13 @@ class TestRiskScreen:
             r"a*(x?)a*b",  # nullable separator keeps the stars adjacent
             r"[ab]+b*c",  # class/literal alphabet overlap ('b')
             r".*a.*a$",  # dot overlaps everything
+            # IGNORECASE: the screen must compare case-FOLDED literals —
+            # (?i)(ab|AB)+c backtracks exactly like (ab|ab)+c (re hung ~4 s
+            # on 'ab'*24+'x', doubling per 2 chars). Scoped (?i:...) too.
+            r"(?i)(ab|AB)+c",
+            r"(?i:(ab|AB))+c",
+            r"(?i)a*A*$",
+            r"(?i)[Ab]+b*c",  # folded class/literal overlap
         ],
     )
     def test_pathological_flagged(self, pattern):
@@ -78,10 +85,28 @@ class TestRiskScreen:
             r"\d+\.\d+\.\d+",
             r"[a-f]+[g-z]+",
             r"b*a+b*",  # mandatory 'a' run separates the disjoint b-stars
+            # Case-insensitive but structurally safe: stays on fast re.
+            r"(?i)error",
+            r"(?i)(foo|bar)+x",
+            r"(?i)abc.*def",
+            r"(FOO|bar)+x",  # case-SENSITIVE distinct firsts stay distinct
         ],
     )
     def test_common_patterns_stay_on_re(self, pattern):
         assert not pattern_is_risky(pattern)
+
+    def test_ignorecase_ambiguity_bounded_end_to_end(self):
+        """(?i)(ab|AB)+c ran on plain re before the fold-aware screen: 4+ s
+        at 'ab'*24, doubling every 2 chars. Must now complete bounded with
+        semantics preserved (budgeted fallback engine handles the flag)."""
+        matcher = build_safe_matcher(r"(?i)(ab|AB)+c")
+        t0 = time.monotonic()
+        assert matcher("ab" * 30 + "x") is False
+        assert time.monotonic() - t0 < TIMEOUT
+        assert matcher("zzABabABc!") is True
+        assert matcher("abc") is True
+        assert matcher("aBc") is True  # mixed-case iteration
+        assert matcher("zac") is False
 
     def test_nested_ambiguous_alternation_bounded(self):
         """The review repro: one extra group layer around (a|a) defeated the
