@@ -1,16 +1,20 @@
-"""Headline benchmark: bloom probe throughput per chip + end-to-end query.
+"""Headline benchmark: end-to-end query at the reference's own scale.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-The headline metric is membership probes/sec/chip on an HBM-resident filter
-bank at the reference's default block bloom params (10k rows @ 0.1% FPR ->
-m=143776, k=10; bloom_tree_engine.go:204-229). The north-star target is 1e9
-probes/sec/chip (BASELINE.md), so vs_baseline = value / 1e9.
+The headline metric is the reference's own headline benchmark re-run here:
+warm serving-mode engine-query rows/s over a generated needle-in-haystack
+dataset at the reference's scale (~12.2M rows / 1.7 GB / 240 blocks,
+snappy — bloom_tree_engine_performance_test.go:263-473), with
+vs_baseline = rows/s against the reference's 17.08M rows/s / 650 ms
+(PERFORMANCE.md:21-29, BASELINE.md). If that phase fails, the line falls
+back to the kernel metric below so the headline is never lost.
 
-``extra`` carries the user-visible number: warm engine-query p50 over a
-generated needle-in-haystack dataset (the reference's own benchmark shape,
-bloom_tree_engine_performance_test.go:263-473) and its rows/s against the
-reference's 17.08M rows/s / 650 ms (PERFORMANCE.md:21-29, BASELINE.md).
+``extra`` carries the kernel number — membership probes/sec/chip on an
+HBM-resident filter bank at the reference's default block bloom params
+(10k rows @ 0.1% FPR -> m=143776, k=10; bloom_tree_engine.go:204-229;
+north-star 1e9/s/chip per BASELINE.md) — plus ingest, honest-sizing e2e,
+concurrency curve, and beyond-HBM (xlscale) phases.
 
 Methodology for the kernel metric: per-launch time is the slope between
 chained executions of N_small and N_large distinct probe batches inside
@@ -698,17 +702,25 @@ def main() -> None:
         except Exception as exc:
             log(f"scaling bench failed: {exc!r}")
 
-    print(
-        json.dumps(
-            {
-                "metric": "bloom_probes_per_sec_per_chip",
-                "value": probes_per_sec,
-                "unit": "probes/s",
-                "vs_baseline": probes_per_sec / 1e9,
-                "extra": extra,
-            }
-        )
-    )
+    # Headline: the reference's OWN benchmark (refscale serving-mode scan)
+    # when it ran; kernel probes/sec (vs the 1e9 north star) as fallback.
+    extra["bloom_probes_per_sec_per_chip"] = probes_per_sec
+    extra["kernel_vs_north_star_1e9"] = round(probes_per_sec / 1e9, 3)
+    if "e2e_refscale_rows_per_sec" in extra:
+        headline = {
+            "metric": "e2e_refscale_rows_per_sec",
+            "value": extra["e2e_refscale_rows_per_sec"],
+            "unit": "rows/s",
+            "vs_baseline": extra["e2e_refscale_vs_ref"],
+        }
+    else:
+        headline = {
+            "metric": "bloom_probes_per_sec_per_chip",
+            "value": probes_per_sec,
+            "unit": "probes/s",
+            "vs_baseline": probes_per_sec / 1e9,
+        }
+    print(json.dumps({**headline, "extra": extra}))
 
 
 if __name__ == "__main__":

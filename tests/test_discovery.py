@@ -284,6 +284,73 @@ class TestSharedStorageScatterGather:
             server.stop()
             live.stop(timeout=TIMEOUT)
 
+    def test_stale_attempt_discarded_wholesale_before_retry(self):
+        """Rows buffered during a stale attempt must never reach the caller:
+        the retry's complete result set replaces them (exactly-once)."""
+        from bloomsearch_tpu.engine import StaleFileAssignmentError
+
+        coord = CapacityScatterCoordinator(
+            None, None, failover_buffer_rows=100, stale_snapshot_retries=2
+        )
+        attempts = []
+
+        def fake_attempt(q, rq, eq, sq=None):
+            attempts.append(1)
+            if len(attempts) == 1:
+                rq.put({"n": 99})  # partial rows of the doomed attempt
+                eq.put(StaleFileAssignmentError("stale"))
+            else:
+                for i in range(3):
+                    rq.put({"n": i})
+            rq.put(None)
+
+        coord._query_attempt = fake_attempt
+        rq: queue.Queue = queue.Queue()
+        eq: queue.Queue = queue.Queue()
+        coord.query(bs.new_query().build(), rq, eq)
+        rows = []
+        while True:
+            item = rq.get(timeout=TIMEOUT)
+            if item is None:
+                break
+            rows.append(item)
+        assert sorted(r["n"] for r in rows) == [0, 1, 2]
+        assert eq.empty(), "transparent retry must not surface the error"
+        assert len(attempts) == 2
+
+    def test_stale_past_holdback_cap_surfaces_error_not_retry(self):
+        """Once the global holdback overflows into stream-through, rows have
+        reached the caller — a stale restart would duplicate them, so the
+        error surfaces instead (same contract as peer-failover's cap)."""
+        from bloomsearch_tpu.engine import StaleFileAssignmentError
+
+        coord = CapacityScatterCoordinator(
+            None, None, failover_buffer_rows=2, stale_snapshot_retries=3
+        )
+        attempts = []
+
+        def fake_attempt(q, rq, eq, sq=None):
+            attempts.append(1)
+            for i in range(5):  # > cap: flips to stream-through
+                rq.put({"n": i})
+            eq.put(StaleFileAssignmentError("stale"))
+            rq.put(None)
+
+        coord._query_attempt = fake_attempt
+        rq: queue.Queue = queue.Queue()
+        eq: queue.Queue = queue.Queue()
+        coord.query(bs.new_query().build(), rq, eq)
+        rows = []
+        while True:
+            item = rq.get(timeout=TIMEOUT)
+            if item is None:
+                break
+            rows.append(item)
+        assert sorted(r["n"] for r in rows) == [0, 1, 2, 3, 4]
+        err = eq.get_nowait()
+        assert isinstance(err, StaleFileAssignmentError)
+        assert len(attempts) == 1, "no retry after rows streamed through"
+
     def test_mid_stream_death_retries_exactly_once(self):
         """A peer that streams SOME rows then dies mid-stream: the partial
         buffer is discarded and its subset re-runs on the survivor — the

@@ -111,6 +111,30 @@ class TestRemotePeer:
         assert result_q.get(timeout=TIMEOUT) is None
         assert isinstance(error_q.get_nowait(), ConnectionError)
 
+    def test_stale_assignment_error_typed_across_the_wire(self, tmp_path):
+        """StaleFileAssignmentError must survive the protocol as its own
+        type (an error_kind tag), not collapse into RuntimeError — the
+        scatter coordinator reacts to it structurally (fresh-snapshot
+        restart instead of peer failover)."""
+        from bloomsearch_tpu.engine import StaleFileAssignmentError
+
+        engine = make_engine(tmp_path, "a", [{"msg": "x"}])
+        try:
+            with QueryServer(engine) as server:
+                peer = RemoteQueryPeer(*server.address)
+                result_q: queue.Queue = queue.Queue()
+                error_q: queue.Queue = queue.Queue()
+                peer.query(
+                    bs.new_query().token("x").build(), result_q, error_q,
+                    file_pointers={b"\x00" * 8},  # listed nowhere
+                )
+                while result_q.get(timeout=TIMEOUT) is not None:
+                    pass
+                err = error_q.get_nowait()
+                assert isinstance(err, StaleFileAssignmentError), err
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
     def test_invalid_regex_surfaces_as_error(self, tmp_path):
         engine = make_engine(tmp_path, "a", [{"msg": "x"}])
         try:
