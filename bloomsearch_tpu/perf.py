@@ -450,12 +450,19 @@ def _run_one_query(engine, store, label: str, built_query) -> dict:
         "peak_worker_rows_per_sec": peak,
         "concurrency_factor": busy / wall if wall > 0 else 0.0,
         "selectivity_pct": 100.0 * len(results) / candidate_rows if candidate_rows else 0.0,
+        # Breakdown for slow-query triage: time INSIDE block processing
+        # (sum + max over blocks) vs the wall. wall >> block_busy means the
+        # cost sits outside blocks — planning, bank probes, or launches
+        # queued behind background device work (pins/compactions).
+        "block_busy_ms": busy * 1e3,
+        "block_max_ms": max((s.duration for s in processed), default=0.0) * 1e3,
     }
     print(
         f"{label:>14}: {out['wall_ms']:.0f} ms | {out['results']} results | "
         f"{format_rate(out['rows_per_sec'])} rows/s | "
         f"{format_bytes_per_second(out['bytes_per_sec'])} | "
-        f"blocks {out['blocks_processed']} scanned / {skipped} bloom-skipped | "
+        f"blocks {out['blocks_processed']} scanned / {skipped} bloom-skipped "
+        f"(busy {out['block_busy_ms']:.0f} ms, max {out['block_max_ms']:.0f}) | "
         f"selectivity {out['selectivity_pct']:.4f}%"
     )
     return out
