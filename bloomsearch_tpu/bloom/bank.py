@@ -99,9 +99,15 @@ def _stage_fns():
 
 
 def _stage_yield(yield_to, deadline: float) -> None:
-    while (
-        yield_to is not None and time.monotonic() < deadline and yield_to()
-    ):
+    # Same contract as rowcache._yield_point: a gate callable that raises
+    # must not abort a bank stage mid-upload (a background warm would
+    # surface a spurious error) — stop yielding and proceed instead.
+    while yield_to is not None and time.monotonic() < deadline:
+        try:
+            if not yield_to():
+                return
+        except Exception:
+            return
         time.sleep(0.005)
 
 
@@ -180,18 +186,35 @@ class Superbank:
         if num_cols <= max_piece:
             return jnp.asarray(flat)
         zeros, piece_fn = _stage_fns()
-        staged = zeros(flat.shape[0], num_cols)
+        # UNIFORM max_piece pieces into a max_piece-aligned staged buffer:
+        # the piece program then has ONE shape per rows-family (the staged
+        # width is a jit static too, so a max_piece-multiple bucket bounds
+        # the zeros programs as well). Greedy pow2 tails compiled a fresh
+        # program set per DISTINCT group width — merge-produced datasets
+        # with heterogeneous block counts paid ~8 tunnel compiles each.
+        # The zero-padded tail columns never join a segment (insert's
+        # update may write them past `used`; the next insert overwrites).
+        width = _round_up(num_cols, max_piece)
+        staged = zeros(flat.shape[0], width)
         deadline = time.monotonic() + _STAGE_YIELD_MAX_S
         off = 0
         while off < num_cols:
             if off:
                 _stage_yield(yield_to, deadline)
-            piece = 1
-            while piece * 2 <= num_cols - off and piece * 2 <= max_piece:
-                piece *= 2
-            sub = jnp.asarray(np.ascontiguousarray(flat[:, off : off + piece]))
-            staged = piece_fn(staged, sub, self._jnp.int32(off))
-            off += piece
+            sub = np.ascontiguousarray(flat[:, off : off + max_piece])
+            if sub.shape[1] < max_piece:
+                sub = np.concatenate(
+                    [
+                        sub,
+                        np.zeros(
+                            (sub.shape[0], max_piece - sub.shape[1]),
+                            dtype=np.uint32,
+                        ),
+                    ],
+                    axis=1,
+                )
+            staged = piece_fn(staged, jnp.asarray(sub), self._jnp.int32(off))
+            off += max_piece
         return staged
 
     def insert(
@@ -203,12 +226,17 @@ class Superbank:
         assert key not in self.segments
         _, w, num_cols = host_bank.shape
         assert w == self.num_words, (w, self.num_words)
-        if self.used + num_cols > self.capacity:
-            self._grow(self.used + num_cols)
         jnp = self._jnp
-        if staged is None or staged.shape[1] != num_cols:
+        # stage() may hand back a max_piece-aligned buffer wider than the
+        # group (shape-bucketed uploads): the zero tail writes past `used`
+        # into unclaimed capacity — never part of any segment, overwritten
+        # by the next insert. Narrower than the group means a stale/foreign
+        # staged array: rebuild directly.
+        if staged is None or staged.shape[1] < num_cols:
             flat = host_bank.reshape(3 * self.num_words, num_cols)
             staged = jnp.asarray(flat, dtype=jnp.uint32)
+        if self.used + staged.shape[1] > self.capacity:
+            self._grow(self.used + staged.shape[1])
         self.bank2d = sharded_update_columns(
             self.mesh,
             self.bank2d,
@@ -225,11 +253,13 @@ class Superbank:
         if segment is not None:
             self.dead += segment[1]
 
-    def maybe_compact(self) -> None:
-        """Rebuild without dead columns once they dominate."""
+    def maybe_compact(self, force: bool = False) -> None:
+        """Rebuild without dead columns once they dominate (``force``: any
+        dead column compacts — the backend uses it when live segments fit
+        the byte budget but the dead slack holds real HBM past it)."""
         from ..parallel.mesh import sharded_take_columns, sharded_zeros
 
-        if self.dead == 0 or self.dead * 2 < self.used:
+        if self.dead == 0 or (not force and self.dead * 2 < self.used):
             return
         jnp = self._jnp
         live_keys = list(self.segments)
@@ -463,8 +493,23 @@ class DeviceProbeBackend:
             self._evict_if_needed()
             return sb
 
+    def _reclaimable_bytes(self) -> int:
+        """Bytes held by dead (tombstoned/evicted) columns, freeable by
+        compaction without losing any warm segment."""
+        return sum(
+            sb.dead * sb.num_rows * 4 for sb in self._superbanks.values()
+        )
+
     def _evict_if_needed(self) -> None:
-        while self.total_bytes() > self.cache_bytes and len(self._lru) > 1:
+        # Budget against the POST-compaction footprint: total_bytes() counts
+        # capacity incl. dead columns, and an at-capacity insert would
+        # otherwise evict ~half a superbank's LIVE warm segments before a
+        # single real byte frees (rowcache.pin's sibling budget subtracts
+        # dead chunks the same way).
+        while (
+            self.total_bytes() - self._reclaimable_bytes() > self.cache_bytes
+            and len(self._lru) > 1
+        ):
             (mk, seg_key), _ = next(iter(self._lru.items()))
             self._lru.pop((mk, seg_key))
             sb = self._superbanks.get(mk)
@@ -479,6 +524,14 @@ class DeviceProbeBackend:
                     else:
                         self._by_file.pop(pointer)
                     break
+        # Live fits but dead columns still hold REAL device memory past the
+        # budget (maybe_compact's dead*2 >= used threshold hasn't tripped):
+        # force the reclaim now rather than serving over-budget until it
+        # does.
+        if self.total_bytes() > self.cache_bytes:
+            for sb in self._superbanks.values():
+                if sb.dead > 0:
+                    sb.maybe_compact(force=True)
 
     # -- probing --------------------------------------------------------
 

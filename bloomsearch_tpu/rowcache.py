@@ -43,6 +43,7 @@ by verification), never hide a true match.
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import sys
 import threading
@@ -80,14 +81,22 @@ _GROWTH_STEP_BYTES = 512 << 20
 _PIN_YIELD_MAX_S = 5.0
 
 
-def _yield_point(yield_to, deadline: float) -> None:
+def _yield_point(yield_to, deadline: float, hurry=None) -> None:
     """Pause while ``yield_to()`` is truthy (queries in flight), up to
     ``deadline``. Background pins call this before each expensive device
     step so query probe/scan launches never queue behind multi-MB stream
-    uploads or compaction gathers on the single device stream."""
+    uploads or compaction gathers on the single device stream.
+
+    ``hurry()`` truthy ends the pause immediately: a FOREGROUND caller
+    (query-path sync pin, tombstone, shutdown) is blocked on _upload_lock
+    — which this background holder owns — so sleeping "for the query"
+    would be a priority inversion: the query can't finish precisely
+    because we're waiting for it to finish."""
     if yield_to is None:
         return
     while time.monotonic() < deadline:
+        if hurry is not None and hurry():
+            return
         try:
             if not yield_to():
                 return
@@ -409,7 +418,15 @@ class DeviceRowCache:
         # capacity and scan compute scale linearly in chips.
         n_visible = len(jax.devices())
         want = n_visible if mesh_devices is None else mesh_devices
-        if want > 1 and n_visible >= want:
+        if want > 1:
+            # Same contract as DeviceProbeBackend: an explicit multi-device
+            # request that can't be satisfied is an error, not a silent
+            # single-device downgrade (capacity/scan scaling would vanish
+            # without a trace).
+            if n_visible < want:
+                raise RuntimeError(
+                    f"mesh_devices={want} but only {n_visible} device(s) visible"
+                )
             from .parallel.mesh import default_mesh
 
             self.mesh = default_mesh(n_devices=want)
@@ -428,6 +445,12 @@ class DeviceRowCache:
         # mutates only under BOTH (briefly under _lock), so matrix +
         # segments snapshots taken under _lock alone stay consistent.
         self._upload_lock = threading.Lock()
+        # Count of FOREGROUND threads (query-path sync pins, tombstones,
+        # shutdown) currently blocked on _upload_lock: a background
+        # holder's yield points consult it via _has_upload_waiters and
+        # hurry instead of sleeping (see _yield_point's inversion note).
+        self._upload_waiters = 0
+        self._waiters_lock = threading.Lock()
         self._blocks: dict[tuple[bytes, int], _PinnedBlock] = {}
         self._bucket = _StreamBucket()
         # Shape floor set by reserve(): compaction never shrinks cap below
@@ -502,6 +525,31 @@ class DeviceRowCache:
                 self._blocks[key] = block  # LRU bump
             return block
 
+    def _has_upload_waiters(self) -> bool:
+        # Racy read by design: a stale False costs one 5 ms yield-sleep.
+        return self._upload_waiters > 0
+
+    @contextlib.contextmanager
+    def _mutation_lock(self, foreground: bool = True):
+        """_upload_lock acquisition that, for FOREGROUND callers, advertises
+        the wait: a background pin holding the lock polls
+        _has_upload_waiters at its yield points and hurries instead of
+        sleeping on the very query its waiter is part of (priority
+        inversion — the query can't drain while its pin blocks here)."""
+        if foreground:
+            with self._waiters_lock:
+                self._upload_waiters += 1
+        try:
+            self._upload_lock.acquire()
+        finally:
+            if foreground:
+                with self._waiters_lock:
+                    self._upload_waiters -= 1
+        try:
+            yield
+        finally:
+            self._upload_lock.release()
+
     def release(self) -> None:
         """Free the stream's device memory NOW (engine shutdown).
 
@@ -514,7 +562,7 @@ class DeviceRowCache:
         pin()/reserve() raise, in-flight background pins fail and are
         swallowed by their callers' warmup error handling.
         """
-        with self._upload_lock:
+        with self._mutation_lock():
             with self._lock:
                 self._closed = True
                 bucket = self._bucket
@@ -535,7 +583,7 @@ class DeviceRowCache:
                     logger.debug("stream matrix delete failed", exc_info=True)
 
     def invalidate_file(self, pointer: bytes) -> None:
-        with self._upload_lock:
+        with self._mutation_lock():
             with self._lock:
                 for key in [k for k in self._blocks if k[0] == pointer]:
                     self._remove_locked(key)
@@ -575,7 +623,7 @@ class DeviceRowCache:
             ((int(self.capacity_bytes * frac)) // CHUNK_BYTES // unit) * unit, unit
         )
         cap = min(_round_up(max(total_chunks, 1) + 512, unit), budget_chunks)
-        with self._upload_lock:
+        with self._mutation_lock():
             if self._closed:
                 raise RuntimeError("row cache released")
             bucket = self._bucket
@@ -713,8 +761,11 @@ class DeviceRowCache:
             ).view(np.int32)
 
         deadline = time.monotonic() + _PIN_YIELD_MAX_S
-        _yield_point(yield_to, deadline)
-        with self._upload_lock:
+        hurry = self._has_upload_waiters
+        _yield_point(yield_to, deadline, hurry)
+        # A query-path sync pin (yield_to None) is a foreground waiter: it
+        # advertises itself so a background holder's yield points hurry.
+        with self._mutation_lock(foreground=yield_to is None):
             with self._lock:
                 if self._closed:
                     raise RuntimeError("row cache released")
@@ -744,22 +795,40 @@ class DeviceRowCache:
             # Upload decomposes into pow2 pieces (below), whose zero-padded
             # tail may extend into not-yet-used space — size capacity for it.
             n_upload = _round_up(n_chunks, 512)
-            if (
-                used + n_upload > cap
-                and self._reserved_cap
-                and cap >= self._reserved_cap
+            if used + n_upload > cap:
+                with self._lock:
+                    at_budget = (
+                        self._total_bytes_locked() >= self.capacity_bytes
+                    )
+            else:
+                at_budget = False
+            if used + n_upload > cap and (
+                (self._reserved_cap and cap >= self._reserved_cap)
+                or at_budget
             ):
-                # Stream at reserved capacity: reclaim in place instead of
-                # growing (growth would reshape the matrix and invalidate
-                # every compiled scan program). Evict LRU blocks until the
-                # LIVE chunks fit, then force-compact — the matrix keeps its
+                # Stream at reserved capacity — or, without a reserve(), at
+                # the byte budget: reclaim in place instead of growing
+                # (reserved: growth would reshape the matrix and invalidate
+                # every compiled scan program; unreserved: eviction keeps
+                # LIVE chunks under budget but compaction only fires at
+                # dead*2 >= used, so growth-past-budget would let the
+                # PHYSICAL matrix reach ~2x capacity_bytes and OOM a chip
+                # sized to the budget). Evict LRU blocks until the LIVE
+                # chunks fit, then force-compact — the matrix keeps its
                 # shape, only its contents rearrange. This is the steady
                 # state of beyond-HBM serving (dataset > row_cache_bytes).
                 # Evict with SLACK (cap/8, at least this pin): compaction is
                 # a full-stream device gather, and freeing only n_upload
                 # would re-trigger it on every subsequent at-capacity pin —
                 # the slack lets ~cap/8 of fresh pins append compaction-free.
-                _yield_point(yield_to, deadline)
+                #
+                # Freeze the shape here: without this floor an unreserved
+                # stream's force-compact would shrink cap to live size and
+                # the re-check below would immediately grow it back — two
+                # full-matrix copies and a scan-program reshape per
+                # at-capacity pin.
+                self._reserved_cap = max(self._reserved_cap, cap)
+                _yield_point(yield_to, deadline, hurry)
                 target = max(n_upload, cap // 8)
                 with self._lock:
                     for oldest in list(self._blocks):
@@ -778,9 +847,26 @@ class DeviceRowCache:
                 # copy in sharded_pad_rows holds old+new concurrently, and
                 # unbounded doubling at multi-GB stream sizes OOMs HBM.
                 grow = min(cap, max(_GROWTH_STEP_BYTES // CHUNK_BYTES, 1))
+                # Never grow the PHYSICAL matrix past the byte budget
+                # unless this single pin genuinely needs more: doubling
+                # overshoot otherwise parks cap at up to ~2x capacity_bytes
+                # (eviction bounds LIVE chunks, not allocation) and OOMs a
+                # chip sized to the budget.
+                with self._lock:
+                    host_bytes = sum(
+                        blk.host_nbytes for blk in self._blocks.values()
+                    )
+                budget_cap = (
+                    max(self.capacity_bytes - host_bytes, 0)
+                    // CHUNK_BYTES
+                    // unit
+                ) * unit
+                need = _round_up(used + n_upload, unit)
                 cap = max(
-                    _round_up(used + n_upload, unit),
-                    _round_up(cap + grow, unit),
+                    min(
+                        max(need, _round_up(cap + grow, unit)),
+                        max(budget_cap, need),
+                    ),
                     unit,
                 )
                 if matrix is None:
@@ -801,7 +887,7 @@ class DeviceRowCache:
                 off = 0
                 while off < n_chunks:
                     if off:
-                        _yield_point(yield_to, deadline)
+                        _yield_point(yield_to, deadline, hurry)
                     remaining = n_chunks - off
                     piece = 512
                     while piece * 2 <= remaining:
@@ -874,7 +960,7 @@ class DeviceRowCache:
             with self._lock:
                 will_compact = bucket.dead > 0 and bucket.dead * 2 >= bucket.used
             if will_compact:
-                _yield_point(yield_to, deadline)
+                _yield_point(yield_to, deadline, hurry)
             self._maybe_compact()
         return block
 
@@ -951,13 +1037,22 @@ class DeviceRowCache:
                     version = bucket.version
                     for r in batch:
                         r.segments = [bucket.segments.get(k) for k in r.keys]
-                try:
-                    self._launch_bucket_scan(bucket, matrix, version, batch)
-                except BaseException as exc:
+                if matrix is None:
+                    # release() raced between this request's matrix check
+                    # and leadership: resolve everyone with the vanished
+                    # contract (None hits -> conservative all-candidates)
+                    # instead of crashing the queries on a deleted matrix.
                     for r in batch:
-                        r.error = exc
+                        r.hits = {k: None for k in r.keys}
                         r.done.set()
-                    raise
+                else:
+                    try:
+                        self._launch_bucket_scan(bucket, matrix, version, batch)
+                    except BaseException as exc:
+                        for r in batch:
+                            r.error = exc
+                            r.done.set()
+                        raise
         if req.error is not None:
             raise req.error
         return req.hits
@@ -1055,7 +1150,6 @@ class DeviceRowCache:
         chunk = MAX_SCAN_NEEDLES if self.use_pallas or self.pallas_interpret else 64
         fresh: dict[bytes, np.ndarray] = {}
         if missing:
-            self.launches += 1
             # Sort by length before chunking: each launch's word-loop bound
             # is its LONGEST needle, so grouping similar lengths keeps a
             # short-needle launch from paying a long needle's word bucket
@@ -1089,6 +1183,7 @@ class DeviceRowCache:
                     use_pallas=self.use_pallas or self.pallas_interpret,
                     interpret=self.pallas_interpret,
                 )
+                self.launches += 1  # one per DEVICE launch, not per pass
                 if sparse:
                     packed = np.asarray(
                         self._scan_segments(

@@ -148,7 +148,10 @@ class TestSuperbank:
         sb_direct.insert(b"k", big)
         yields = []
         staged = sb_staged.stage(big, yield_to=lambda: yields.append(1) and False)
-        assert staged.shape == (3 * sb_staged.num_words, 11)
+        # Width buckets to a max_piece multiple (one piece-program shape per
+        # rows-family); the zero tail never joins a segment.
+        assert staged.shape[0] == 3 * sb_staged.num_words
+        assert staged.shape[1] >= 11 and staged.shape[1] % 2 == 0
         assert yields  # multi-piece: the gate was polled between pieces
         sb_staged.insert(b"k", big, staged=staged)
         np.testing.assert_array_equal(
@@ -198,6 +201,44 @@ class TestDeviceProbeBackend:
         backend.invalidate(b"file-1")
         backend.probe_groups([(b"file-1", 0, mk, loader)], terms)
         assert len(loads) == 2
+
+    def test_eviction_budget_ignores_dead_columns(self):
+        """Dead (invalidated) columns are reclaimable by compaction: the
+        byte budget must not evict LIVE warm segments to shed memory a
+        compaction can free — and when live fits but the physical bank
+        still exceeds the budget, compaction is forced immediately."""
+        mk = (PARAMS.m_bits, PARAMS.k, "classic")
+        mkeys = lambda tag: [([f"{tag}{i}"], [f"t{tag}{i}"], []) for i in range(100)]
+        banks = {t: make_bank(PARAMS, mkeys(t)) for t in "abc"}
+        loads = {t: 0 for t in "abc"}
+
+        def loader_for(t):
+            def load():
+                loads[t] += 1
+                return banks[t]
+            return load
+
+        # Capacity after 3 inserts of 100 cols doubles to 512 (rows=904):
+        # total 904*512*4 = 1.85 MB > the 1.7 MB budget. Evicting LRU "a"
+        # marks 100 columns dead: the dead-adjusted budget (1.48 MB) is
+        # satisfied, so "b"/"c" must SURVIVE and the over-budget physical
+        # bank force-compacts to 256 cols (0.93 MB). The old capacity-based
+        # budget kept evicting ("a" freed nothing physically) and threw
+        # away warm "b" too.
+        _, terms = make_terms(("token", "ta0"))
+        backend = DeviceProbeBackend(cache_bytes=1_700_000, mesh_devices=1)
+        for t in "abc":
+            backend.probe_groups([(t.encode(), 0, mk, loader_for(t))], terms)
+        assert not backend.is_resident(mk, backend.segment_key(b"a", 0))
+        # Re-probe the live segments: must be served resident, no reload.
+        for t in "bc":
+            backend.probe_groups([(t.encode(), 0, mk, loader_for(t))], terms)
+        assert loads == {"a": 1, "b": 1, "c": 1}, loads
+        assert backend.is_resident(mk, backend.segment_key(b"b", 0))
+        assert backend.is_resident(mk, backend.segment_key(b"c", 0))
+        sb = backend._superbanks[mk]
+        assert sb.dead == 0, "over-budget dead columns must compact away"
+        assert sb.capacity * sb.num_rows * 4 <= backend.cache_bytes
 
     def test_eviction_under_budget(self):
         # Superbank memory is capacity-based: eviction triggers when growth

@@ -324,6 +324,68 @@ class TestShadowFreeServing:
             engine.stop(timeout=10)
 
 
+class TestBackgroundForegroundContention:
+    def test_foreground_pin_wait_breaks_background_yield(self):
+        """Priority-inversion guard: a background holder of _upload_lock
+        pausing at a yield point (queries in flight) must HURRY once a
+        foreground pin blocks on the lock — sleeping 'for the query' while
+        the query waits on us would stall it up to the full yield budget."""
+        import threading
+        import time as _time
+
+        from bloomsearch_tpu.rowcache import _yield_point
+
+        cache = DeviceRowCache(64 << 20)
+
+        def bg_holder():
+            with cache._mutation_lock(foreground=False):
+                # A background pin mid-upload, yielding to "always busy"
+                # queries with a 5 s budget.
+                _yield_point(
+                    lambda: True,
+                    _time.monotonic() + 5.0,
+                    cache._has_upload_waiters,
+                )
+
+        t = threading.Thread(target=bg_holder)
+        t0 = _time.monotonic()
+        t.start()
+        _time.sleep(0.1)
+        data = make_stream([{"m": "hello"}])
+        _, offsets, lengths = split_rows_arrays(data)
+        cache.pin((b"fg", 0), data, offsets, lengths)  # foreground
+        t.join()
+        elapsed = _time.monotonic() - t0
+        assert elapsed < 3.0, f"priority inversion: fg pin stalled {elapsed:.1f}s"
+
+    def test_unreserved_stream_never_grows_past_budget(self):
+        """Without reserve(), eviction bounds LIVE chunks but growth used to
+        park the PHYSICAL matrix at up to ~2x capacity_bytes (compaction
+        only fires at dead*2 >= used) — an OOM on a chip sized to the
+        budget. Growth now clamps at the budget ceiling and the shape
+        freezes there (reclaim-in-place thereafter)."""
+        budget_chunks = 4096
+        cache = DeviceRowCache(budget_chunks * CHUNK_BYTES)
+        rows = [{"m": f"row{i} " + "x" * 400} for i in range(300)]
+        data = make_stream(rows)
+        _, offsets, lengths = split_rows_arrays(data)
+        caps = []
+        for b in range(20):
+            cache.pin((f"blk{b}".encode(), 0), data, offsets, lengths)
+            caps.append(cache._bucket.cap)
+        # DEVICE allocation stays under the byte budget throughout (growth
+        # clamps at the budget ceiling minus host bytes; eviction +
+        # compaction reclaim keep it there).
+        assert max(caps) * CHUNK_BYTES <= cache.capacity_bytes, (
+            max(caps) * CHUNK_BYTES, cache.capacity_bytes
+        )
+        # The newest block stays resident and scannable.
+        last = cache.get((b"blk19", 0))
+        assert last is not None
+        hits = cache.scan(last, [b"row299"])
+        assert hits[0].any()
+
+
 class TestStreamBucket:
     def test_blocks_share_the_stream(self):
         cache = DeviceRowCache(64 << 20)
