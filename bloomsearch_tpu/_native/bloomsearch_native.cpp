@@ -227,10 +227,8 @@ BS_EXPORT void bs_probe_from_hashes(const uint32_t* words, uint64_t m_bits,
 // ---------------------------------------------------------------------------
 
 static uint32_t kCrcTables[8][256];
-static bool kCrcInit = false;
 
-static void crc32c_init() {
-  if (kCrcInit) return;
+static void crc32c_init_tables() {
   const uint32_t poly = 0x82F63B78u;
   for (uint32_t i = 0; i < 256; i++) {
     uint32_t crc = i;
@@ -246,7 +244,14 @@ static void crc32c_init() {
       kCrcTables[t][i] = crc;
     }
   }
-  kCrcInit = true;
+}
+
+static void crc32c_init() {
+  // Magic static: thread-safe one-time table build (the previous plain
+  // bool flag let a second GIL-free pool thread read the flag before the
+  // table stores were visible and CRC intact blocks wrong).
+  static const bool done = (crc32c_init_tables(), true);
+  (void)done;
 }
 
 #if defined(__x86_64__)
@@ -1458,6 +1463,15 @@ BS_EXPORT int64_t bs_ingest_tokenize(
       rc = -1;
       break;
     }
+    // Full consumption: json.loads (the spec) rejects trailing bytes
+    // ('Extra data'), so '{"a":1}{"b":2}' must route to the Python path
+    // (which raises) instead of silently indexing the first object only.
+    if (!parser.error && !parser.fallback && !parser.done) {
+      const uint8_t* q = parser.p;
+      while (q < parser.end &&
+             (*q == ' ' || *q == '\t' || *q == '\n' || *q == '\r')) q++;
+      if (q != parser.end) parser.fallback = true;
+    }
     row_fallback[r] = (parser.error || parser.fallback) ? 1 : 0;
   }
   *n_field = fields.count;
@@ -1550,6 +1564,16 @@ BS_EXPORT int64_t bs_verify_rows(
       continue;
     }
     parser.parse_value();
+    // Full consumption (skip when the sink early-stopped with every
+    // condition resolved): trailing bytes mean json.loads — the semantic
+    // spec — would raise, so the Python path must decide, not a silent
+    // first-object verification.
+    if (!parser.error && !parser.fallback && !parser.done) {
+      const uint8_t* q = parser.p;
+      while (q < parser.end &&
+             (*q == ' ' || *q == '\t' || *q == '\n' || *q == '\r')) q++;
+      if (q != parser.end) parser.fallback = true;
+    }
     const bool fb = parser.error || parser.fallback;
     row_fallback[r] = fb ? 1 : 0;
     if (!fb) {
@@ -1617,7 +1641,9 @@ static int64_t decompress_snappy_stream(const uint8_t* comp, int64_t comp_len,
 
 // Returns decompressed length >= 0, or: -1 CRC mismatch, -2 malformed
 // compressed data, -3 malformed row stream, -4 capacity exceeded,
-// -5 unsupported codec. codec: 0 none, 1 snappy (chunked framing), 2 zstd.
+// -5 unsupported codec, -6 scan resource failure (intact block — caller
+// falls back to the Python pipeline). codec: 0 none, 1 snappy (chunked
+// framing), 2 zstd.
 BS_EXPORT int64_t bs_process_block(
     const uint8_t* comp, int64_t comp_len, int32_t codec,
     uint32_t expected_crc, int32_t verify_crc,
@@ -1650,7 +1676,11 @@ BS_EXPORT int64_t bs_process_block(
     const int64_t rc = bs_scan_candidates(out, dlen, needles, needle_offsets,
                                           n_needles, row_offsets, row_lengths,
                                           count, scan_out);
-    if (rc != 0) return -2;
+    // Scan failure here is a RESOURCE problem (its only error is a malloc
+    // of the lowercase buffer), not corruption: -6 so the caller degrades
+    // to the Python pipeline instead of raising 'malformed block data'
+    // against an intact block.
+    if (rc != 0) return -6;
   }
   return dlen;
 }
@@ -2002,6 +2032,15 @@ BS_EXPORT int64_t bs_extract_minmax(
       if (p < end && *p == '}') break;
       bad = true;
       break;
+    }
+    if (!bad) {
+      // Full consumption after the closing brace: json.loads (the spec)
+      // rejects trailing bytes, so '{"a":1}{"a":9}' must go to the Python
+      // path rather than contribute only the first object's value to the
+      // minmax index (an under-wide index can exclude a matching block).
+      if (p < end && *p == '}') p++;
+      while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) p++;
+      if (p != end) bad = true;
     }
     if (bad) status_out[r] = 2;
   }

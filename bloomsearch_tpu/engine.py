@@ -464,6 +464,7 @@ class _PartitionBuffer:
         "encoder",
         "created_at_ms",
         "params",
+        "rows_canonical",
     )
 
     def __init__(self, partition_id: str, params: BloomParams, compression: str, zstd_level: int):
@@ -475,6 +476,11 @@ class _PartitionBuffer:
         self.created_at_ms = int(time.time() * 1000)
         # Recorded in block metadata at flush (auto sizing varies per buffer).
         self.params = params
+        # True while every buffered row is the engine's own canonical
+        # serialization (dict-ingest path); ingest_serialized flips it —
+        # the scan pre-filter may prune numeric tokens only on canonical
+        # blocks (token "100000" has no substring in verbatim bytes "1e5").
+        self.rows_canonical = True
 
     @property
     def uncompressed_size(self) -> int:
@@ -1535,6 +1541,7 @@ class BloomSearchEngine:
                     # built with (reference stamps current config :792-793;
                     # ours can vary per buffer under auto sizing).
                     params=buf.params,
+                    rows_canonical=buf.rows_canonical,
                 )
             metadata = writer.finish(flush_req.file_filters)
             writer_fh.close()
@@ -1870,11 +1877,18 @@ class BloomSearchEngine:
         # Candidate-scan pre-filter for the decode stage (scan.py): sound
         # necessary-condition substring pruning over the prune query PLUS
         # each regex pattern's mandatory literal (regex-only queries would
-        # otherwise JSON-parse every row of surviving blocks).
+        # otherwise JSON-parse every row of surviving blocks). Sound ONLY
+        # for the default tokenizer: its tokens are whitespace-split
+        # substrings of the stored value text, while a custom tokenizer may
+        # emit tokens (stems, n-grams, ...) that never appear verbatim in
+        # the raw bytes — pruning on those would drop matching rows.
         from .scan import compile_scan_plan, regex_scan_query
 
-        scan_query = and_bloom_queries(prune_query, regex_scan_query(q.regex))
-        scan_plan = compile_scan_plan(scan_query, self.config.delimiter)
+        if self.config.tokenizer is basic_whitespace_lower_tokenizer:
+            scan_query = and_bloom_queries(prune_query, regex_scan_query(q.regex))
+            scan_plan = compile_scan_plan(scan_query, self.config.delimiter)
+        else:
+            scan_plan = None
 
         # Native exact verification: the bloom AST re-verifies in C++ over
         # the raw row bytes (GIL-free); only matching rows JSON-parse. Rows
@@ -2378,8 +2392,13 @@ class BloomSearchEngine:
 
             candidate_idx = None
             if scan_plan is not None:
+                # Numeric-token needles only prune blocks whose metadata
+                # attests canonical re-serialization (scan._numeric_unsafe).
+                trust_numeric = bool(job.block.rows_canonical)
                 if scanned_inline is not None:
-                    mask = evaluate_plan(scan_plan, scanned_inline, num_rows)
+                    mask = evaluate_plan(
+                        scan_plan, scanned_inline, num_rows, trust_numeric
+                    )
                 elif pinned is not None:
                     # Serving mode: the needle scan runs on-device over the
                     # HBM-pinned rows; warm blocks were scanned in ONE
@@ -2387,10 +2406,14 @@ class BloomSearchEngine:
                     scanned = (prescanned or {}).get(cache_key)
                     if scanned is None:
                         scanned = self._row_cache.scan(pinned, scan_plan.needles)
-                    mask = evaluate_plan(scan_plan, scanned, num_rows)
+                    mask = evaluate_plan(
+                        scan_plan, scanned, num_rows, trust_numeric
+                    )
                 else:
                     buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, bytes) else data
-                    mask = candidate_rows(scan_plan, buf, offsets, lengths)
+                    mask = candidate_rows(
+                        scan_plan, buf, offsets, lengths, trust_numeric
+                    )
                 if mask is not None:
                     candidate_idx = np.nonzero(mask)[0]
             if candidate_idx is None:
@@ -2826,6 +2849,7 @@ class _Merger:
             uncompressed_size=src.block.uncompressed_size,
             created_at_ms=src.block.created_at_ms,
             params=src.block.bloom_params,
+            rows_canonical=src.block.rows_canonical,
         )
         stats.row_groups_processed += 1
         stats.rows_processed += src.block.rows
@@ -2899,6 +2923,9 @@ class _Merger:
             # Stamp the params the OR'd filter actually has (sources share
             # them by the mergeability gate).
             params=bucket[0].block.bloom_params,
+            # Merged rows copy source bytes verbatim: canonical only when
+            # EVERY source block was.
+            rows_canonical=all(s.block.rows_canonical for s in bucket),
         )
 
 
@@ -3122,6 +3149,11 @@ class _IngestState:
                 config.zstd_compression_level,
             )
             self.partition_buffers[partition_id] = buf
+
+        # Verbatim bytes: number spellings may diverge from their tokens
+        # (e.g. "1e5" vs token "100000") — the block must record that the
+        # scan pre-filter can't prune numeric tokens against it.
+        buf.rows_canonical = False
 
         stream_parts: list[bytes] = []
         batch_bytes = 0

@@ -212,6 +212,14 @@ class DataBlockMetadata:
     bloom_layout: str = "classic"
     bank_group: int = 0
     bank_col: int = 0
+    # True when every stored row is the engine's own canonical
+    # re-serialization (json.dumps of the parsed object): numeric tokens
+    # are then guaranteed substrings of their stored spelling (fuzz-tested
+    # invariant) and the candidate scan may prune on them. Verbatim
+    # (ingest_serialized) and foreign/older blocks default False — a row
+    # spelled "1e5" stores no "100000" bytes even though the token index
+    # and exact verification both match it.
+    rows_canonical: bool = False
 
     @property
     def bloom_params(self) -> BloomParams:
@@ -235,6 +243,8 @@ class DataBlockMetadata:
         }
         if self.bloom_layout != "classic":
             out["BloomLayout"] = self.bloom_layout
+        if self.rows_canonical:
+            out["RowsCanonical"] = True
         if self.partition_id:
             out["PartitionID"] = self.partition_id
         if self.min_max_indexes:
@@ -261,6 +271,7 @@ class DataBlockMetadata:
             bloom_layout=obj.get("BloomLayout", "classic"),
             bank_group=int(obj.get("BankGroup", 0)),
             bank_col=int(obj.get("BankCol", 0)),
+            rows_canonical=bool(obj.get("RowsCanonical", False)),
         )
 
 
@@ -373,6 +384,7 @@ class DataFileWriter:
         uncompressed_size: int,
         created_at_ms: int,
         params: BloomParams,
+        rows_canonical: bool = False,
     ) -> DataBlockMetadata:
         block = DataBlockMetadata(
             offset=self._pos,
@@ -387,6 +399,7 @@ class DataFileWriter:
             bloom_expected_items=params.expected_items,
             bloom_false_positive_rate=params.false_positive_rate,
             bloom_layout=params.layout,
+            rows_canonical=rows_canonical,
         )
         self._write(compressed_rows)
         self._blocks.append(block)

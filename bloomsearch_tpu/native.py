@@ -206,18 +206,29 @@ def _load_pyser():
             os.path.exists(_PYSER_SRC)
             and os.path.getmtime(_PYSER_SRC) > os.path.getmtime(_PYSER_SO)
         ):
+            # Compile to a tmp then rename (same pattern as _compile above):
+            # writing the final path directly lets a concurrent process
+            # PyDLL-load a half-written .so, and truncating an .so another
+            # process has mapped can SIGBUS it.
+            tmp_so = f"{_PYSER_SO}.tmp.{os.getpid()}"
             cmd = [
                 "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-                "-fvisibility=hidden", f"-I{include}", "-o", _PYSER_SO, _PYSER_SRC,
+                "-fvisibility=hidden", f"-I{include}", "-o", tmp_so, _PYSER_SRC,
             ]
             try:
                 result = subprocess.run(cmd, capture_output=True, timeout=120)
+                if result.returncode != 0:
+                    _pyser_failed = True
+                    return None
+                os.replace(tmp_so, _PYSER_SO)
             except (OSError, subprocess.TimeoutExpired):
                 _pyser_failed = True
                 return None
-            if result.returncode != 0:
-                _pyser_failed = True
-                return None
+            finally:
+                try:
+                    os.unlink(tmp_so)
+                except OSError:
+                    pass
         try:
             # PyDLL: calls hold the GIL (required for CPython API).
             lib = ctypes.PyDLL(_PYSER_SO)

@@ -135,10 +135,31 @@ def regex_scan_query(regex_query) -> Optional[BloomQuery]:
     return BloomQuery(visit(regex_query.expression))
 
 
+def _numeric_unsafe(token: str) -> bool:
+    """Could ``token`` be the stringification of a JSON number?
+
+    Number tokens derive from repr() of the PARSED value, so a row stored
+    with a different-but-legal spelling ("1e5" for token "100000",
+    "0.1999999999999999999" rounding to token "0.2") contains no needle
+    bytes even though exact verification matches it. Such needles may only
+    DISQUALIFY rows of blocks whose metadata attests canonical
+    re-serialization (DataBlockMetadata.rows_canonical — the substring
+    invariant is fuzz-tested for that path). Conservative by float(): any
+    parseable spelling counts."""
+    try:
+        float(token)
+    except ValueError:
+        return False
+    return True
+
+
 class ScanPlan:
     """Per-query compiled needle set + expression over condition bitmasks."""
 
-    __slots__ = ("expression", "conditions", "needles", "needle_index", "term_index")
+    __slots__ = (
+        "expression", "conditions", "needles", "needle_index", "term_index",
+        "numeric_unsafe",
+    )
 
     def __init__(self, expression: BloomExpression, conditions, needles, needle_index):
         self.expression = expression
@@ -148,6 +169,10 @@ class ScanPlan:
         self.term_index = {
             (c.type, c.field, c.token): i for i, c in enumerate(conditions)
         }
+        # Needle rows that must not disqualify non-canonical blocks.
+        self.numeric_unsafe = [
+            _numeric_unsafe(n.decode("ascii", "replace")) for n in needles
+        ]
 
 
 def compile_scan_plan(
@@ -164,6 +189,7 @@ def compile_scan_plan(
         return None
     needles: list[bytes] = []
     needle_index: list[Optional[int]] = []
+    seen: dict[bytes, int] = {}  # dedup: identical needles share one scan row
     for cond in conditions:
         needle: Optional[bytes] = None
         if cond.type in (BloomConditionType.TOKEN, BloomConditionType.FIELD_TOKEN):
@@ -181,23 +207,34 @@ def compile_scan_plan(
         if needle is None:
             needle_index.append(None)
         else:
-            needle_index.append(len(needles))
-            needles.append(needle)
+            idx = seen.get(needle)
+            if idx is None:
+                idx = len(needles)
+                needles.append(needle)
+                seen[needle] = idx
+            needle_index.append(idx)
     if not needles:
         return None
     return ScanPlan(bloom_query.expression, conditions, needles, needle_index)
 
 
-def evaluate_plan(plan: ScanPlan, scanned: np.ndarray, n_rows: int) -> np.ndarray:
+def evaluate_plan(
+    plan: ScanPlan, scanned: np.ndarray, n_rows: int,
+    trust_numeric: bool = True,
+) -> np.ndarray:
     """Evaluate the bloom tree over a per-needle row-hit matrix -> bool[rows].
 
     ``scanned`` is bool[len(plan.needles), n_rows] from any scanner backend
     (native C++ memmem or the device row-cache scan). Conditions without a
-    usable needle are conservatively all-True.
-    """
+    usable needle are conservatively all-True. ``trust_numeric`` False
+    (block not attested rows_canonical) additionally makes numeric-unsafe
+    needles all-True — a verbatim-stored number may spell its token
+    differently than the needle bytes (see _numeric_unsafe)."""
     matrix = np.ones((len(plan.conditions), n_rows), dtype=bool)
     for cond_idx, needle_row in enumerate(plan.needle_index):
-        if needle_row is not None:
+        if needle_row is not None and (
+            trust_numeric or not plan.numeric_unsafe[needle_row]
+        ):
             matrix[cond_idx] = scanned[needle_row]
 
     class _TermsView:
@@ -213,13 +250,14 @@ def candidate_rows(
     data: np.ndarray,
     row_offsets: np.ndarray,
     row_lengths: np.ndarray,
+    trust_numeric: bool = True,
 ) -> Optional[np.ndarray]:
     """bool[num_rows] candidate mask, or None to fall back to full verify."""
     n_rows = row_offsets.shape[0]
     scanned = native.scan_candidates(data, plan.needles, row_offsets, row_lengths)
     if scanned is None:
         return None
-    return evaluate_plan(plan, scanned, n_rows)
+    return evaluate_plan(plan, scanned, n_rows, trust_numeric)
 
 
 def split_rows_arrays(data: bytes):

@@ -113,6 +113,36 @@ class TestScanSoundness:
 
 
 class TestEngineScanParity:
+    def test_custom_tokenizer_disables_scan_prefilter(self, tmp_path):
+        """A custom tokenizer may emit tokens that never appear verbatim in
+        the stored bytes (stems, n-grams, here: reversed words) — pruning on
+        them as substring needles would silently drop matching rows. The
+        scan pre-filter must disable itself for non-default tokenizers."""
+        import bloomsearch_tpu as bs
+
+        def reversing_tokenizer(value):
+            return [w[::-1] for w in str(value).lower().split()]
+
+        store = bs.FileSystemDataStore(str(tmp_path / "d"))
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(
+                row_data_compression="none", tokenizer=reversing_tokenizer
+            ),
+            store, store,
+        )
+        engine.start()
+        try:
+            engine.ingest_rows(
+                [{"m": "hello world"}, {"m": "other row"}], timeout=10
+            )
+            engine.flush(timeout=10)
+            rows = engine.query_sync(
+                bs.new_query().token("olleh").build(), timeout=10
+            )
+            assert len(rows) == 1 and rows[0]["m"] == "hello world"
+        finally:
+            engine.stop(timeout=10)
+
     def test_results_identical_with_and_without_scan(self, tmp_path):
         store = bs.FileSystemDataStore(str(tmp_path / "data"))
         config = bs.BloomSearchEngineConfig(row_data_compression="none", probe_backend="host")

@@ -67,6 +67,79 @@ class TestSerializedIngest:
             d2 = read_block_rows_compressed(fh, m2.data_blocks[0])
         assert d1 == d2
 
+    def test_non_canonical_number_spelling_still_found(self, tmp_path):
+        """Verbatim bytes '1e5' index token '100000' (go_like_str of the
+        parsed float): the candidate scan must NOT prune the row for the
+        needle's absence — verbatim blocks are marked non-canonical and
+        numeric needles can't disqualify them (the old path silently lost
+        the row before exact verification: a false negative)."""
+        engine, store = make_engine(tmp_path)
+        try:
+            engine.ingest_serialized(
+                [b'{"a":1e5,"tag":"zz"}', b'{"a":1.5e2}', b'{"b":"word"}'],
+                timeout=TIMEOUT,
+            )
+            engine.flush(timeout=TIMEOUT)
+            for token, expect in (("100000", 1), ("150", 1), ("word", 1)):
+                rows = engine.query_sync(
+                    bs.new_query().token(token).build(), timeout=TIMEOUT
+                )
+                assert len(rows) == expect, (token, rows)
+            rows = engine.query_sync(
+                bs.new_query().field_token("a", "100000").build(), timeout=TIMEOUT
+            )
+            assert len(rows) == 1 and rows[0]["tag"] == "zz"
+            # The block is marked non-canonical in metadata.
+            blk = store.get_maybe_files_for_query(None)[0].metadata.data_blocks[0]
+            assert blk.rows_canonical is False
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_dict_ingest_marks_blocks_canonical(self, tmp_path):
+        engine, store = make_engine(tmp_path)
+        try:
+            engine.ingest_rows([{"a": 1e5, "tag": "zz"}], timeout=TIMEOUT)
+            engine.flush(timeout=TIMEOUT)
+            blk = store.get_maybe_files_for_query(None)[0].metadata.data_blocks[0]
+            assert blk.rows_canonical is True
+            # Canonical spelling: numeric-token queries keep working (and
+            # keep pruning).
+            rows = engine.query_sync(
+                bs.new_query().token("100000").build(), timeout=TIMEOUT
+            )
+            assert len(rows) == 1
+            # Merge of canonical+verbatim blocks must NOT claim canonical.
+            engine.ingest_serialized([b'{"x":2e3}'], timeout=TIMEOUT)
+            engine.flush(timeout=TIMEOUT)
+            engine.merge()
+            blocks = [
+                b
+                for mf in store.get_maybe_files_for_query(None)
+                for b in mf.metadata.data_blocks
+            ]
+            assert blocks and all(b.rows_canonical is False for b in blocks)
+            rows = engine.query_sync(
+                bs.new_query().token("2000").build(), timeout=TIMEOUT
+            )
+            assert len(rows) == 1
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_trailing_garbage_rejected_like_json_loads(self, tmp_path):
+        """json.loads (the spec) raises 'Extra data' for concatenated
+        objects; the native fast lane must not silently index only the
+        first object — both lanes reject the ingest."""
+        from concurrent.futures import Future
+
+        engine, _ = make_engine(tmp_path)
+        try:
+            done: Future = Future()
+            engine.ingest_serialized([b'{"a":1}{"b":2}'], done=done, timeout=TIMEOUT)
+            with pytest.raises(Exception, match="Extra data"):
+                done.result(timeout=TIMEOUT)
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
     def test_partition_func_requires_explicit_partition_id(self, tmp_path):
         engine, store = make_engine(tmp_path, partition_func=lambda r: r["p"])
         try:
