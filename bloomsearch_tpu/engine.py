@@ -423,7 +423,11 @@ def prefilter_expiry(expression) -> Callable[[DataBlockMetadata], bool]:
         if e is None:
             return False  # no condition: nothing expires
         if e.expression_type == PrefilterExprType.AND:
-            return all(visit(c, block) for c in e.children) if e.children else True
+            # Empty AND is vacuously true in LOGIC, but expiry must only
+            # ever under-approximate: prefilter_and() from a dynamically
+            # assembled (and accidentally empty) condition list would
+            # otherwise expire EVERY block in the store.
+            return all(visit(c, block) for c in e.children) if e.children else False
         if e.expression_type == PrefilterExprType.OR:
             return any(visit(c, block) for c in e.children)
         cond = e.condition
@@ -1210,18 +1214,32 @@ class BloomSearchEngine:
             return True
         return self._pin_churn.admit(nbytes)
 
-    def _submit_background_pin(self, key, data, offsets, lengths, fetcher) -> None:
-        """Queue a cache-warm pin; bounded, deduplicated, best-effort."""
+    def _admit_background_pin(self, key, nbytes: int) -> bool:
+        """Dedup + cap + churn admission for a background pin.
+
+        Runs BEFORE the caller prepares the pin payload (a multi-MB bytes
+        copy + row fetcher): in the beyond-HBM steady state most refills
+        are denied, and a denied pin must cost the query's critical path
+        nothing. On True the key is registered in _bg_pins — the caller
+        MUST follow with _submit_background_pin(..., admitted=True)."""
         with self._bg_pin_lock:
             if key in self._bg_pins or len(self._bg_pins) >= 8:
-                return  # dropped = stays a miss; a later query retries
+                return False  # dropped = stays a miss; a later query retries
             self._bg_pins.add(key)
         # Admission AFTER dedup so duplicate submissions of one in-flight
         # block can't drain the churn budget.
-        if not self._bg_churn_admit(len(data)):
+        if not self._bg_churn_admit(nbytes):
             with self._bg_pin_lock:
                 self._bg_pins.discard(key)
-            return  # stream full and churn budget spent: stays a host hit
+            return False  # stream full and churn budget spent: stays a host hit
+        return True
+
+    def _submit_background_pin(
+        self, key, data, offsets, lengths, fetcher, admitted: bool = False
+    ) -> None:
+        """Queue a cache-warm pin; bounded, deduplicated, best-effort."""
+        if not admitted and not self._admit_background_pin(key, len(data)):
+            return
 
         def work():
             try:
@@ -1801,6 +1819,15 @@ class BloomSearchEngine:
                 q, compiled_regex, result_queue, error_queue, stats_queue,
                 cancel_event, file_pointers,
             )
+        except BaseException as exc:
+            # The inner runner posts the completion sentinel on every normal
+            # path, but an exception OUTSIDE its planning guard (pool
+            # shutdown racing stop(), a released row cache, ...) must not
+            # leave callers blocked on result_queue.get() forever: surface
+            # the error and complete the stream. A duplicate sentinel is
+            # impossible — the inner function's posts all return afterwards.
+            try_put(error_queue, exc)
+            result_queue.put(None)
         finally:
             # Claim ripe tombstones FIRST, apply them, and only then mark
             # this query drained — so stop() (which waits on active ids
@@ -2252,7 +2279,15 @@ class BloomSearchEngine:
                 with self._warm_lock:
                     self._warming.discard(key)
 
-        self._warm_pool.submit(warm)
+        try:
+            self._warm_pool.submit(warm)
+        except RuntimeError:
+            # Pool shut down (stop() raced this query): the sparse probe
+            # already produced correct results — a background residency
+            # optimization must not fail the query (same guard as
+            # _submit_background_pin).
+            with self._warm_lock:
+                self._warming.discard(key)
 
     def _host_bank(self, pointer: bytes, group) -> Optional[np.ndarray]:
         key = (pointer, group.offset)
@@ -2356,7 +2391,7 @@ class BloomSearchEngine:
                 ) if _native.available() else None
                 if processed is not None:
                     data_arr, offsets, lengths, scanned_inline = processed
-                    data = data_arr.tobytes() if self._row_cache is not None else data_arr
+                    data = data_arr  # bytes conversion deferred to the pin sites
                 else:
                     from .checksum import crc32c as _crc32c
 
@@ -2369,20 +2404,30 @@ class BloomSearchEngine:
                     )
                     _, offsets, lengths = split_rows_arrays(data)
                 if self._row_cache is not None:
-                    if not isinstance(data, bytes):
-                        data = bytes(data)
-                    fetcher = self._make_row_fetcher(
-                        job.file_pointer, job.block, compressed
-                    )
                     if self.config.row_cache_async_pins and processed is not None:
                         # The native pipeline already scanned this block
                         # inline; the pin is a pure cache-warm upload —
                         # keep it off this query's critical path (through
                         # remote-attached chips an upload is ~100s of ms).
-                        self._submit_background_pin(
-                            cache_key, data, offsets, lengths, fetcher
-                        )
+                        # Admission runs FIRST: a denied refill (the
+                        # beyond-HBM steady state) must not pay the
+                        # multi-MB bytes copy or the fetcher build.
+                        nbytes = data.nbytes if not isinstance(data, bytes) else len(data)
+                        if self._admit_background_pin(cache_key, nbytes):
+                            pin_data = data if isinstance(data, bytes) else bytes(data)
+                            fetcher = self._make_row_fetcher(
+                                job.file_pointer, job.block, compressed
+                            )
+                            self._submit_background_pin(
+                                cache_key, pin_data, offsets, lengths, fetcher,
+                                admitted=True,
+                            )
                     else:
+                        if not isinstance(data, bytes):
+                            data = bytes(data)
+                        fetcher = self._make_row_fetcher(
+                            job.file_pointer, job.block, compressed
+                        )
                         pinned = self._row_cache.pin(
                             cache_key, data, offsets, lengths, fetcher=fetcher
                         )
@@ -2654,6 +2699,23 @@ class _Merger:
                 by_partition.setdefault(blk.partition_id, []).append(
                     _SourceBlock(mf.pointer, mf.metadata, blk)
                 )
+
+        if not by_partition:
+            # Every source block expired: publish a deletes-only metadata
+            # update — a zero-block output file could never be grouped for
+            # a later merge (no row-group pair, no expired block) and would
+            # haunt query planning forever, one per full-expiry merge.
+            logger.info(
+                "merge: all %d block(s) expired; deleting %d file(s)",
+                expired, len(group),
+            )
+            engine.meta_store.update(
+                [], [DeleteOperation(mf.pointer) for mf in group]
+            )
+            for mf in group:
+                engine._tombstone_or_defer(mf.pointer)
+            stats.files_processed += len(group)
+            return
 
         # File-level filters: OR-merge the sources (identical params by
         # grouping) — exact when every source block survives. When expiry
@@ -3002,6 +3064,11 @@ class _IngestState:
                 partitioned.setdefault(config.partition_func(row), []).append(row)
         else:
             partitioned[""] = list(rows)
+        if not rows:
+            # ingest_rows([]) must not create an empty partition buffer (it
+            # would later flush as a junk 0-row block) nor start the time-
+            # flush clock.
+            return
 
         if self.buffer_start_time is None:
             self.buffer_start_time = time.monotonic()
@@ -3138,6 +3205,8 @@ class _IngestState:
     ) -> None:
         """Pre-serialized fast lane: no dict round-trip, explicit partition."""
         config = self.config
+        if not serialized:
+            return  # no empty buffer / junk 0-row block (see _ingest_rows)
         if self.buffer_start_time is None:
             self.buffer_start_time = time.monotonic()
         buf = self.partition_buffers.get(partition_id)

@@ -264,8 +264,10 @@ class TestTTLExpiry:
             merger._now_ms = lambda: first_created + 10 * 3600 * 1000
             stats = merger.merge()
             files = store.get_maybe_files_for_query(None)
-            total_blocks = sum(len(f.metadata.data_blocks) for f in files)
-            assert total_blocks == 0
+            # Full expiry publishes a deletes-only update: NO zero-block
+            # file may remain (it could never merge again and would haunt
+            # query planning forever).
+            assert files == [], files
             assert engine.query_sync(None, timeout=TIMEOUT) == []
         finally:
             engine.stop(timeout=TIMEOUT)
@@ -292,9 +294,56 @@ class TestTTLExpiry:
             engine.stop(timeout=TIMEOUT)
 
 
+class TestEngineRobustness:
+    def test_empty_ingest_creates_no_buffer_or_block(self, tmp_path):
+        engine, store = make_engine(tmp_path)
+        try:
+            engine.ingest_rows([], timeout=TIMEOUT)
+            engine.ingest_serialized([], timeout=TIMEOUT)
+            ingest_flush(engine, [{"n": 1}])
+            files = store.get_maybe_files_for_query(None)
+            blocks = [b for f in files for b in f.metadata.data_blocks]
+            assert len(blocks) == 1 and all(b.rows > 0 for b in blocks)
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_query_completes_with_sentinel_when_pool_rejects(self, tmp_path):
+        """An exception AFTER query planning (e.g. the block pool shut down
+        by a racing stop()) must surface on the error queue AND still post
+        the None completion sentinel — not leave callers blocked forever."""
+        import queue as _queue
+
+        engine, _ = make_engine(tmp_path)
+        try:
+            ingest_flush(engine, [{"n": 1, "tag": "zz"}])
+
+            def boom(*a, **k):
+                raise RuntimeError("cannot schedule new futures after shutdown")
+
+            engine._block_pool.submit = boom
+            rq: _queue.Queue = _queue.Queue()
+            eq: _queue.Queue = _queue.Queue()
+            engine.query(bs.new_query().token("zz").build(), rq, eq)
+            assert rq.get(timeout=TIMEOUT) is None  # sentinel arrives
+            err = eq.get_nowait()
+            assert isinstance(err, RuntimeError)
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+
 class TestConditionedTTL:
     """README.md:285: expiry 'based on partition ID, minmax indexes, or row
     group age' — the conditioned half, via prefilter_expiry predicates."""
+
+    def test_empty_and_expires_nothing(self):
+        """Logic says empty AND is vacuously true, but expiry must only
+        under-approximate: a dynamically assembled (accidentally empty)
+        condition list must not expire the whole store."""
+        from bloomsearch_tpu.file_format import DataBlockMetadata
+
+        blk = DataBlockMetadata(rows=1, partition_id="p")
+        assert bs.prefilter_expiry(bs.prefilter_and())(blk) is False
+        assert bs.prefilter_expiry(bs.prefilter_or())(blk) is False
 
     def test_partition_based_expiry(self, tmp_path):
         pred = bs.prefilter_expiry(bs.partition(bs.partition_equals("cold")))
