@@ -46,13 +46,25 @@ DEFAULT_C_TILE = 16_384
 MAX_UNROLLED_PROBES = 512
 
 
+def pack_bitmap(match: jax.Array) -> jax.Array:
+    """bool[T, C] -> uint32[T, C/32] little-endian bit packing.
+
+    THE bitmap contract shared by every device producer (probe kernels,
+    stream scan, mesh collectives) and the host-side unpack — keep the one
+    copy here."""
+    T, C = match.shape
+    groups = match.reshape(T, C // 32, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
+
+
 def round_up_rows(rows: int) -> int:
     return ((rows + ROW_GROUP - 1) // ROW_GROUP) * ROW_GROUP
 
 
 def _make_kernel(K: int, c_tile: int):
     def kernel(idx_ref, shift_ref, group_ref, out_ref):
-        t = pl.program_id(0)
+        t = pl.program_id(1)
         j = pl.program_id(2)
         p = t * K + j
         sublane = idx_ref[p] % ROW_GROUP
@@ -96,7 +108,15 @@ def probe_bank_pallas_tk(
     if C % c_tile != 0:
         c_tile = C  # C is 128-padded; single tile if not evenly divisible
 
-    grid = (T, C // c_tile, K)  # K innermost: output tile revisited per term
+    # Column tiles OUTERMOST: the output block (0, c) covers all T rows of
+    # one column tile, so every (t, j) visit to it must be CONSECUTIVE —
+    # Mosaic flushes an output buffer when its block index changes and does
+    # not reload it on a later revisit. The previous (T, C//c_tile, K)
+    # order revisited (0, c) once per t with other tiles in between,
+    # leaving T-1 garbage rows per tile whenever C > c_tile (first real
+    # trigger: a 32768-column superbank; single-tile banks were unaffected
+    # because all grid steps then target the one block consecutively).
+    grid = (C // c_tile, T, K)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # row_idx, shift
@@ -105,12 +125,12 @@ def probe_bank_pallas_tk(
             pl.BlockSpec(
                 (ROW_GROUP, c_tile),
                 # Fetch the aligned 8-row group containing probe p's row.
-                lambda t, c, j, idx_ref, shift_ref: (idx_ref[t * K + j] // ROW_GROUP, c),
+                lambda c, t, j, idx_ref, shift_ref: (idx_ref[t * K + j] // ROW_GROUP, c),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (T, c_tile), lambda t, c, j, idx_ref, shift_ref: (0, c), memory_space=pltpu.VMEM
+            (T, c_tile), lambda c, t, j, idx_ref, shift_ref: (0, c), memory_space=pltpu.VMEM
         ),
     )
 
@@ -148,10 +168,7 @@ def probe_and_pack(
         match = probe_bank_pallas_tk(bank2d, row_idx, shift, T, K, interpret=interpret) != 0
     else:
         match = probe_bank_xla(bank2d, row_idx, shift, K)
-    C = match.shape[1]
-    groups = match.reshape(T, C // 32, 32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
+    return pack_bitmap(match)
 
 
 @functools.partial(jax.jit, static_argnames=("T", "K", "use_pallas", "interpret"))
@@ -179,10 +196,7 @@ def probe_reduce_and_pack(
     else:
         match = probe_bank_xla(bank2d, row_idx, shift, K)
     survives = jnp.all(match | ~and_mask[:, None], axis=0)  # bool[C]
-    C = survives.shape[0]
-    groups = survives.reshape(1, C // 32, 32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
+    return pack_bitmap(survives[None, :])
 
 
 @functools.partial(jax.jit, static_argnames=("T", "K", "use_pallas", "interpret"))
@@ -215,11 +229,7 @@ def probe_clauses_pack(
     m = match.astype(jnp.float32)  # [T, C]; counts <= T << 2^24: exact in f32
     clause_false = (clause_mask @ m) < 0.5  # [Cl, C] — true where clause FAILS
     viol = (member_mask @ clause_false.astype(jnp.float32)) > 0.5  # [M, C]
-    survives = ~viol
-    M, C = survives.shape
-    groups = survives.reshape(M, C // 32, 32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
+    return pack_bitmap(~viol)
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
@@ -392,6 +402,12 @@ def byte_scan_pallas_swar(
     N = needles.shape[0]
     RT = _scan_row_tile(P4)
     assert G % RT == 0 and P4 % 128 == 0 and N <= MAX_SCAN_NEEDLES
+    # The pattern-word construction below can only represent needle bytes
+    # 0..MAX_SCAN_WINDOW-1 (jc clips there): a wider needle matrix (e.g.
+    # rowcache.MAX_NEEDLE raised without this constant) would silently
+    # compare bytes past the window against byte MAX_SCAN_WINDOW-1 and
+    # REJECT true matches — a false negative with no failing test.
+    assert needles.shape[1] == MAX_SCAN_WINDOW, needles.shape
     assert N % 8 == 0, "pad the needle axis to 8 (Mosaic sublane tiling)"
     assert 0 < n_real <= N
     assert slots in (1, 2, 4) and P4 % (slots * 32) == 0
@@ -451,7 +467,4 @@ def byte_scan_pallas_swar(
     # bitmap transfer for nothing).
     hit = hit[: n_real * slots]
     logical = hit.reshape(n_real, slots, G).transpose(0, 2, 1).reshape(n_real, G * slots)
-    match = logical != 0  # bool[n_real, G*slots]
-    groups = match.reshape(n_real, (G * slots) // 32, 32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
+    return pack_bitmap(logical != 0)

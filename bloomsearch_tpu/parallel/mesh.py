@@ -24,7 +24,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..bloom.pallas_kernels import probe_bank_pallas_tk, probe_bank_xla, round_up_rows
+from ..bloom.pallas_kernels import (
+    byte_scan_pallas_swar,
+    pack_bitmap,
+    probe_bank_pallas_tk,
+    probe_bank_xla,
+    round_up_rows,
+)
 
 BLOCK_AXIS = "blocks"
 
@@ -106,12 +112,7 @@ def shard_bank(mesh: Mesh, bank2d: np.ndarray) -> jax.Array:
     return jax.device_put(jnp.asarray(bank2d), sharding)
 
 
-def _pack_bitmap(match: jax.Array) -> jax.Array:
-    """bool[T, C] -> uint32[T, C/32] little-endian bit packing."""
-    T, C = match.shape
-    groups = match.reshape(T, C // 32, 32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
+_pack_bitmap = pack_bitmap  # shared bitmap contract (pallas_kernels)
 
 
 @functools.partial(
@@ -351,8 +352,6 @@ def sharded_scan_all_rows(
     duplicated INTO each chunk at pack time, so shard boundaries need no
     halo exchange.
     """
-    from ..bloom.pallas_kernels import byte_scan_pallas_swar
-
     def local_scan(rows_l, needles_l, lens_l):
         return byte_scan_pallas_swar(
             rows_l, needles_l, lens_l,

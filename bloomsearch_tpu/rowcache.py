@@ -204,9 +204,9 @@ def _device_scan_fn(mesh):
         hit = jnp.any(acc, axis=2)  # bool[n_real, G]
         # Pack to bitmap words on-device (32x smaller device->host transfer;
         # G is a multiple of the chunk unit).
-        groups = hit.reshape(n_real, G // 32, 32)
-        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-        return jnp.sum(jnp.where(groups, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
+        from .bloom.pallas_kernels import pack_bitmap
+
+        return pack_bitmap(hit)
 
     @functools.partial(
         jax.jit,

@@ -85,6 +85,40 @@ class TestBackendParity:
         )[:, : bank.shape[2]]
         np.testing.assert_array_equal(expected, actual)
 
+    def test_pallas_multi_tile_grid_matches_host(self):
+        """C > c_tile: the output block (0, c) spans all T rows of a column
+        tile, so the grid must visit it consecutively (column tiles
+        OUTERMOST). The old (T, C//c_tile, K) order revisited each tile
+        once per term with other tiles in between — Mosaic does not reload
+        flushed output blocks, so real-TPU multi-tile launches write
+        garbage rows. Interpret mode can't reproduce the pipelining hazard,
+        but locks the reordered grid's semantics."""
+        import jax.numpy as jnp
+
+        from bloomsearch_tpu.bloom.pallas_kernels import probe_bank_pallas_tk
+
+        rng = np.random.default_rng(7)
+        R, C, T, K = 16, 512, 3, 4
+        bank2d = rng.integers(0, 2**32, size=(R, C), dtype=np.uint32)
+        flat_rows = rng.integers(0, R, size=T * K).astype(np.int32)
+        shifts = rng.integers(0, 32, size=T * K).astype(np.int32)
+        got = (
+            np.asarray(
+                probe_bank_pallas_tk(
+                    jnp.asarray(bank2d), jnp.asarray(flat_rows),
+                    jnp.asarray(shifts), T, K, c_tile=128, interpret=True,
+                )
+            )
+            != 0
+        )
+        want = np.ones((T, C), dtype=bool)
+        for t in range(T):
+            for j in range(K):
+                p = t * K + j
+                bits = (bank2d[flat_rows[p]] >> np.uint32(shifts[p])) & 1
+                want[t] &= bits.astype(bool)
+        np.testing.assert_array_equal(got, want)
+
     def test_pallas_interpret_matches_host(self):
         import jax.numpy as jnp
 
