@@ -907,16 +907,37 @@ class BloomSearchEngine:
             )
             pin_thread.start()
 
+        # Total seconds warmup may spend paused letting queries go first
+        # (shared across the bank-load, probe-compile and scan-compile
+        # loops below — two warm threads draining one budget just means
+        # yielding drains it faster under query load). Generous: warmup is
+        # background work — stretching it under sustained query load is the
+        # right trade, bounded so a saturating stream can't stall it
+        # forever.
+        yield_budget = [120.0]
+
+        # Scan programs compile on their own thread, CONCURRENTLY with the
+        # bank uploads + probe compiles below — the two passes were each
+        # ~100 s through a tunneled chip and share no program shapes (scan
+        # launches coalesce through the rowcache combiner, probes through
+        # the bank combiner; one serial warm stream per combiner keeps
+        # every launch at exactly the shapes queries produce, while the two
+        # streams overlap each other's compile/upload stalls). The pass
+        # needs only first_pins, which exist already.
+        scan_thread = None
+        if self._row_cache is not None and first_pins:
+            scan_thread = threading.Thread(
+                target=self._warmup_scan_programs,
+                args=(first_pins, yield_budget, timeline, t0),
+                name="bloomsearch-warm-scans",
+                daemon=True,
+            )
+            scan_thread.start()
+
         # Block banks: make every group resident (device superbanks or the
         # host cache); remember one (pointer, gi) per (m, k, layout) for the
         # compile pass below.
         compile_reps: dict[tuple, tuple] = {}
-        # Total seconds warmup may spend paused letting queries go first
-        # (shared across the bank-load, probe-compile and scan-compile
-        # loops below). Generous: warmup is background work — stretching it
-        # under sustained query load is the right trade, bounded so a
-        # saturating stream can't stall it forever.
-        yield_budget = [120.0]
         for mf in maybe_files:
             if self._stop_event.is_set():
                 return
@@ -1014,60 +1035,19 @@ class BloomSearchEngine:
         except Exception:
             pass  # best-effort; threads spawn on first use regardless
 
-        # Serving mode: compile the scan programs NOW — the reserve above
-        # fixed the matrix shape, so these are the programs every query
-        # (including ones racing the background pins) will run.
+        # Serving mode: wait for the concurrent scan-program pass (started
+        # before the bank loads — the reserve above fixed the matrix shape,
+        # so those are the programs every query will run).
         if self._row_cache is not None:
-            pinned = first_pins
-            if self._stop_event.is_set():
-                return
-            if pinned:
-                # One dense scan per word bucket: each (matrix shape, word
-                # bucket) pair is its own jit program, and an uncompiled
-                # bucket would otherwise land its multi-second compile on
-                # the first user query with a needle of that length. Then
-                # the SPARSE segment shapes (pow2 segment-count buckets 1
-                # and 4 — needle queries typically touch 1-3 blocks): the
-                # slice program is a separate compile per bucket, and at
-                # reference scale it cost the first needle query ~1.2 s.
-                from .bloom.pallas_kernels import SCAN_WORD_BUCKETS
-
-                for wb in SCAN_WORD_BUCKETS:
-                    self._yield_warmup_device_work(yield_budget)
-                    ln = min(4 * wb - 3, 32)  # longest length in this bucket
-                    needle = (b"\x00warm" + b"\x00" * ln)[:ln]
-                    try:
-                        self._row_cache.scan_many(pinned, [needle])
-                        # Dense n_real buckets 2/4/8 (every pow2 bucket a
-                        # launch can produce): coalesced concurrent bursts
-                        # launch multi-needle unions on the dense program
-                        # (sparse clamps at 4 segments), and each pow2
-                        # needle-count bucket is its own compile.
-                        for nr in (2, 4, 8):
-                            group = [
-                                (b"\x02w%d_%d" % (nr, i) + b"\x00" * ln)[:ln]
-                                for i in range(nr)
-                            ]
-                            self._row_cache.scan_many(pinned, group)
-                        for si, subset in enumerate(
-                            (pinned[:1], pinned[:2], pinned[:3])
-                        ):
-                            if subset and len(pinned) > len(subset):
-                                # DISTINCT needle per subset: the dense scan
-                                # above cached `needle`'s bitmap, and a
-                                # cache hit would skip the launch — leaving
-                                # the sparse program uncompiled for the
-                                # first real needle query.
-                                sub = (b"\x01wrm%d" % si + b"\x00" * ln)[:ln]
-                                self._row_cache.scan_many(subset, [sub])
-                    except Exception:
-                        logger.exception("warmup: scan compile failed")
-                        break
-            timeline["scan_programs_s"] = round(time.monotonic() - t0, 3)
+            if scan_thread is not None:
+                scan_thread.join()
+            timeline.setdefault(
+                "scan_programs_s", round(time.monotonic() - t0, 3)
+            )
             # Time-to-first-warm-query: from here on a query runs compiled
             # programs end to end (its own blocks pin on demand if the
             # background pass hasn't reached them yet).
-            timeline["warm_ready_s"] = timeline["scan_programs_s"]
+            timeline["warm_ready_s"] = round(time.monotonic() - t0, 3)
             if pin_thread is not None:
                 pin_thread.join()
             timeline["pins_s"] = round(time.monotonic() - t0, 3)
@@ -1164,6 +1144,52 @@ class BloomSearchEngine:
             fetcher=self._make_row_fetcher(pointer, blk, compressed),
             yield_to=yield_to,
         )
+
+    def _warmup_scan_programs(
+        self, pinned: list, yield_budget: list, timeline: dict, t0: float
+    ) -> None:
+        """Compile every serving-mode scan program shape (warm thread).
+
+        One dense scan per word bucket: each (matrix shape, word bucket)
+        pair is its own jit program, and an uncompiled bucket would
+        otherwise land its multi-second compile on the first user query
+        with a needle of that length. Then the dense n_real buckets 2/4/8
+        (coalesced concurrent bursts launch multi-needle unions; each pow2
+        needle-count bucket is its own compile), then the SPARSE segment
+        shapes (pow2 segment-count buckets 1 and 4 — needle queries
+        typically touch 1-3 blocks; at reference scale the slice program
+        cost the first needle query ~1.2 s uncompiled). Needles must be
+        DISTINCT per launch: the needle-bitmap cache would skip a repeat's
+        launch, leaving its program uncompiled.
+        """
+        from .bloom.pallas_kernels import SCAN_WORD_BUCKETS
+
+        try:
+            for wb in SCAN_WORD_BUCKETS:
+                if self._stop_event.is_set():
+                    return
+                self._yield_warmup_device_work(yield_budget)
+                ln = min(4 * wb - 3, 32)  # longest length in this bucket
+                needle = (b"\x00warm" + b"\x00" * ln)[:ln]
+                try:
+                    self._row_cache.scan_many(pinned, [needle])
+                    for nr in (2, 4, 8):
+                        group = [
+                            (b"\x02w%d_%d" % (nr, i) + b"\x00" * ln)[:ln]
+                            for i in range(nr)
+                        ]
+                        self._row_cache.scan_many(pinned, group)
+                    for si, subset in enumerate(
+                        (pinned[:1], pinned[:2], pinned[:3])
+                    ):
+                        if subset and len(pinned) > len(subset):
+                            sub = (b"\x01wrm%d" % si + b"\x00" * ln)[:ln]
+                            self._row_cache.scan_many(subset, [sub])
+                except Exception:
+                    logger.exception("warmup: scan compile failed")
+                    break
+        finally:
+            timeline["scan_programs_s"] = round(time.monotonic() - t0, 3)
 
     def _yield_warmup_device_work(self, budget: list) -> None:
         """Pause a warmup device-work loop while queries are in flight.
