@@ -534,7 +534,51 @@ def e2e_query_bench(target_mb: int = 48) -> dict:
     }
 
 
+def _ensure_usable_backend() -> None:
+    """Fall back to CPU when the attached accelerator is unusable.
+
+    A broken remote-TPU tunnel has two observed failure modes: backend
+    init raising UNAVAILABLE after a ~10 min stall, and backend init
+    hanging indefinitely. The bench must ALWAYS print its JSON line, so
+    probe init on a side thread with a deadline and re-exec this process
+    pinned to CPU if the accelerator never comes up (execve replaces the
+    image, taking any thread still hung inside backend init with it).
+    """
+    import os
+
+    if os.environ.get("BLOOMSEARCH_BENCH_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return
+    import threading
+
+    ok: list = []
+
+    def probe():
+        try:
+            import jax
+
+            jax.devices()
+            ok.append(True)
+        except Exception:
+            log("accelerator init failed:")
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            ok.append(False)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout=float(os.environ.get("BLOOMSEARCH_BENCH_BACKEND_TIMEOUT", "900")))
+    if not ok or not ok[0]:
+        log("accelerator unusable (init hung or failed); re-exec pinned to CPU")
+        env = dict(os.environ, BLOOMSEARCH_BENCH_FORCE_CPU="1")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
 def main() -> None:
+    _ensure_usable_backend()
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -676,20 +720,32 @@ def main() -> None:
         log(f"e2e bench failed: {exc!r}")
         extra["e2e_error"] = repr(exc)
     gc.collect()  # drop the previous phase's device buffers before the next
-    log_device_mem("before refscale")
-    try:
-        extra.update(refscale_bench())
-    except Exception as exc:
-        log(f"refscale bench failed: {exc!r}")
-        extra["refscale_error"] = repr(exc)
-    gc.collect()
-    log_device_mem("before xlscale")
-    try:
-        extra.update(xlscale_bench())
-    except Exception as exc:
-        log(f"xlscale bench failed: {exc!r}")
-        extra["xlscale_error"] = repr(exc)
-    log_device_mem("after xlscale")
+    import os as _env_os
+
+    if _env_os.environ.get("BLOOMSEARCH_BENCH_FORCE_CPU"):
+        # Degraded fallback (accelerator init hung/failed): the GB-scale
+        # serving phases would run for hours on one CPU core — keep the
+        # kernel + small-e2e numbers and mark the skip so the record is
+        # legible.
+        log("skipping refscale/xlscale phases (CPU fallback)")
+        extra["refscale_skipped"] = extra["xlscale_skipped"] = (
+            "accelerator unavailable; CPU fallback"
+        )
+    else:
+        log_device_mem("before refscale")
+        try:
+            extra.update(refscale_bench())
+        except Exception as exc:
+            log(f"refscale bench failed: {exc!r}")
+            extra["refscale_error"] = repr(exc)
+        gc.collect()
+        log_device_mem("before xlscale")
+        try:
+            extra.update(xlscale_bench())
+        except Exception as exc:
+            log(f"xlscale bench failed: {exc!r}")
+            extra["xlscale_error"] = repr(exc)
+        log_device_mem("after xlscale")
     # Multicore hosts: block-pipeline scaling (skipped at nproc=1 — nothing
     # to measure; the cpu-gated test asserts >= 0.7x linear where cores exist).
     import os as _os

@@ -133,11 +133,13 @@ def cmd_generate(args) -> None:
     finally:
         engine.stop(timeout=300)
     elapsed = time.perf_counter() - t0
+    # stderr: bench.py imports this and owns stdout (ONE JSON line).
     print(
         f"generated {rows_written} rows / {written / 1e6:.0f} MB "
         f"({needles_planted} needles) in {elapsed:.1f}s "
         f"({format_rate(rows_written / elapsed)} rows/s, "
-        f"{format_bytes_per_second(written / elapsed)})"
+        f"{format_bytes_per_second(written / elapsed)})",
+        file=sys.stderr,
     )
 
 
@@ -457,13 +459,15 @@ def _run_one_query(engine, store, label: str, built_query) -> dict:
         "block_busy_ms": busy * 1e3,
         "block_max_ms": max((s.duration for s in processed), default=0.0) * 1e3,
     }
+    # stderr: bench.py imports this and owns stdout (ONE JSON line).
     print(
         f"{label:>14}: {out['wall_ms']:.0f} ms | {out['results']} results | "
         f"{format_rate(out['rows_per_sec'])} rows/s | "
         f"{format_bytes_per_second(out['bytes_per_sec'])} | "
         f"blocks {out['blocks_processed']} scanned / {skipped} bloom-skipped "
         f"(busy {out['block_busy_ms']:.0f} ms, max {out['block_max_ms']:.0f}) | "
-        f"selectivity {out['selectivity_pct']:.4f}%"
+        f"selectivity {out['selectivity_pct']:.4f}%",
+        file=sys.stderr,
     )
     return out
 
