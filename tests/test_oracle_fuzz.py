@@ -141,23 +141,64 @@ def _check(engine, all_rows, q, label):
         assert got == expected, f"{label}: engine {got} != oracle {expected}\nquery={q}"
 
 
-@pytest.mark.parametrize(
-    "seed,store_kind,backend",
-    [
-        (7, "fs", "host"),
-        (23, "fs", "host"),
-        (99, "fs", "host"),
-        (7, "object", "host"),
-        (42, "object", "host"),
-        # Sharded device probe path (8-device CPU mesh) + fused flat-AND +
-        # cross-query batching must ALSO be oracle-exact.
-        (13, "fs", "device"),
-        (57, "object", "device"),
-        # Serving mode: mesh-sharded row cache + batched planner scans.
-        (31, "fs", "serving"),
-    ],
-)
-def test_engine_matches_oracle(tmp_path, seed, store_kind, backend):
+def _weird_json(rng: random.Random, value) -> str:
+    """Serialize to VALID but non-canonical JSON text.
+
+    Exercises the verbatim-bytes soundness rules: \\uXXXX escapes of
+    printable ASCII, escaped solidus, and legal-but-different number
+    spellings ("1e2" for 100) — exactly the spellings whose bytes need
+    not contain their tokens (scan.py rows_canonical / _numeric_unsafe).
+    The oracle parses these same bytes, so engine-vs-oracle equality
+    still means zero false negatives AND zero false positives.
+    """
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, int):
+        pick = rng.random()
+        if pick < 0.25:
+            return f"{value}e0"  # parses as float(value)
+        if pick < 0.5:
+            return f"{value}.0"
+        return str(value)
+    if isinstance(value, float):
+        # random_row floats are finite; repr/exponent forms are valid JSON.
+        if rng.random() < 0.4:
+            return f"{value:.6e}"
+        return repr(value)
+    if isinstance(value, str):
+        out = ['"']
+        for ch in value:
+            o = ord(ch)
+            if ch in '"\\':
+                out.append("\\" + ch)
+            elif o < 0x20:
+                out.append(f"\\u{o:04x}")
+            elif ch == "/" and rng.random() < 0.5:
+                out.append("\\/")
+            elif o < 128 and ch.isalpha() and rng.random() < 0.15:
+                out.append(f"\\u{o:04x}")
+            elif o >= 128:
+                out.append(json.dumps(ch)[1:-1])  # \uXXXX (+ surrogate pairs)
+            else:
+                out.append(ch)
+        out.append('"')
+        return "".join(out)
+    if isinstance(value, dict):
+        return (
+            "{"
+            + ",".join(
+                f"{_weird_json(rng, k)}:{_weird_json(rng, v)}"
+                for k, v in value.items()
+            )
+            + "}"
+        )
+    if isinstance(value, list):
+        return "[" + ",".join(_weird_json(rng, v) for v in value) + "]"
+    raise TypeError(f"unserializable fuzz value: {value!r}")
+
+
+def run_fuzz(tmp_path, seed, store_kind, backend, serialized_frac=0.0):
+    """One randomized engine-vs-oracle episode (shared by tests + soak)."""
     rng = random.Random(seed)
     if store_kind == "fs":
         store = bs.FileSystemDataStore(str(tmp_path / "data"))
@@ -191,8 +232,25 @@ def test_engine_matches_oracle(tmp_path, seed, store_kind, backend):
             if op < 0.5 or not all_rows:
                 batch = [random_row(rng, next_id + j) for j in range(rng.randrange(5, 40))]
                 next_id += len(batch)
-                all_rows.extend(batch)
-                engine.ingest_rows(batch, timeout=TIMEOUT)
+                if rng.random() < serialized_frac:
+                    # Verbatim fast lane: one explicit partition per batch
+                    # (partition_func configured => partition_id required),
+                    # rows serialized with non-canonical spellings. The
+                    # oracle sees the PARSED bytes — what the engine must
+                    # return.
+                    part = f"{rng.randrange(3)}"
+                    for r in batch:
+                        r["part"] = part
+                    payload = [
+                        _weird_json(rng, r).encode("utf-8") for r in batch
+                    ]
+                    all_rows.extend(json.loads(b) for b in payload)
+                    engine.ingest_serialized(
+                        payload, timeout=TIMEOUT, partition_id=part
+                    )
+                else:
+                    all_rows.extend(batch)
+                    engine.ingest_rows(batch, timeout=TIMEOUT)
                 engine.flush(timeout=TIMEOUT)
             elif op < 0.65:
                 engine.merge()
@@ -206,3 +264,39 @@ def test_engine_matches_oracle(tmp_path, seed, store_kind, backend):
             _check(engine, all_rows, q, f"seed={seed} final")
     finally:
         engine.stop(timeout=TIMEOUT)
+
+
+@pytest.mark.parametrize(
+    "seed,store_kind,backend",
+    [
+        (7, "fs", "host"),
+        (23, "fs", "host"),
+        (99, "fs", "host"),
+        (7, "object", "host"),
+        (42, "object", "host"),
+        # Sharded device probe path (8-device CPU mesh) + fused flat-AND +
+        # cross-query batching must ALSO be oracle-exact.
+        (13, "fs", "device"),
+        (57, "object", "device"),
+        # Serving mode: mesh-sharded row cache + batched planner scans.
+        (31, "fs", "serving"),
+    ],
+)
+def test_engine_matches_oracle(tmp_path, seed, store_kind, backend):
+    run_fuzz(tmp_path, seed, store_kind, backend)
+
+
+@pytest.mark.parametrize(
+    "seed,store_kind,backend",
+    [
+        # Mixed verbatim fast-lane ingest with non-canonical spellings:
+        # stresses rows_canonical gating (numeric needles must not prune
+        # verbatim blocks), byte-level minmax extraction, and the
+        # always-candidate escape rules across probe backends.
+        (311, "fs", "host"),
+        (313, "fs", "device"),
+        (317, "fs", "serving"),
+    ],
+)
+def test_engine_matches_oracle_serialized_mix(tmp_path, seed, store_kind, backend):
+    run_fuzz(tmp_path, seed, store_kind, backend, serialized_frac=0.6)
