@@ -185,6 +185,43 @@ class TestIncrementalWarmup:
         finally:
             engine.stop(timeout=TIMEOUT)
 
+    def test_stop_during_warmup_is_prompt_and_clean(self, tmp_path):
+        """stop() racing an in-flight warmup (pin thread + concurrent scan
+        thread + probe pass) must complete promptly and leave the store
+        reusable by a fresh engine."""
+        import time as _time
+
+        store = self._serving_store(tmp_path)
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(
+                probe_backend="device", row_cache_bytes=256 << 20
+            ),
+            store,
+            store,
+        )
+        engine.start()
+        engine.warmup(block=False)
+        t0 = _time.monotonic()
+        engine.stop(timeout=TIMEOUT)
+        assert _time.monotonic() - t0 < TIMEOUT
+        # The store must be intact for the next engine.
+        engine2 = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(
+                probe_backend="device", row_cache_bytes=256 << 20
+            ),
+            store,
+            store,
+        )
+        engine2.start()
+        try:
+            engine2.warmup(block=True, timeout=120)
+            res = engine2.query_sync(
+                bs.new_query().token("blk2tok").build(), timeout=60
+            )
+            assert len(res) == 300
+        finally:
+            engine2.stop(timeout=TIMEOUT)
+
     def test_beyond_budget_serving_evicts_in_place(self, tmp_path):
         """Dataset larger than row_cache_bytes: pins stop at the reservation,
         queries pin on demand with LRU evict-in-place, the matrix shape never
