@@ -25,6 +25,7 @@ the JSON line.
 """
 
 import json
+import os
 import statistics
 import sys
 import tempfile
@@ -150,7 +151,6 @@ def refscale_bench() -> dict:
     own methodology: candidate rows (the full dataset at this selectivity)
     divided by needle-query wall time.
     """
-    import os
     import shutil
 
     import bloomsearch_tpu as bs
@@ -322,7 +322,6 @@ def xlscale_bench() -> dict:
     reference's architecture is scale-indifferent (its 100 GB harness runs
     the same per-row scan), so >= 1.0 here is the scale-holding claim.
     """
-    import os
     import shutil
 
     import bloomsearch_tpu as bs
@@ -509,7 +508,6 @@ def e2e_query_bench(target_mb: int = 48) -> dict:
     answer is pinning rows in HBM — the SWAR scan-all path measured 82 vs
     133 ms p50 against the host scan on this dataset (round 3).
     """
-    import os
 
     parity = _e2e_variant(target_mb, block_items=None, row_cache_bytes=2 << 30)
     honest = _e2e_variant(target_mb, block_items=131_072)
@@ -544,7 +542,6 @@ def _ensure_usable_backend() -> None:
     pinned to CPU if the accelerator never comes up (execve replaces the
     image, taking any thread still hung inside backend init with it).
     """
-    import os
 
     if os.environ.get("BLOOMSEARCH_BENCH_FORCE_CPU"):
         import jax
@@ -720,9 +717,7 @@ def main() -> None:
         log(f"e2e bench failed: {exc!r}")
         extra["e2e_error"] = repr(exc)
     gc.collect()  # drop the previous phase's device buffers before the next
-    import os as _env_os
-
-    if _env_os.environ.get("BLOOMSEARCH_BENCH_FORCE_CPU"):
+    if os.environ.get("BLOOMSEARCH_BENCH_FORCE_CPU"):
         # Degraded fallback (accelerator init hung/failed): the GB-scale
         # serving phases would run for hours on one CPU core — keep the
         # kernel + small-e2e numbers and mark the skip so the record is
@@ -748,9 +743,7 @@ def main() -> None:
         log_device_mem("after xlscale")
     # Multicore hosts: block-pipeline scaling (skipped at nproc=1 — nothing
     # to measure; the cpu-gated test asserts >= 0.7x linear where cores exist).
-    import os as _os
-
-    if (_os.cpu_count() or 1) > 1:
+    if (os.cpu_count() or 1) > 1:
         try:
             from bloomsearch_tpu.perf import measure_block_pipeline_scaling
 

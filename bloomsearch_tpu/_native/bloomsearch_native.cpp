@@ -996,7 +996,13 @@ struct Parser {
   const uint8_t* end;
   bool fallback;  // row needs the Python path
   bool error;
-  bool done;  // sink satisfied: stop parsing early
+  // Sink-requested early stop. No current sink sets it (VerifySink must
+  // see every duplicate key; IngestSink indexes the whole row), but the
+  // parse loops honor it. The full-consumption checks below deliberately
+  // IGNORE it: an early-stopped row has unexamined trailing bytes, so it
+  // routes to the Python fallback rather than silently verifying the
+  // consumed prefix (json.loads, the spec, rejects trailing bytes).
+  bool done;
 
   // scratch buffers (reused across rows)
   uint8_t* path;       // current dot path
@@ -1466,7 +1472,7 @@ BS_EXPORT int64_t bs_ingest_tokenize(
     // Full consumption: json.loads (the spec) rejects trailing bytes
     // ('Extra data'), so '{"a":1}{"b":2}' must route to the Python path
     // (which raises) instead of silently indexing the first object only.
-    if (!parser.error && !parser.fallback && !parser.done) {
+    if (!parser.error && !parser.fallback) {
       const uint8_t* q = parser.p;
       while (q < parser.end &&
              (*q == ' ' || *q == '\t' || *q == '\n' || *q == '\r')) q++;
@@ -1564,11 +1570,12 @@ BS_EXPORT int64_t bs_verify_rows(
       continue;
     }
     parser.parse_value();
-    // Full consumption (skip when the sink early-stopped with every
-    // condition resolved): trailing bytes mean json.loads — the semantic
+    // Full consumption: trailing bytes mean json.loads — the semantic
     // spec — would raise, so the Python path must decide, not a silent
-    // first-object verification.
-    if (!parser.error && !parser.fallback && !parser.done) {
+    // first-object verification. Runs UNCONDITIONALLY: sinks never stop
+    // the parse early (VerifySink must see every duplicate key), so there
+    // is no legitimate partially-consumed success.
+    if (!parser.error && !parser.fallback) {
       const uint8_t* q = parser.p;
       while (q < parser.end &&
              (*q == ' ' || *q == '\t' || *q == '\n' || *q == '\r')) q++;

@@ -162,6 +162,28 @@ class _ChurnBudget:
             self.t = now
 
 
+class _YieldBudget:
+    """Thread-safe total-seconds allowance for warmup's yield-to-queries
+    pauses — shared by the main warm thread and the concurrent scan-compile
+    thread, so a saturating query stream stretches warmup by at most this
+    many seconds TOTAL (an unlocked `budget[0] -= dt` let two threads lose
+    each other's decrements and overshoot the cap)."""
+
+    __slots__ = ("remaining", "_lock")
+
+    def __init__(self, seconds: float):
+        self.remaining = seconds
+        self._lock = threading.Lock()
+
+    def consume(self, dt: float) -> bool:
+        """Spend ``dt`` seconds; False once the allowance is exhausted."""
+        with self._lock:
+            if self.remaining <= 0:
+                return False
+            self.remaining -= dt
+            return True
+
+
 def _default_compression() -> str:
     from .compression import COMPRESSION_SNAPPY, compression_available
 
@@ -914,7 +936,7 @@ class BloomSearchEngine:
         # background work — stretching it under sustained query load is the
         # right trade, bounded so a saturating stream can't stall it
         # forever.
-        yield_budget = [120.0]
+        yield_budget = _YieldBudget(120.0)
 
         # Scan programs compile on their own thread, CONCURRENTLY with the
         # bank uploads + probe compiles below — the two passes were each
@@ -1073,7 +1095,7 @@ class BloomSearchEngine:
         # pack burn the CPU the query path's host scans need (decisive on
         # few-core hosts — a query host-scanning cold blocks mid-warmup ran
         # 2-10x slower while the pin pass decoded on the same core).
-        host_yield = [120.0]
+        host_yield = _YieldBudget(120.0)
         for mf in maybe_files:
             for blk in mf.metadata.data_blocks:
                 if self._stop_event.is_set():
@@ -1146,7 +1168,7 @@ class BloomSearchEngine:
         )
 
     def _warmup_scan_programs(
-        self, pinned: list, yield_budget: list, timeline: dict, t0: float
+        self, pinned: list, yield_budget: "_YieldBudget", timeline: dict, t0: float
     ) -> None:
         """Compile every serving-mode scan program shape (warm thread).
 
@@ -1191,22 +1213,20 @@ class BloomSearchEngine:
         finally:
             timeline["scan_programs_s"] = round(time.monotonic() - t0, 3)
 
-    def _yield_warmup_device_work(self, budget: list) -> None:
+    def _yield_warmup_device_work(self, budget: "_YieldBudget") -> None:
         """Pause a warmup device-work loop while queries are in flight.
 
         Warmup's bank uploads and probe compile executions share the single
         device stream with query launches; without this gate a query
         arriving mid-warmup waited 10-40 s behind them. ``budget`` is a
-        1-element mutable total-seconds allowance shared across the whole
-        warmup so a saturating query stream can only stretch warmup by a
-        bounded amount."""
-        while (
-            budget[0] > 0
-            and self._active_query_ids
-            and not self._stop_event.is_set()
-        ):
+        total-seconds allowance shared across the whole warmup (INCLUDING
+        the concurrent scan-compile thread — consumption is locked so two
+        threads can't both spend the same tail) so a saturating query
+        stream can only stretch warmup by a bounded amount."""
+        while self._active_query_ids and not self._stop_event.is_set():
+            if not budget.consume(0.005):
+                return
             time.sleep(0.005)
-            budget[0] -= 0.005
 
     def _pins_should_yield(self) -> bool:
         """Gate for background/warmup pin device work: truthy while queries
@@ -1247,7 +1267,9 @@ class BloomSearchEngine:
         copy + row fetcher): in the beyond-HBM steady state most refills
         are denied, and a denied pin must cost the query's critical path
         nothing. On True the key is registered in _bg_pins — the caller
-        MUST follow with _submit_background_pin(..., admitted=True)."""
+        MUST reach _submit_background_pin(key, ...) or discard the key
+        itself (payload prep failing in between would otherwise leak the
+        registration and permanently block pins for this key)."""
         with self._bg_pin_lock:
             if key in self._bg_pins or len(self._bg_pins) >= 8:
                 return False  # dropped = stays a miss; a later query retries
@@ -1260,12 +1282,12 @@ class BloomSearchEngine:
             return False  # stream full and churn budget spent: stays a host hit
         return True
 
-    def _submit_background_pin(
-        self, key, data, offsets, lengths, fetcher, admitted: bool = False
-    ) -> None:
-        """Queue a cache-warm pin; bounded, deduplicated, best-effort."""
-        if not admitted and not self._admit_background_pin(key, len(data)):
-            return
+    def _submit_background_pin(self, key, data, offsets, lengths, fetcher) -> None:
+        """Queue a pre-admitted cache-warm pin; bounded, best-effort.
+
+        The caller holds ``key``'s _bg_pins registration from
+        _admit_background_pin; every exit below (pin done, pin failed,
+        pool shut down) releases it."""
 
         def work():
             try:
@@ -2440,13 +2462,23 @@ class BloomSearchEngine:
                         # multi-MB bytes copy or the fetcher build.
                         nbytes = data.nbytes if not isinstance(data, bytes) else len(data)
                         if self._admit_background_pin(cache_key, nbytes):
-                            pin_data = data if isinstance(data, bytes) else bytes(data)
-                            fetcher = self._make_row_fetcher(
-                                job.file_pointer, job.block, compressed
-                            )
+                            try:
+                                pin_data = (
+                                    data if isinstance(data, bytes) else bytes(data)
+                                )
+                                fetcher = self._make_row_fetcher(
+                                    job.file_pointer, job.block, compressed
+                                )
+                            except BaseException:
+                                # Payload prep failed: release the admission
+                                # registration or this block (and, after 8
+                                # leaks, ALL blocks) can never background-pin
+                                # again.
+                                with self._bg_pin_lock:
+                                    self._bg_pins.discard(cache_key)
+                                raise
                             self._submit_background_pin(
-                                cache_key, pin_data, offsets, lengths, fetcher,
-                                admitted=True,
+                                cache_key, pin_data, offsets, lengths, fetcher
                             )
                     else:
                         if not isinstance(data, bytes):
@@ -3083,18 +3115,21 @@ class _IngestState:
 
     def _ingest_rows(self, rows: list[dict]) -> None:
         config = self.config
+        # Normalize FIRST: an iterator input would read truthy even when
+        # empty (and be consumed by the partition loop before a tail
+        # check), re-creating the junk 0-row-block bug the guard exists to
+        # prevent. ingest_rows([]) must not create an empty partition
+        # buffer nor start the time-flush clock.
+        rows = list(rows)
+        if not rows:
+            return
         # Group rows by partition (reference :500-509).
         partitioned: dict[str, list[dict]] = {}
         if config.partition_func is not None:
             for row in rows:
                 partitioned.setdefault(config.partition_func(row), []).append(row)
         else:
-            partitioned[""] = list(rows)
-        if not rows:
-            # ingest_rows([]) must not create an empty partition buffer (it
-            # would later flush as a junk 0-row block) nor start the time-
-            # flush clock.
-            return
+            partitioned[""] = rows
 
         if self.buffer_start_time is None:
             self.buffer_start_time = time.monotonic()
@@ -3231,6 +3266,7 @@ class _IngestState:
     ) -> None:
         """Pre-serialized fast lane: no dict round-trip, explicit partition."""
         config = self.config
+        serialized = list(serialized)  # iterator inputs read truthy when empty
         if not serialized:
             return  # no empty buffer / junk 0-row block (see _ingest_rows)
         if self.buffer_start_time is None:
