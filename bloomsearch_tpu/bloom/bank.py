@@ -527,9 +527,18 @@ class DeviceProbeBackend:
         # Live fits but dead columns still hold REAL device memory past the
         # budget (maybe_compact's dead*2 >= used threshold hasn't tripped):
         # force the reclaim now rather than serving over-budget until it
-        # does.
+        # does. Largest reclaim first, re-testing the budget between banks —
+        # each forced compaction is a full-bank device gather under this
+        # lock, and compacting EVERY dead-holding bank when one would do
+        # stalls concurrent queries behind N copies instead of one.
         if self.total_bytes() > self.cache_bytes:
-            for sb in self._superbanks.values():
+            for sb in sorted(
+                self._superbanks.values(),
+                key=lambda s: s.dead * s.num_rows,
+                reverse=True,
+            ):
+                if self.total_bytes() <= self.cache_bytes:
+                    break
                 if sb.dead > 0:
                     sb.maybe_compact(force=True)
 

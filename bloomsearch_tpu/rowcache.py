@@ -116,6 +116,23 @@ def _round_up_pow2(n: int) -> int:
     return p
 
 
+def _unpack_bit_range(raw_u8: np.ndarray, start: int, n: int) -> np.ndarray:
+    """bool[n] slice [start, start+n) of a little-endian packed bitmap.
+
+    Unpacks ONLY the covering bytes: a needle query touches a few blocks'
+    chunk spans, while the packed bitmap covers full residency (~18M bits
+    at xlscale) — unpacking it whole cost milliseconds of host CPU per
+    needle per launch on the warm-query critical path, worst for cached
+    needles re-unpacked every query."""
+    if n <= 0:
+        return np.zeros(0, dtype=bool)
+    b0 = start >> 3
+    b1 = (start + n + 7) >> 3
+    bits = np.unpackbits(raw_u8[b0:b1], bitorder="little")
+    lo = start - (b0 << 3)
+    return bits[lo : lo + n].astype(bool)
+
+
 def _pack_stream_numpy(
     data: bytes, row_offsets: np.ndarray, row_lengths: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -562,7 +579,14 @@ class DeviceRowCache:
         pin()/reserve() raise, in-flight background pins fail and are
         swallowed by their callers' warmup error handling.
         """
-        with self._mutation_lock():
+        # launch_lock AFTER _mutation_lock, BEFORE _lock — the same order a
+        # scan leader uses (launch_lock -> _lock), and no leader takes
+        # _mutation_lock. Holding it here means no scan launch is mid-flight
+        # when the matrix is deleted: a leader that snapshotted the matrix
+        # earlier has finished, and later leaders see matrix None and
+        # resolve via the vanished contract instead of crashing every
+        # coalesced query on a deleted Array.
+        with self._mutation_lock(), self._bucket.launch_lock:
             with self._lock:
                 self._closed = True
                 bucket = self._bucket
@@ -766,6 +790,13 @@ class DeviceRowCache:
         # A query-path sync pin (yield_to None) is a foreground waiter: it
         # advertises itself so a background holder's yield points hurry.
         with self._mutation_lock(foreground=yield_to is None):
+            # Restart the yield allowance now that the lock is HELD: waiting
+            # behind another pin's multi-second piecewise upload (or the
+            # pre-lock yield above) must not consume it, or this pin's own
+            # h2d pieces and compaction gather run yield-exhausted and queue
+            # multi-MB device work ahead of in-flight queries — the exact
+            # mid-warmup latency spike the yield points exist to prevent.
+            deadline = time.monotonic() + _PIN_YIELD_MAX_S
             with self._lock:
                 if self._closed:
                     raise RuntimeError("row cache released")
@@ -1221,14 +1252,17 @@ class DeviceRowCache:
                         while len(bucket.needle_cache) > max(max_entries, 1):
                             bucket.needle_cache.pop(next(iter(bucket.needle_cache)))
 
-        bits: dict[bytes, tuple[bool, np.ndarray]] = {}  # needle -> (full?, bits)
+        # needle -> (full-residency coordinates?, PACKED bytes). Waiters
+        # unpack only their blocks' bit ranges (_unpack_bit_range) — never
+        # the full bitmap.
+        bits: dict[bytes, tuple[bool, np.ndarray]] = {}
         for nd in union:
             full = nd in cached
             raw = cached[nd] if full else fresh[nd]
-            arr = np.unpackbits(
-                np.ascontiguousarray(raw).view(np.uint8), bitorder="little"
-            )[: phys_cap if full else logical_chunks].astype(bool)
-            bits[nd] = (full or not sparse, arr)
+            bits[nd] = (
+                full or not sparse,
+                np.ascontiguousarray(raw).view(np.uint8),
+            )
         for r in batch:
             hits: dict[tuple, Optional[dict]] = {}
             for key, seg in zip(r.keys, r.segments):
@@ -1238,13 +1272,13 @@ class DeviceRowCache:
                 start, n = seg
                 per_needle = {}
                 for needle in r.needles:
-                    full, arr = bits[needle]
-                    if full or n == 0:
-                        per_needle[needle] = arr[start : start + n]
+                    full_coords, raw_u8 = bits[needle]
+                    if full_coords or n == 0:
+                        per_needle[needle] = _unpack_bit_range(raw_u8, start, n)
                     else:
                         p, off = part_off[(start, n)]
                         base = p * seg_chunks + off
-                        per_needle[needle] = arr[base : base + n]
+                        per_needle[needle] = _unpack_bit_range(raw_u8, base, n)
                 hits[key] = per_needle
             r.hits = hits
             r.done.set()

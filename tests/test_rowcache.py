@@ -1027,3 +1027,21 @@ class TestMeshShardedRowCache:
         _, offs, lens = split_rows_arrays(data)
         pinned = cache.pin((b"f", 0), data, offs, lens)
         assert cache.scan(pinned, [b"needle"])[0, 0]
+
+
+class TestUnpackBitRange:
+    def test_matches_full_unpack_at_random_offsets(self):
+        import numpy as np
+
+        from bloomsearch_tpu.rowcache import _unpack_bit_range
+
+        rng = np.random.default_rng(11)
+        raw = rng.integers(0, 256, size=4096, dtype=np.uint8)
+        full = np.unpackbits(raw, bitorder="little").astype(bool)
+        for _ in range(200):
+            start = int(rng.integers(0, raw.size * 8 - 1))
+            n = int(rng.integers(0, min(2048, raw.size * 8 - start)))
+            np.testing.assert_array_equal(
+                _unpack_bit_range(raw, start, n), full[start : start + n]
+            )
+        assert _unpack_bit_range(raw, 17, 0).shape == (0,)
