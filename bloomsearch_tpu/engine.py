@@ -1770,7 +1770,12 @@ class BloomSearchEngine:
             logger.info("merge lease held elsewhere; skipping")
             return MergeStats()
         with lease:
-            return _Merger(self).merge()
+            # The lease is a PUBLISH guard, not just an entry gate: a merge
+            # outrunning the TTL may be legitimately stolen mid-run, and
+            # publishing afterwards would make two mergers' outputs (same
+            # source rows) visible — permanent duplicates. _Merger renews
+            # before each group's publish and aborts when the lease is lost.
+            return _Merger(self, lease=lease).merge()
 
     # ------------------------------------------------------------------
     # Query execution (reference Query :934-1204)
@@ -1831,22 +1836,9 @@ class BloomSearchEngine:
         self, q: Optional[Query], timeout: Optional[float] = None
     ) -> list[dict]:
         """Convenience: run a query and collect all results; raises on error."""
-        result_queue: queue.Queue = queue.Queue()
-        error_queue: queue.Queue = queue.Queue()
-        self.query(q, result_queue, error_queue)
-        rows = []
-        deadline = None if timeout is None else time.monotonic() + timeout
-        while True:
-            remaining = None if deadline is None else max(0.0, deadline - time.monotonic())
-            row = result_queue.get(timeout=remaining)
-            if row is None:
-                break
-            rows.append(row)
-        try:
-            raise error_queue.get_nowait()
-        except queue.Empty:
-            pass
-        return rows
+        from .utils import collect_query_sync
+
+        return collect_query_sync(self.query, q, timeout)
 
     def _run_query(
         self,
@@ -2599,6 +2591,11 @@ class _SourceBlock:
     block: DataBlockMetadata
 
 
+class _MergeLeaseLost(RuntimeError):
+    """Merge lease expired and was not renewable: abort remaining groups
+    (publishing without the lease could make two mergers' outputs visible)."""
+
+
 class _Merger:
     """Merge/compaction (reference Merge, bloom_tree_engine.go:1206-1372).
 
@@ -2627,9 +2624,26 @@ class _Merger:
       filter actually has) rather than blindly stamping current config.
     """
 
-    def __init__(self, engine: "BloomSearchEngine"):
+    def __init__(self, engine: "BloomSearchEngine", lease=None):
         self.engine = engine
         self.config = engine.config
+        self.lease = lease
+
+    def _may_publish(self) -> bool:
+        """Renew the merge lease before an atomic metadata publish.
+
+        False = the lease expired and could not be re-acquired (another
+        merger may already hold it): publishing now could make two mergers'
+        outputs over the same source rows visible — permanent duplicate
+        results. The merge aborts its remaining groups; temp output files
+        are never referenced by metadata, so they are invisible garbage.
+        """
+        if self.lease is None:
+            return True
+        if self.lease.renew():
+            return True
+        logger.warning("merge lease lost mid-merge; aborting before publish")
+        return False
 
     def merge(self) -> MergeStats:
         start = time.monotonic()
@@ -2640,8 +2654,11 @@ class _Merger:
             return stats
 
         groups = self._identify_file_merge_groups(files)
-        for group in groups:
-            self._execute_merge_group(group, stats)
+        try:
+            for group in groups:
+                self._execute_merge_group(group, stats)
+        except _MergeLeaseLost:
+            pass  # published groups stand; the rest wait for a next merge()
 
         stats.duration = max(time.monotonic() - start, 1e-9)
         stats.rows_per_second = stats.rows_processed / stats.duration
@@ -2767,6 +2784,8 @@ class _Merger:
                 "merge: all %d block(s) expired; deleting %d file(s)",
                 expired, len(group),
             )
+            if not self._may_publish():
+                raise _MergeLeaseLost()
             engine.meta_store.update(
                 [], [DeleteOperation(mf.pointer) for mf in group]
             )
@@ -2836,6 +2855,11 @@ class _Merger:
             raise
 
         metadata = self._reread_metadata(new_pointer)
+        if not self._may_publish():
+            # Lease lost after writing the output: un-publish it (never
+            # referenced by metadata, so tombstoning is safe) and stop.
+            engine.data_store.tombstone_file(new_pointer)
+            raise _MergeLeaseLost()
         # file_size lets metadata-backed stores report MaybeFile.size (merge
         # grouping sorts/caps on it; size 0 would re-merge forever).
         engine.meta_store.update(

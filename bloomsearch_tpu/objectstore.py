@@ -147,7 +147,14 @@ class _UploadOnCloseFile:
         if self._closed:
             return
         self._closed = True
-        self._client.put(self._key, self._buf.getvalue())
+        # getbuffer(), not getvalue(): getvalue COPIES the whole buffered
+        # file, transiently doubling host memory for every upload (a multi-GB
+        # merge output would need 2x its size). Every client put() accepts
+        # buffer-likes (bytes(data) / fh.write(data)).
+        try:
+            self._client.put(self._key, self._buf.getbuffer())
+        finally:
+            self._buf = io.BytesIO()  # drop the exported view + buffer
 
     def abort(self) -> None:
         """Discard without uploading (failed flushes never publish)."""
@@ -346,13 +353,30 @@ class ObjectStoreMetaStore:
             except PreconditionFailed:
                 return None  # someone else won the steal race
 
-        def release(held_etag=etag):
+        state = {"etag": etag}
+
+        def release():
             try:
-                self.client.delete(self.lease_key, if_match=held_etag)
+                self.client.delete(self.lease_key, if_match=state["etag"])
             except PreconditionFailed:
                 pass  # expired and stolen; nothing to release
 
-        return Lease(release, lease_id, expires_at)
+        def renew(ttl: float) -> Optional[float]:
+            # Conditional put against OUR etag: succeeds only while we are
+            # still the recorded holder; a steal after expiry changed the
+            # etag and the renew (correctly) fails — the merger aborts
+            # before publishing.
+            new_expiry = time.time() + ttl
+            body = json.dumps({"id": lease_id, "expires_at": new_expiry}).encode()
+            try:
+                state["etag"] = self.client.put(
+                    self.lease_key, body, if_match=state["etag"]
+                )
+            except PreconditionFailed:
+                return None
+            return new_expiry
+
+        return Lease(release, lease_id, expires_at, renew_fn=renew)
 
     def _expired_lease_etag(self) -> Optional[str]:
         try:
@@ -392,7 +416,15 @@ class LocalDirObjectStore:
     def _path(self, key: str) -> str:
         import os
 
-        if ".." in key.split("/"):
+        # Keys must stay strictly under root: os.path.join discards root
+        # entirely for absolute keys ('/etc/passwd' would read/write outside
+        # the store), and '..' segments climb out of it.
+        if (
+            not key
+            or os.path.isabs(key)
+            or key.startswith(("/", "\\"))
+            or ".." in key.replace("\\", "/").split("/")
+        ):
             raise ValueError(f"invalid key: {key!r}")
         path = os.path.join(self.root, key)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -534,7 +566,11 @@ class LocalDirObjectStore:
 
         path = self._path(key)
         if if_match is None:
-            for p in (path, path + ".etag"):
+            # .etag FIRST: the sidecar is the commit record, and a crash
+            # between the two unlinks must leave "no object", not an orphan
+            # etag that makes if_none_match puts (the merge lease) fail
+            # forever.
+            for p in (path + ".etag", path):
                 try:
                     os.remove(p)
                 except FileNotFoundError:
@@ -546,7 +582,7 @@ class LocalDirObjectStore:
                     raise PreconditionFailed(key)
             except FileNotFoundError:
                 raise PreconditionFailed(key)
-            for p in (path, path + ".etag"):
+            for p in (path + ".etag", path):  # etag first (commit record)
                 try:
                     os.remove(p)
                 except FileNotFoundError:

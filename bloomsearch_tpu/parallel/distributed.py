@@ -59,11 +59,9 @@ class ScatterGatherCoordinator:
             try:
                 peer.query(q, peer_results, error_queue, stats_queue)
             except Exception as exc:
-                if error_queue is not None:
-                    try:
-                        error_queue.put_nowait(exc)
-                    except queue.Full:
-                        pass
+                from ..engine import try_put
+
+                try_put(error_queue, exc)
                 _finish()
                 return
             while True:
@@ -83,21 +81,6 @@ class ScatterGatherCoordinator:
             threading.Thread(target=funnel, args=(peer,), daemon=True).start()
 
     def query_sync(self, q: Optional[Query], timeout: Optional[float] = None) -> list[dict]:
-        import time
+        from ..utils import collect_query_sync
 
-        result_queue: queue.Queue = queue.Queue()
-        error_queue: queue.Queue = queue.Queue()
-        self.query(q, result_queue, error_queue)
-        rows = []
-        deadline = None if timeout is None else time.monotonic() + timeout
-        while True:
-            remaining = None if deadline is None else max(0.0, deadline - time.monotonic())
-            item = result_queue.get(timeout=remaining)
-            if item is None:
-                break
-            rows.append(item)
-        try:
-            raise error_queue.get_nowait()
-        except queue.Empty:
-            pass
-        return rows
+        return collect_query_sync(self.query, q, timeout)

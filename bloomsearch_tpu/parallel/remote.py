@@ -157,6 +157,20 @@ class QueryServer:
             conn.settimeout(None)
             with self._conn_lock:
                 self._conns.add(conn)
+            # Re-check AFTER registering: stop() may have snapshotted
+            # _conns between accept() returning and the add above — a
+            # missed connection would run a full query against an engine
+            # being torn down ("sever active streams" silently unmet).
+            if self._stop.is_set():
+                try:
+                    conn.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+                return
             threading.Thread(
                 target=self._serve_one, args=(conn,), daemon=True
             ).start()
@@ -269,10 +283,37 @@ class RemoteQueryPeer:
             result_queue.put(None)
             return
 
+        done = threading.Event()
+        if cancel_event is not None:
+            # Cancellation must work while the reader is PARKED in a
+            # blocking recv (a quiet stream produced no frame to observe
+            # the flag between): a side watcher closes the socket, which
+            # both unblocks the reader and makes the server's next send
+            # fail — tripping its own cancel path so the remote engine
+            # stops executing the query.
+            def watcher() -> None:
+                while not done.is_set():
+                    if cancel_event.wait(timeout=0.2):
+                        # shutdown BEFORE close: closing an fd does not
+                        # reliably wake a thread blocked in recv on it;
+                        # shutdown(SHUT_RDWR) does.
+                        try:
+                            sock.shutdown(socket.SHUT_RDWR)
+                        except OSError:
+                            pass
+                        try:
+                            sock.close()
+                        except OSError:
+                            pass
+                        return
+
+            threading.Thread(target=watcher, daemon=True).start()
+
         def reader() -> None:
+            canceled = lambda: cancel_event is not None and cancel_event.is_set()
             try:
                 while True:
-                    if cancel_event is not None and cancel_event.is_set():
+                    if canceled():
                         return
                     frame = recv_frame(sock)
                     if frame is None:
@@ -292,11 +333,28 @@ class RemoteQueryPeer:
                     if frame.get("done"):
                         return
             except (ConnectionError, OSError) as exc:
+                if not canceled():  # watcher-closed socket is expected
+                    try_put(
+                        error_queue,
+                        ConnectionError(
+                            f"peer {self.host}:{self.port} died mid-stream: {exc}"
+                        ),
+                    )
+            except BaseException as exc:
+                # Malformed/version-skewed frames (JSONDecodeError from
+                # recv_frame, KeyError in _stats_from_json, ...) must
+                # surface as an ERROR: the finally below posts the
+                # completion sentinel either way, and a clean-looking early
+                # completion would silently truncate this peer's rows — a
+                # false negative with no signal.
                 try_put(
                     error_queue,
-                    ConnectionError(f"peer {self.host}:{self.port} died mid-stream: {exc}"),
+                    RuntimeError(
+                        f"peer {self.host}:{self.port} stream error: {exc!r}"
+                    ),
                 )
             finally:
+                done.set()
                 try:
                     sock.close()
                 except OSError:
@@ -306,21 +364,6 @@ class RemoteQueryPeer:
         threading.Thread(target=reader, daemon=True).start()
 
     def query_sync(self, q: Optional[Query], timeout: Optional[float] = None) -> list[dict]:
-        import time
+        from ..utils import collect_query_sync
 
-        result_queue: queue.Queue = queue.Queue()
-        error_queue: queue.Queue = queue.Queue()
-        self.query(q, result_queue, error_queue)
-        rows = []
-        deadline = None if timeout is None else time.monotonic() + timeout
-        while True:
-            remaining = None if deadline is None else max(0.0, deadline - time.monotonic())
-            item = result_queue.get(timeout=remaining)
-            if item is None:
-                break
-            rows.append(item)
-        try:
-            raise error_queue.get_nowait()
-        except queue.Empty:
-            pass
-        return rows
+        return collect_query_sync(self.query, q, timeout)

@@ -67,3 +67,34 @@ def format_bytes_per_second(bytes_per_sec: float) -> str:
 def clamp_int64(value: int) -> int:
     """Clamp an unbounded Python int into int64 range for format fidelity."""
     return max(INT64_MIN, min(INT64_MAX, value))
+
+
+def collect_query_sync(query_fn, q, timeout: float | None = None) -> list:
+    """Drain a streaming query synchronously; raise its first error.
+
+    ``query_fn(q, result_queue, error_queue)`` is any of the engine's
+    streaming query entry points (BloomSearchEngine.query, RemoteQueryPeer
+    .query, ScatterGatherCoordinator.query — all share the rows-then-None
+    sentinel contract). THE one copy of the drain loop: three hand-copied
+    versions predictably drifted."""
+    import queue as _queue
+    import time as _time
+
+    result_queue: _queue.Queue = _queue.Queue()
+    error_queue: _queue.Queue = _queue.Queue()
+    query_fn(q, result_queue, error_queue)
+    rows: list = []
+    deadline = None if timeout is None else _time.monotonic() + timeout
+    while True:
+        remaining = (
+            None if deadline is None else max(0.0, deadline - _time.monotonic())
+        )
+        item = result_queue.get(timeout=remaining)
+        if item is None:
+            break
+        rows.append(item)
+    try:
+        raise error_queue.get_nowait()
+    except _queue.Empty:
+        pass
+    return rows

@@ -125,3 +125,104 @@ class TestScatterGather:
             assert isinstance(error_queue.get_nowait(), RuntimeError)
         finally:
             good.stop(timeout=TIMEOUT)
+
+
+class TestLeaseHardening:
+    """Round-4 review fixes: flock'd steal/release, renewal as publish guard."""
+
+    def test_release_after_steal_does_not_delete_stealers_lease(self, tmp_path):
+        coord = FileLeaseCoordinator(str(tmp_path))
+        a = coord.acquire_merge_lease(ttl_seconds=0.05)
+        assert a is not None
+        time.sleep(0.1)  # expire A
+        b = coord.acquire_merge_lease(ttl_seconds=60)
+        assert b is not None  # stolen
+        a.release()  # must NOT remove B's lease (id mismatch)
+        assert coord.acquire_merge_lease() is None  # B still holds it
+        b.release()
+        assert coord.acquire_merge_lease() is not None
+
+    def test_renew_extends_while_held(self, tmp_path):
+        coord = FileLeaseCoordinator(str(tmp_path))
+        lease = coord.acquire_merge_lease(ttl_seconds=0.2)
+        assert lease.renew(ttl_seconds=60)
+        time.sleep(0.3)  # past the ORIGINAL expiry
+        assert lease.valid()
+        assert coord.acquire_merge_lease() is None  # renewal held the lock
+        lease.release()
+
+    def test_renew_fails_after_steal(self, tmp_path):
+        coord = FileLeaseCoordinator(str(tmp_path))
+        a = coord.acquire_merge_lease(ttl_seconds=0.05)
+        time.sleep(0.1)
+        b = coord.acquire_merge_lease(ttl_seconds=60)
+        assert b is not None
+        assert not a.renew()  # lost: stolen after expiry
+        b.release()
+
+    def test_objectstore_lease_renew(self):
+        from bloomsearch_tpu.objectstore import (
+            InMemoryObjectStore,
+            ObjectStoreMetaStore,
+        )
+
+        store = ObjectStoreMetaStore(InMemoryObjectStore())
+        a = store.acquire_merge_lease(ttl_seconds=0.05)
+        assert a.renew(ttl_seconds=60)
+        assert store.acquire_merge_lease() is None
+        time.sleep(0.1)
+        assert a.valid()  # renewed past original expiry
+        a.release()
+        b = store.acquire_merge_lease(ttl_seconds=0.05)
+        time.sleep(0.1)
+        c = store.acquire_merge_lease(ttl_seconds=60)
+        assert c is not None
+        assert not b.renew()  # stolen: etag moved on
+        c.release()
+
+    def test_merge_aborts_publish_when_lease_lost(self, tmp_path):
+        """A merger whose lease cannot be renewed must not publish (two
+        mergers' outputs over the same rows = permanent duplicates)."""
+        store = bs.FileSystemDataStore(str(tmp_path / "data"))
+
+        class LosingLeaseMeta:
+            """Wrap the FS store; grant a lease that immediately reports lost."""
+
+            def __init__(self, inner):
+                self._inner = inner
+                self.updates = 0
+
+            def __getattr__(self, name):
+                return getattr(self._inner, name)
+
+            def update(self, writes, deletes):
+                self.updates += 1
+                return self._inner.update(writes, deletes)
+
+            def acquire_merge_lease(self, ttl_seconds: float = 300.0):
+                from bloomsearch_tpu.coordination import Lease
+
+                return Lease(
+                    lambda: None, "dead", time.time() - 1,
+                    renew_fn=lambda ttl: None,  # always lost
+                )
+
+        meta = LosingLeaseMeta(store)
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(max_buffered_rows=10), meta, store
+        )
+        engine.start()
+        try:
+            for i in range(4):
+                engine.ingest_rows([{"n": i, "msg": f"tok{i}"} for _ in range(20)])
+                engine.flush(timeout=TIMEOUT)
+            files_before = len(store.get_maybe_files_for_query(None))
+            assert files_before >= 2
+            updates_from_flushes = meta.updates
+            engine.merge()  # lease lost -> no publish
+            assert meta.updates == updates_from_flushes
+            assert len(store.get_maybe_files_for_query(None)) == files_before
+            # All rows still queryable (nothing tombstoned).
+            assert len(engine.query_sync(bs.new_query().token("tok1").build())) == 20
+        finally:
+            engine.stop(timeout=TIMEOUT)

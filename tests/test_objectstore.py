@@ -368,3 +368,40 @@ print("ok")
 
         meta = ObjectStoreMetaStore(LocalDirObjectStore(bucket))
         assert len(meta.get_maybe_files_for_query(None)) == 30  # no lost updates
+
+
+class TestLocalDirHardening:
+    """Round-4 review fixes: key confinement + etag-first deletes."""
+
+    def test_absolute_and_escaping_keys_rejected(self, tmp_path):
+        from bloomsearch_tpu.objectstore import LocalDirObjectStore
+
+        store = LocalDirObjectStore(str(tmp_path))
+        for bad in ("/etc/passwd", "/abs", "\\abs", "a/../b", "..", ""):
+            with pytest.raises(ValueError):
+                store.put(bad, b"x")
+            with pytest.raises((ValueError, KeyError)):
+                store.get(bad)
+
+    def test_orphan_etag_cannot_wedge_if_none_match(self, tmp_path):
+        """delete removes the .etag sidecar FIRST: a crash between unlinks
+        must leave 'no object', never an orphan etag that makes the merge
+        lease's if_none_match put fail forever. Simulate the bad legacy
+        state and verify recovery semantics too."""
+        import os
+
+        from bloomsearch_tpu.objectstore import LocalDirObjectStore
+
+        store = LocalDirObjectStore(str(tmp_path))
+        store.put("k", b"v")
+        store.delete("k")
+        assert not os.path.exists(tmp_path / "k.etag")
+        assert not os.path.exists(tmp_path / "k")
+        # Crash AFTER etag unlink, before data unlink: data file remains,
+        # etag gone -> object reads as absent, if_none_match create works.
+        store.put("k2", b"v2")
+        os.remove(tmp_path / "k2.etag")
+        with pytest.raises(KeyError):
+            store.get("k2")
+        store.put("k2", b"v3", if_none_match=True)
+        assert store.get("k2")[0] == b"v3"

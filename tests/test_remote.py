@@ -253,3 +253,79 @@ class TestConcurrentRemoteQueries:
                     assert results[i] == [rows[i]], i
         finally:
             engine.stop(timeout=TIMEOUT)
+
+
+class TestStreamHardening:
+    def test_malformed_frame_surfaces_error_not_truncation(self):
+        """A version-skewed/garbage frame mid-stream must put an ERROR on
+        error_queue — the reader's completion sentinel alone would read as
+        a clean (silently truncated) result set."""
+        import socket
+        import threading
+
+        from bloomsearch_tpu.parallel.remote import RemoteQueryPeer, send_frame
+
+        listener = socket.socket()
+        listener.bind(("127.0.0.1", 0))
+        listener.listen(1)
+        port = listener.getsockname()[1]
+
+        def server():
+            conn, _ = listener.accept()
+            conn.recv(1 << 16)  # the query request
+            send_frame(conn, {"row": {"a": 1}})
+            # stats frame missing required fields -> KeyError client-side
+            send_frame(conn, {"stats": [{"bogus": True}]})
+            send_frame(conn, {"done": True})
+            conn.close()
+
+        threading.Thread(target=server, daemon=True).start()
+        peer = RemoteQueryPeer("127.0.0.1", port)
+        result_q: queue.Queue = queue.Queue()
+        error_q: queue.Queue = queue.Queue()
+        stats_q: queue.Queue = queue.Queue()
+        peer.query(bs.new_query().token("x").build(), result_q, error_q, stats_q)
+        rows = []
+        while True:
+            item = result_q.get(timeout=TIMEOUT)
+            if item is None:
+                break
+            rows.append(item)
+        err = error_q.get_nowait()
+        assert "stream error" in repr(err)
+        listener.close()
+
+    def test_cancel_unblocks_parked_reader(self, tmp_path):
+        """cancel_event must take effect while the reader is blocked in
+        recv on a quiet stream (the watcher closes the socket)."""
+        import socket
+        import threading
+        import time as _time
+
+        listener = socket.socket()
+        listener.bind(("127.0.0.1", 0))
+        listener.listen(1)
+        port = listener.getsockname()[1]
+        held = []
+
+        def server():
+            conn, _ = listener.accept()
+            conn.recv(1 << 16)
+            held.append(conn)  # never send anything: reader parks in recv
+
+        threading.Thread(target=server, daemon=True).start()
+        from bloomsearch_tpu.parallel.remote import RemoteQueryPeer
+
+        peer = RemoteQueryPeer("127.0.0.1", port)
+        result_q: queue.Queue = queue.Queue()
+        error_q: queue.Queue = queue.Queue()
+        cancel = threading.Event()
+        peer.query(
+            bs.new_query().token("x").build(), result_q, error_q,
+            cancel_event=cancel,
+        )
+        _time.sleep(0.3)  # reader is now parked in recv
+        cancel.set()
+        assert result_q.get(timeout=5.0) is None  # sentinel arrives promptly
+        assert error_q.empty()  # canceled close is not an error
+        listener.close()
