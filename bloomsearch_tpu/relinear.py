@@ -146,6 +146,34 @@ def _contains_repeat(items, min_span: int = 2) -> bool:
     return False
 
 
+_MANY_FLEX = 8
+
+
+def _count_flex(items) -> int:
+    """Number of flexible-quantifier nodes (hi > lo) anywhere in ``items``.
+
+    Each is a backtracking choice point; see pattern_is_risky for why a
+    large COUNT is risky even when every individual bound is small."""
+    total = 0
+    for op, av in items:
+        bounds = _repeat_bounds(op, av)
+        if bounds is not None:
+            lo, hi = bounds
+            if hi > lo:
+                total += 1
+            total += _count_flex(av[2])
+            continue
+        body = _subpattern_body(op, av)
+        if body is not None:
+            total += _count_flex(body)
+            continue
+        if op == sre_c.BRANCH:
+            total += sum(_count_flex(b) for b in av[1])
+        if op in (sre_c.ASSERT, sre_c.ASSERT_NOT):
+            total += _count_flex(av[1])
+    return total
+
+
 def _risky(items, fold: bool = False) -> bool:
     for op, av in items:
         bounds = _repeat_bounds(op, av)
@@ -163,10 +191,6 @@ def _risky(items, fold: bool = False) -> bool:
                 # repeated body whose iteration split could be ambiguous
                 # compounds exponentially under the enclosing repeat.
                 if _ambiguous_branch(list(body), fold):
-                    return True
-                # Huge bounded repeats still multiply; treat big-x-big as
-                # nested even without an inner star.
-                if hi >= _BIG_REPEAT and _contains_repeat(body, _BIG_REPEAT):
                     return True
             if _risky(body, fold):
                 return True
@@ -514,6 +538,14 @@ def pattern_is_risky(pattern: str) -> bool:
     fold = bool(parsed.state.flags & re.IGNORECASE) or _uses_ignorecase(items)
     if _risky(items, fold):
         return True
+    # MANY sequential flexible quantifiers blow up without any single one
+    # being "big": 'a?'*k + 'a'*k backtracks ~C(n,k) (measured 6 s at k=26,
+    # ~4x per +2), and chains of a{0,31} multiply the same way — each hi>lo
+    # node is an iteration-split choice point. Counting every flex node
+    # (sum across branches too) over-approximates, which only costs a safe
+    # pattern the linear engine, never correctness.
+    if _count_flex(items) >= _MANY_FLEX:
+        return True
     return _poly_risky(items, fold=fold)[0]
 
 
@@ -691,16 +723,21 @@ class LinearMatcher:
         ops, args = self._prog.ops, self._prog.args
         n = len(s)
         current: List[int] = []
-        in_current = bytearray(len(ops))
+        # Generation stamps, not a fresh membership array per character: a
+        # near-cap program (~20k ops) against a long stringified value
+        # allocated len(ops) bytes per consumed char (~2 GB churn on a
+        # 100 KB value). stamp[p] == gen <=> p is in the current state set.
+        stamp = [0] * len(ops)
+        gen = 1
 
         def add(pc: int, pos: int) -> bool:
             """Epsilon-closure insert; True means MATCH reached."""
             stack = [pc]
             while stack:
                 p = stack.pop()
-                if in_current[p]:
+                if stamp[p] == gen:
                     continue
-                in_current[p] = 1
+                stamp[p] = gen
                 op = ops[p]
                 if op == _MATCH:
                     return True
@@ -718,14 +755,16 @@ class LinearMatcher:
             return False
 
         for pos in range(n + 1):
-            # Unanchored search: seed a fresh attempt at every position.
+            # Unanchored search: seed a fresh attempt at every position
+            # (same generation as the states carried in by the previous
+            # consume step — they belong to the same position's set).
             if add(0, pos):
                 return True
             if pos == n:
                 break
             ch = s[pos]
             runnable, current = current, []
-            in_current = bytearray(len(ops))
+            gen += 1  # start position pos+1's state set
             for pc in runnable:
                 if args[pc](ch) and add(pc + 1, pos + 1):
                     return True

@@ -135,8 +135,11 @@ def regex_scan_query(regex_query) -> Optional[BloomQuery]:
     return BloomQuery(visit(regex_query.expression))
 
 
+_NUMERIC_CHARS = frozenset("0123456789.eE+-")
+
+
 def _numeric_unsafe(token: str) -> bool:
-    """Could ``token`` be the stringification of a JSON number?
+    """Could ``token``'s bytes be absent from a row that MATCHES it?
 
     Number tokens derive from repr() of the PARSED value, so a row stored
     with a different-but-legal spelling ("1e5" for token "100000",
@@ -144,13 +147,25 @@ def _numeric_unsafe(token: str) -> bool:
     bytes even though exact verification matches it. Such needles may only
     DISQUALIFY rows of blocks whose metadata attests canonical
     re-serialization (DataBlockMetadata.rows_canonical — the substring
-    invariant is fuzz-tested for that path). Conservative by float(): any
-    parseable spelling counts."""
+    invariant is fuzz-tested for that path). Two conservative tests, both
+    required:
+
+    - float()-parseable: whole tokens that ARE a number's spelling — also
+      catches "inf"/"nan" (verbatim bytes may spell "Infinity"/"NaN" while
+      the token is "+inf"; Python's non-standard json.dumps emits those).
+    - all chars in [0-9.eE+-]: regex mandatory literals are SUBSTRINGS of a
+      value's stringification, so "e+25" (not float-parseable) must still
+      not prune a verbatim block storing "15e24" — its canonical spelling
+      "1.5e+25" matches the regex.
+    """
+    if not token:
+        return False
     try:
         float(token)
+        return True
     except ValueError:
-        return False
-    return True
+        pass
+    return all(c in _NUMERIC_CHARS for c in token)
 
 
 class ScanPlan:
@@ -220,7 +235,7 @@ def compile_scan_plan(
 
 def evaluate_plan(
     plan: ScanPlan, scanned: np.ndarray, n_rows: int,
-    trust_numeric: bool = True,
+    trust_numeric: bool = False,
 ) -> np.ndarray:
     """Evaluate the bloom tree over a per-needle row-hit matrix -> bool[rows].
 
@@ -250,7 +265,7 @@ def candidate_rows(
     data: np.ndarray,
     row_offsets: np.ndarray,
     row_lengths: np.ndarray,
-    trust_numeric: bool = True,
+    trust_numeric: bool = False,
 ) -> Optional[np.ndarray]:
     """bool[num_rows] candidate mask, or None to fall back to full verify."""
     n_rows = row_offsets.shape[0]

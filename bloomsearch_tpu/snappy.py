@@ -33,13 +33,25 @@ class SnappyStreamCompressor:
         self._pending = bytearray()
 
     def _emit_full_chunks(self) -> bytes:
+        # Cursor walk, ONE tail copy at the end: `del pending[:CHUNK_SIZE]`
+        # per chunk memmoved the whole remaining buffer each time — a
+        # multi-MB compress() call went quadratic (~N^2/2/65536 bytes moved).
+        pending = self._pending
+        if len(pending) < CHUNK_SIZE:
+            return b""
         out = bytearray()
-        while len(self._pending) >= CHUNK_SIZE:
-            chunk = bytes(self._pending[:CHUNK_SIZE])
-            del self._pending[:CHUNK_SIZE]
-            compressed = native.snappy_compress_block(chunk)
+        view = memoryview(pending)
+        pos = 0
+        while len(pending) - pos >= CHUNK_SIZE:
+            compressed = native.snappy_compress_block(
+                bytes(view[pos : pos + CHUNK_SIZE])
+            )
             out += struct.pack("<I", len(compressed))
             out += compressed
+            pos += CHUNK_SIZE
+        tail = bytes(view[pos:])
+        view.release()
+        self._pending = bytearray(tail)
         return bytes(out)
 
     def compress(self, data: bytes) -> bytes:

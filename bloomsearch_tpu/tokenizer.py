@@ -258,7 +258,13 @@ def _compile_regex_expression(expression) -> Optional[CompiledRegexExpression]:
         return None
     if expression.expression_type == RegexExprType.CONDITION:
         if expression.condition is None:
-            return None
+            # Nil condition = ALWAYS TRUE (the evaluator's rule, matching
+            # the reference's nil-filter passthrough). It must compile to an
+            # explicit true leaf, not drop out of its parent: dropping one
+            # from an OR narrows the OR (false negatives), and an OR of
+            # only nil children would become the empty OR = always FALSE —
+            # the exact inversion.
+            return CompiledRegexExpression(RegexExprType.CONDITION, condition=None)
         from .relinear import build_safe_matcher
 
         matcher = build_safe_matcher(expression.condition.pattern)

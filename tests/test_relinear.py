@@ -282,3 +282,45 @@ class TestFlagAndFallbackRouting:
         # Program-size cap: (a{0,500}){0,500} would expand enormously.
         m = build_safe_matcher(r"(a{0,500}){0,500}b")
         assert m("aaab") and not m("aaac")
+
+
+class TestSequentialFlexScreen:
+    """Round-4 review fix: many small flexible quantifiers blow up without
+    any single one tripping the nested/poly screens ('a?'*k + 'a'*k is
+    textbook-exponential; measured 6 s at k=26 on raw re)."""
+
+    def test_sequential_nullable_chain_flagged_and_linear(self):
+        import time
+
+        from bloomsearch_tpu.relinear import build_safe_matcher, pattern_is_risky
+
+        k = 26
+        pattern = "a?" * k + "a" * k
+        assert pattern_is_risky(pattern)
+        m = build_safe_matcher(pattern)
+        t0 = time.monotonic()
+        assert m("a" * k) is True
+        assert m("a" * (k - 1)) is False
+        assert time.monotonic() - t0 < 2.0  # raw re needs ~6 s at k=26
+
+    def test_bounded_repeat_chain_flagged(self):
+        from bloomsearch_tpu.relinear import pattern_is_risky
+
+        assert pattern_is_risky("a{0,31}" * 8 + "a" * 20)
+
+    def test_common_patterns_keep_fast_path(self):
+        from bloomsearch_tpu.relinear import pattern_is_risky
+
+        for p in (r"connection\s+\w+", r"^ERROR: .*timeout$", r"(\d+)-(\d+)"):
+            assert not pattern_is_risky(p), p
+
+    def test_linear_matcher_long_input_no_quadratic_alloc(self):
+        import time
+
+        from bloomsearch_tpu.relinear import LinearMatcher
+
+        m = LinearMatcher("a?" * 20 + "a" * 20)
+        t0 = time.monotonic()
+        assert m.search("b" * 200_000) is False
+        assert m.search("b" * 100_000 + "a" * 20) is True
+        assert time.monotonic() - t0 < 10.0

@@ -360,3 +360,25 @@ class TestSerializedMinMax:
             else:
                 assert status[i] == 1, (i, raw)
                 assert (lo[i], hi[i]) == expected, (i, raw, lo[i], hi[i], expected)
+
+
+class TestRegexLiteralNumericSubstring:
+    def test_regex_literal_substring_of_number_no_false_negative(self, tmp_path):
+        """A regex mandatory literal like 'e+25' is a SUBSTRING of the
+        canonical spelling '1.5e+25' but absent from verbatim bytes '15e24';
+        the scan must not prune the verbatim block (round-4 review fix:
+        _numeric_unsafe widened past float()-parseable)."""
+        store = bs.FileSystemDataStore(str(tmp_path))
+        engine = bs.BloomSearchEngine(bs.BloomSearchEngineConfig(), store, store)
+        engine.start()
+        try:
+            engine.ingest_serialized(
+                [b'{"v":15e24,"tag":"target"}', b'{"v":1,"tag":"other"}'],
+                timeout=TIMEOUT,
+            )
+            engine.flush(timeout=TIMEOUT)
+            q = bs.new_query().field_regex("v", r"e\+25$").build()
+            rows = engine.query_sync(q, timeout=TIMEOUT)
+            assert len(rows) == 1 and rows[0]["tag"] == "target", rows
+        finally:
+            engine.stop(timeout=TIMEOUT)

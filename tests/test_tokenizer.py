@@ -251,3 +251,39 @@ class TestRegexQueryMatching:
             new_query().field_regex("message", "^hello world$").build().regex
         )
         assert row_matches_query(row, None, compiled, ".", TOK)
+
+
+class TestNilRegexChildren:
+    def test_nil_condition_inside_or_stays_always_true(self):
+        """Wire-format regex trees may carry nil (always-true) conditions;
+        compiling must keep them as true leaves — dropping them narrowed
+        the OR, and an all-nil OR inverted to always-false (round-4 fix)."""
+        from bloomsearch_tpu.query import RegexExpression, RegexExprType
+        from bloomsearch_tpu.tokenizer import (
+            compile_regex_query,
+            row_matches_regex_expression,
+        )
+
+        nil = RegexExpression(RegexExprType.CONDITION, condition=None)
+        never = RegexExpression.__new__(RegexExpression)
+
+        from bloomsearch_tpu.query import RegexCondition
+
+        zzz = RegexExpression(
+            RegexExprType.CONDITION,
+            condition=RegexCondition("f", "zzz"),
+        )
+        or_expr = RegexExpression(RegexExprType.OR, children=[nil, zzz])
+
+        class Q:
+            expression = or_expr
+
+        compiled = compile_regex_query(Q())
+        assert row_matches_regex_expression({"f": "hello"}, compiled.expression, ".")
+        all_nil = RegexExpression(RegexExprType.OR, children=[nil, nil])
+
+        class Q2:
+            expression = all_nil
+
+        compiled2 = compile_regex_query(Q2())
+        assert row_matches_regex_expression({"f": "hello"}, compiled2.expression, ".")
