@@ -148,3 +148,8 @@ class BloomFilter:
             and self.layout == other.layout
             and bool(np.array_equal(self.words, other.words))
         )
+
+    # Defining __eq__ sets __hash__ to None implicitly; make the
+    # unhashability EXPLICIT — filters are mutable (add/merge), so
+    # value-hashing them into sets/dicts would be a correctness trap.
+    __hash__ = None

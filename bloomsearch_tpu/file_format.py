@@ -293,7 +293,18 @@ class FileMetadata:
 
     @property
     def file_bloom_params(self) -> BloomParams:
-        return BloomParams(self.bloom_expected_items, self.bloom_false_positive_rate)
+        # Layout from the stored filter triple, NOT hardcoded classic: a
+        # blocked256 engine writes blocked file-level filters, and a caller
+        # sizing or merge-gating on these params with the wrong layout gets
+        # unpadded m_bits / a classic filter probed with blocked positions.
+        layout = (
+            self.bloom_filters.field.layout
+            if self.bloom_filters is not None
+            else "classic"
+        )
+        return BloomParams(
+            self.bloom_expected_items, self.bloom_false_positive_rate, layout=layout
+        )
 
     def to_json(self) -> dict:
         return {

@@ -26,6 +26,7 @@ embedding.
 
 from __future__ import annotations
 
+import dataclasses
 import io
 import json
 import logging
@@ -164,8 +165,13 @@ class _UploadOnCloseFile:
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, exc, tb):
+        # Exception inside the with-block = incomplete write: abort — close()
+        # would PUT the truncated object into the visible namespace.
+        if exc_type is not None:
+            self.abort()
+        else:
+            self.close()
 
 
 class _RangedReadFile:
@@ -300,14 +306,9 @@ class ObjectStoreMetaStore:
             blocks = filter_data_blocks(metadata.data_blocks, prefilter)
             if prefilter is not None and not blocks:
                 continue
-            filtered = FileMetadata(
-                bloom_filters=metadata.bloom_filters,
-                bloom_expected_items=metadata.bloom_expected_items,
-                bloom_false_positive_rate=metadata.bloom_false_positive_rate,
-                data_blocks=blocks,
-                bank_groups=metadata.bank_groups,
-                hash_name=metadata.hash_name,
-            )
+            # dataclasses.replace: a hand-listed copy silently reset any
+            # FileMetadata field added after it was written.
+            filtered = dataclasses.replace(metadata, data_blocks=blocks)
             out.append(MaybeFile(pointer=key.encode("utf-8"), metadata=filtered, size=size))
         return out
 

@@ -233,12 +233,22 @@ class S3ObjectStore:
                     secret_key=self.secret_key, session_token=self.session_token,
                 )
             )
-            if body:
+            if body is not None and method in ("PUT", "POST"):
+                # Explicit even for EMPTY bodies: http.client only adds
+                # Content-Length for non-None bodies, and AWS rejects a PUT
+                # without one (411 MissingContentLength) — a zero-byte
+                # object (marker/sentinel key) must be creatable.
                 req_headers["Content-Length"] = str(len(body))
             url = canonical_uri + (f"?{query_string}" if query_string else "")
             try:
                 conn = self._connection()
-                conn.request(method, url, body=body or None, headers=req_headers)
+                conn.request(
+                    method, url,
+                    # Empty PUT/POST bodies stay b"" (Content-Length: 0 is
+                    # required); bodiless methods send None as before.
+                    body=body if (body or method in ("PUT", "POST")) else None,
+                    headers=req_headers,
+                )
                 resp = conn.getresponse()
                 data = resp.read()
                 status = resp.status
@@ -311,9 +321,11 @@ class S3ObjectStore:
             headers["If-None-Match"] = "*"
         if if_match is not None:
             headers["If-Match"] = f'"{if_match}"'
-        _, resp_headers, _ = self._request(
-            "PUT", key, headers=headers, body=bytes(data)
-        )
+        # No bytes(data) copy: hashlib and http.client both accept
+        # buffer-likes, and _UploadOnCloseFile passes getbuffer() precisely
+        # so a multi-GB merge upload never holds two copies.
+        body = data if isinstance(data, (bytes, memoryview)) else memoryview(data)
+        _, resp_headers, _ = self._request("PUT", key, headers=headers, body=body)
         return self._etag(resp_headers)
 
     def delete(self, key: str, *, if_match: Optional[str] = None) -> None:
@@ -354,7 +366,15 @@ class S3ObjectStore:
             if truncated is not None and (truncated.text or "").lower() == "true":
                 token_el = root.find(f"{ns}NextContinuationToken")
                 token = token_el.text if token_el is not None else None
-                if token:
-                    continue
+                if not token:
+                    # Truncated with no continuation token: a silent break
+                    # would return a plausible-looking PARTIAL listing and
+                    # callers (manifest recovery, peer discovery) would
+                    # treat missing keys as deleted. Fail loudly.
+                    raise S3Error(
+                        "truncated ListObjectsV2 response without "
+                        "NextContinuationToken"
+                    )
+                continue
             break
         return sorted(out)

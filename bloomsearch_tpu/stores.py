@@ -19,6 +19,7 @@ import logging
 import os
 import tempfile
 import threading
+import dataclasses
 from dataclasses import dataclass
 from typing import BinaryIO, Optional, Protocol, runtime_checkable
 
@@ -30,6 +31,19 @@ logger = logging.getLogger("bloomsearch_tpu.stores")
 
 # Metadata-deleted files rename to this suffix until physically tombstoned.
 TOMBSTONED_SUFFIX = ".tombstoned"
+
+
+def _touch_tombstone(path: str) -> None:
+    """Stamp NOW on a just-tombstoned file.
+
+    os.replace preserves st_mtime, so the grace window would otherwise be
+    measured from the file's WRITE time — effectively zero for any file
+    older than the window, unlinking it under a concurrent reader the grace
+    period exists to protect."""
+    try:
+        os.utime(path)
+    except OSError:
+        pass  # sweep just errs toward early removal, as before
 
 
 @dataclass
@@ -146,8 +160,14 @@ class _RenamingFile:
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, exc, tb):
+        # An exception inside the with-block means the write is INCOMPLETE:
+        # abort (discard the temp) — close() would rename the truncated
+        # file into the visible namespace, poisoning every later scan.
+        if exc_type is not None:
+            self.abort()
+        else:
+            self.close()
 
 
 class FileSystemDataStore:
@@ -230,6 +250,7 @@ class FileSystemDataStore:
             return
         try:
             os.replace(path, path + TOMBSTONED_SUFFIX)
+            _touch_tombstone(path + TOMBSTONED_SUFFIX)
         except FileNotFoundError:
             pass
 
@@ -296,13 +317,10 @@ class FileSystemDataStore:
                 continue
             # Never mutate the cached object: present a shallow view with the
             # prefiltered block list (meta_store.go:33-41 allows subsetting).
-            metadata = FileMetadata(
-                bloom_filters=cached.bloom_filters,
-                bloom_expected_items=cached.bloom_expected_items,
-                bloom_false_positive_rate=cached.bloom_false_positive_rate,
-                data_blocks=filter_data_blocks(cached.data_blocks, prefilter),
-                bank_groups=cached.bank_groups,
-                hash_name=cached.hash_name,
+            # dataclasses.replace: a hand-listed copy silently reset any
+            # FileMetadata field added after it was written.
+            metadata = dataclasses.replace(
+                cached, data_blocks=filter_data_blocks(cached.data_blocks, prefilter)
             )
             # Include all files when unfiltered; otherwise only files with
             # surviving blocks (testing_file_system_store.go:168-175).
@@ -332,6 +350,7 @@ class FileSystemDataStore:
             path = op.file_pointer.decode("utf-8")
             try:
                 os.replace(path, path + TOMBSTONED_SUFFIX)
+                _touch_tombstone(path + TOMBSTONED_SUFFIX)
             except FileNotFoundError:
                 pass
 
@@ -353,14 +372,9 @@ class MemoryMetaStore:
             blocks = filter_data_blocks(metadata.data_blocks, prefilter)
             if prefilter is not None and not blocks:
                 continue
-            filtered = FileMetadata(
-                bloom_filters=metadata.bloom_filters,
-                bloom_expected_items=metadata.bloom_expected_items,
-                bloom_false_positive_rate=metadata.bloom_false_positive_rate,
-                data_blocks=blocks,
-                bank_groups=metadata.bank_groups,
-                hash_name=metadata.hash_name,
-            )
+            # dataclasses.replace: a hand-listed copy silently reset any
+            # FileMetadata field added after it was written.
+            filtered = dataclasses.replace(metadata, data_blocks=blocks)
             out.append(MaybeFile(pointer=pointer, metadata=filtered, size=size))
         return out
 

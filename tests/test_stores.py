@@ -198,3 +198,56 @@ class TestTolerantMetadataReads:
         assert md.bloom_filters is None
         # Round-trips without crashing.
         assert md.to_json()["BloomFilters"] is None
+
+
+import pytest
+
+import bloomsearch_tpu as bs
+
+
+class TestTombstoneGraceAndAbort:
+    def test_grace_window_measured_from_tombstone_time(self, tmp_path):
+        """os.replace preserves st_mtime, so an old file used to be swept
+        IMMEDIATELY despite the grace window (round-4 review fix)."""
+        import os
+        import time
+
+        store = bs.FileSystemDataStore(str(tmp_path), tombstone_grace_seconds=3600)
+        fh, pointer = store.create_file()
+        fh.write(b"payload")
+        fh.close()
+        path = pointer.decode()
+        # Age the file far past the grace window.
+        old = time.time() - 7200
+        os.utime(path, (old, old))
+        store.update([], [bs.DeleteOperation(pointer)])
+        assert os.path.exists(path + ".tombstoned")
+        # A fresh store's startup sweep must RESPECT the grace window.
+        bs.FileSystemDataStore(str(tmp_path), tombstone_grace_seconds=3600)
+        assert os.path.exists(path + ".tombstoned")
+
+    def test_with_block_exception_aborts_instead_of_publishing(self, tmp_path):
+        import os
+
+        store = bs.FileSystemDataStore(str(tmp_path))
+        with pytest.raises(RuntimeError):
+            with store.create_file()[0] as fh:
+                fh.write(b"partial")
+                raise RuntimeError("disk full mid-write")
+        # No truncated .dat became visible; no temp left behind.
+        leftovers = [n for n in os.listdir(tmp_path) if not n.startswith(".")]
+        assert leftovers == [], leftovers
+
+    def test_object_store_with_block_exception_aborts(self):
+        from bloomsearch_tpu.objectstore import (
+            InMemoryObjectStore,
+            ObjectStoreDataStore,
+        )
+
+        client = InMemoryObjectStore()
+        ds = ObjectStoreDataStore(client)
+        with pytest.raises(RuntimeError):
+            with ds.create_file()[0] as fh:
+                fh.write(b"partial")
+                raise RuntimeError("boom")
+        assert client.list("") == []
