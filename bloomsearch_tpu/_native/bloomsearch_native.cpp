@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <cstdio>
 
 #if defined(__GNUC__)
 #define BS_EXPORT extern "C" __attribute__((visibility("default")))
@@ -901,6 +902,74 @@ BS_EXPORT int64_t bs_scan_candidates(
 
 namespace ingest {
 
+// repr(d) rendered as the go_like_str token (trailing ".0" stripped),
+// lowercase. CPython float repr = the SHORTEST round-tripping decimal,
+// fixed notation for decimal exponent in [-4, 16), else d.ddde±EE with a
+// two-digit-minimum exponent. Reproducing it exactly lets the ingest and
+// verify parsers emit the spec token for ANY legal JSON float spelling.
+// Returns token length, or -1 (caller falls back to the Python lane).
+static int bs_float_repr_token(double d, char* out, int cap) {
+  if (!std::isfinite(d)) return -1;
+  char buf[64];
+  int p;
+  for (p = 1; p <= 17; p++) {
+    std::snprintf(buf, sizeof(buf), "%.*e", p - 1, d);
+    char* e2 = nullptr;
+    if (std::strtod(buf, &e2) == d && e2 && *e2 == '\0') break;
+  }
+  if (p > 17) return -1;
+  // buf: [-]D[.DDD...]e±XX with exactly p significant digits.
+  char digits[32];
+  int nd = 0;
+  const char* q = buf;
+  bool neg = false;
+  if (*q == '-') { neg = true; q++; }
+  for (; *q && *q != 'e'; q++)
+    if (*q != '.') digits[nd++] = *q;
+  if (*q != 'e') return -1;
+  const long E = std::strtol(q + 1, nullptr, 10);
+  int w = 0;
+  auto put = [&](char c) {
+    if (w < cap) out[w] = c;
+    w++;
+  };
+  if (neg) put('-');
+  if (E >= -4 && E < 16) {
+    if (E >= nd - 1) {  // integral value: repr "...0.0", token strips ".0"
+      for (int i = 0; i < nd; i++) put(digits[i]);
+      for (long i = 0; i < E - (nd - 1); i++) put('0');
+    } else if (E >= 0) {
+      for (long i = 0; i <= E; i++) put(digits[i]);
+      put('.');
+      for (int i = (int)E + 1; i < nd; i++) put(digits[i]);
+    } else {
+      put('0');
+      put('.');
+      for (long i = 0; i < -E - 1; i++) put('0');
+      for (int i = 0; i < nd; i++) put(digits[i]);
+    }
+  } else {
+    put(digits[0]);
+    if (nd > 1) {
+      put('.');
+      for (int i = 1; i < nd; i++) put(digits[i]);
+    }
+    put('e');
+    put(E >= 0 ? '+' : '-');
+    long a = E >= 0 ? E : -E;
+    char eb[8];
+    int en = 0;
+    do {
+      eb[en++] = (char)('0' + (a % 10));
+      a /= 10;
+    } while (a);
+    if (en == 1) put('0');  // repr pads the exponent to two digits
+    while (en) put(eb[--en]);
+  }
+  if (w >= cap) return -1;
+  return w;
+}
+
 struct HashSink {
   uint64_t* out;      // [cap, 2]
   int64_t cap;
@@ -1064,6 +1133,12 @@ struct Parser {
         // Shouldn't occur with ensure_ascii, but be safe.
         fallback = true;
         return -1;
+      } else if (c < 0x20) {
+        // Raw control byte inside a string: json.loads (strict mode, the
+        // spec) REJECTS it — accepting here silently indexed rows the
+        // Python lane raises on.
+        error = true;
+        return -1;
       }
       if (n >= buf_cap) { error = true; return -1; }
       dst[n++] = lower ? ascii_lower(c) : c;
@@ -1130,30 +1205,65 @@ struct Parser {
         value_buf[n++] = c2;
       }
       if (n == 0) { error = true; return; }
-      // The Python spec is repr(json.loads(text)). For CANONICAL json.dumps
-      // output (repr-formatted) the raw text minus a trailing ".0" is
-      // identical; non-canonical-but-legal JSON ("1.50", "1E5", "01") can
-      // diverge, so those rows fall back to the Python path.
+      // STRICT JSON number grammar first — the char-class loop above eats
+      // any [0-9+-.eE] soup, but json.loads (the spec) REJECTS "1-2",
+      // "+5", "1.2.3", "5e": such rows must error exactly like the Python
+      // lane, not silently index a garbage token.
+      {
+        const uint8_t* s = value_buf;
+        int64_t i = 0;
+        if (i < n && s[i] == '-') i++;
+        if (i >= n) { error = true; return; }
+        if (s[i] == '0') { i++; }
+        else if (s[i] >= '1' && s[i] <= '9') { while (i < n && s[i] >= '0' && s[i] <= '9') i++; }
+        else { error = true; return; }
+        if (i < n && s[i] == '.') {
+          i++;
+          if (i >= n || s[i] < '0' || s[i] > '9') { error = true; return; }
+          while (i < n && s[i] >= '0' && s[i] <= '9') i++;
+        }
+        if (i < n && s[i] == 'e') {
+          i++;
+          if (i < n && (s[i] == '+' || s[i] == '-')) i++;
+          if (i >= n || s[i] < '0' || s[i] > '9') { error = true; return; }
+          while (i < n && s[i] >= '0' && s[i] <= '9') i++;
+        }
+        if (i != n) { error = true; return; }
+      }
+      // The Python spec token is repr(json.loads(text)) (go_like_str).
+      // Integers parse to arbitrary-precision int -> str(int) == text
+      // (grammar already forbids leading zeros), except "-0" whose spec
+      // token is "0". Floats (dot or exponent) are COMPUTED: the exact
+      // repr token is reproduced from the parsed double, so ANY legal
+      // spelling ("1.50", "1e5", "1.25000000000000001") indexes the spec
+      // token natively instead of falling back.
       {
         const uint8_t* s = value_buf;
         int64_t start = (s[0] == '-') ? 1 : 0;
-        const bool leading_zero =
-            (n - start >= 2 && s[start] == '0' && s[start + 1] >= '0' && s[start + 1] <= '9');
-        const bool bad_edge =
-            (n - start == 0) || s[start] == '.' || s[n - 1] == '.';
-        bool trailing_frac_zero = false;
-        if (has_dot && !has_exp && s[n - 1] == '0' &&
-            !(n >= 2 && s[n - 2] == '.')) {
-          trailing_frac_zero = true;  // e.g. "1.50" (repr never emits it)
-        }
-        if (has_exp || leading_zero || bad_edge || trailing_frac_zero) {
-          fallback = true;
+        if (!has_dot && !has_exp) {
+          if (n - start == 1 && s[start] == '0' && start == 1) {
+            value_buf[0] = '0';  // "-0" -> int 0 -> token "0"
+            emit_value(1);
+            return;
+          }
+          emit_value(n);
           return;
         }
+        if (n > 64) { fallback = true; return; }
+        char txt[72];
+        std::memcpy(txt, s, (size_t)n);
+        txt[n] = '\0';
+        char* endp = nullptr;
+        const double d = std::strtod(txt, &endp);
+        if (endp != txt + n || !std::isfinite(d)) {
+          fallback = true;  // overflow to inf etc.: Python lane decides
+          return;
+        }
+        const int w = bs_float_repr_token(d, (char*)value_buf, (int)buf_cap);
+        if (w < 0) { fallback = true; return; }
+        emit_value(w);
+        return;
       }
-      // go_like_str: repr() minus a trailing ".0".
-      if (n >= 2 && value_buf[n - 1] == '0' && value_buf[n - 2] == '.') n -= 2;
-      emit_value(n);
     }
   }
 
@@ -1609,18 +1719,25 @@ static int64_t decompress_zstd_stream(const uint8_t* comp, int64_t comp_len,
   if (!dctx) return -2;
   ZSTD_inBuffer in{comp, (size_t)comp_len, 0};
   ZSTD_outBuffer ob{out, (size_t)out_cap, 0};
+  size_t last_rc = 0;
   while (in.pos < in.size) {
     const size_t rc = ZSTD_decompressStream(dctx, &ob, &in);
     if (ZSTD_isError(rc)) {
       ZSTD_freeDCtx(dctx);
       return -2;
     }
+    last_rc = rc;
     if (ob.pos == ob.size && in.pos < in.size) {
       ZSTD_freeDCtx(dctx);
       return -4;  // output capacity too small
     }
   }
   ZSTD_freeDCtx(dctx);
+  // rc == 0 means the frame completed; nonzero after input exhausted means
+  // a TRUNCATED stream — returning the partial bytes as success would
+  // silently drop rows past the truncation point (false negatives) for
+  // verify_crc=0 callers.
+  if (last_rc != 0) return -2;
   return (int64_t)ob.pos;
 }
 
@@ -1837,11 +1954,42 @@ inline bool mm_skip_value(const uint8_t*& p, const uint8_t* end) {
     }
     return false;
   }
-  // primitive: run to a structural boundary
+  // primitive: run to a structural boundary, then VALIDATE it — accepting
+  // arbitrary garbage here let bs_extract_minmax return trusted status for
+  // rows whose non-target values make json.loads raise (the fast lane then
+  // indexed rows the dict lane rejects). false routes the row to the
+  // Python path, which raises identically to the spec.
+  const uint8_t* s0 = p;
   while (p < end && *p != ',' && *p != '}' && *p != ']' && *p != ' ' &&
          *p != '\t' && *p != '\n' && *p != '\r')
     p++;
-  return true;
+  const int64_t len = p - s0;
+  if (len <= 0) return false;
+  auto is_kw = [&](const char* kw, int64_t kl) {
+    return len == kl && std::memcmp(s0, kw, (size_t)kl) == 0;
+  };
+  if (is_kw("true", 4) || is_kw("false", 5) || is_kw("null", 4) ||
+      is_kw("NaN", 3) || is_kw("Infinity", 8) || is_kw("-Infinity", 9))
+    return true;
+  // Strict JSON number grammar.
+  int64_t i = 0;
+  if (s0[i] == '-') i++;
+  if (i >= len) return false;
+  if (s0[i] == '0') i++;
+  else if (s0[i] >= '1' && s0[i] <= '9') { while (i < len && s0[i] >= '0' && s0[i] <= '9') i++; }
+  else return false;
+  if (i < len && s0[i] == '.') {
+    i++;
+    if (i >= len || s0[i] < '0' || s0[i] > '9') return false;
+    while (i < len && s0[i] >= '0' && s0[i] <= '9') i++;
+  }
+  if (i < len && (s0[i] == 'e' || s0[i] == 'E')) {
+    i++;
+    if (i < len && (s0[i] == '+' || s0[i] == '-')) i++;
+    if (i >= len || s0[i] < '0' || s0[i] > '9') return false;
+    while (i < len && s0[i] >= '0' && s0[i] <= '9') i++;
+  }
+  return i == len;
 }
 
 // Decode a JSON key into dst (cap bytes). Returns decoded length, -1 on

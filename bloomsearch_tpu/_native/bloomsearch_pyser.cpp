@@ -143,6 +143,10 @@ int write_value(Buf& b, PyObject* obj, int depth) {
     return 1;
   }
   if (PyDict_Check(obj)) {
+    // EXACT dicts only: json.dumps' C encoder uses items() for dict
+    // subclasses (OrderedDict with a moved key would serialize in a
+    // different order here than json.dumps — a silent byte divergence).
+    if (!PyDict_CheckExact(obj)) return 0;  // clean fallback to json.dumps
     b.put('{');
     PyObject *key, *value;
     Py_ssize_t pos = 0;
@@ -181,7 +185,7 @@ extern "C" {
 // rows: list[dict] -> (stream bytes, offsets int64-LE bytes, lengths
 // int64-LE bytes) | None (unsupported content: fall back) ; NULL on error.
 // Called via ctypes.PyDLL (GIL held), not as a bound method.
-__attribute__((visibility("default"))) PyObject* bs_serialize_rows(PyObject* rows) {
+static PyObject* serialize_rows_impl(PyObject* rows) {
   if (!PyList_Check(rows)) {
     PyErr_SetString(PyExc_TypeError, "rows must be a list");
     return nullptr;
@@ -225,6 +229,21 @@ __attribute__((visibility("default"))) PyObject* bs_serialize_rows(PyObject* row
   Py_DECREF(offs);
   Py_DECREF(lens);
   return out;
+}
+
+__attribute__((visibility("default"))) PyObject* bs_serialize_rows(PyObject* rows) {
+  // Exception firewall: std::bad_alloc from Buf/vector growth would
+  // otherwise unwind through the ctypes boundary and std::terminate the
+  // whole interpreter; raise MemoryError like the json.dumps path would.
+  try {
+    return serialize_rows_impl(rows);
+  } catch (const std::bad_alloc&) {
+    PyErr_NoMemory();
+    return nullptr;
+  } catch (...) {
+    PyErr_SetString(PyExc_RuntimeError, "native row serializer failed");
+    return nullptr;
+  }
 }
 
 }  // extern "C"

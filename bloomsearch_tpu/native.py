@@ -480,9 +480,13 @@ def ingest_tokenize(
     """Tokenize + hash serialized rows in one native pass.
 
     Returns (field_hashes[Nf,2], token_hashes[Nt,2], ft_hashes[Nft,2],
-    fallback_mask[bool]) — rows flagged in fallback_mask produced no hashes
-    and must go through the Python tokenizer. None means the native library
-    is unavailable.
+    fallback_mask[bool]) — rows flagged in fallback_mask must go through
+    the Python tokenizer. NOTE: a flagged row MAY still have contributed
+    hashes for the prefix parsed before the fallback point (the sink is not
+    row-transactional); extra set bits only inflate FPR — conservative —
+    but do not rely on "no hashes from fallback rows" for key-count
+    accounting or filter rebuilds. None means the native library is
+    unavailable.
     """
     lib = _load()
     if lib is None:

@@ -108,22 +108,20 @@ class TestNativeIngestParity:
             expect_fallback=[False],
         )
 
-    def test_exponent_numbers_fall_back(self):
-        # repr() pads exponents ("1e+16") while legal JSON may not ("1E16"),
-        # so any exponent form routes through the Python spec.
-        assert_parity([{"big": 1e16, "tiny": 1.5e-8}], expect_fallback=[True])
+    def test_exponent_numbers_native_with_spec_tokens(self):
+        # Round-4: the parser computes the repr token, so exponent forms
+        # index natively with exact spec parity (was: blanket fallback).
+        assert_parity([{"big": 1e16, "tiny": 1.5e-8}], expect_fallback=[False])
 
-    def test_non_canonical_numbers_fall_back(self):
-        # Legal-but-non-canonical JSON via the serialized ingest path must
-        # not diverge: trailing fraction zeros / uppercase exponents flag
-        # the row for Python handling.
-        import bloomsearch_tpu as bs
-
+    def test_non_canonical_numbers_stay_native(self):
+        # Legal-but-non-canonical JSON via the serialized ingest path does
+        # not diverge: the parser computes the repr token for every legal
+        # spelling (round-4; was a fallback, now exact + native).
         serialized = [b'{"a":1.50}', b'{"b":1E5}', b'{"c":25.0}']
         result = _native_tokenize(serialized, ".")
         assert result is not None
         _, _, _, fallback = result
-        assert list(fallback) == [True, True, False]
+        assert list(fallback) == [False, False, False]
 
     def test_nonfinite_floats(self):
         rows = [{"inf": math.inf, "ninf": -math.inf, "nan": math.nan}]
@@ -299,3 +297,137 @@ class TestNativeRowSerializer:
             assert length == lens[i] and pos + 4 == offs[i]
             pos += 4 + length
         assert pos == len(stream)
+
+
+class TestNumberCanonicalityScreen:
+    """Round-4 review fixes: the native lane must route every number whose
+    text might differ from repr(json.loads(text)) to the Python path, and
+    must REJECT grammar the spec rejects."""
+
+    def _fb(self, raw: bytes) -> bool:
+        import numpy as np
+
+        from bloomsearch_tpu import native
+
+        if not native.available():
+            pytest.skip("native unavailable")
+        res = native.ingest_tokenize(
+            raw, np.array([0], dtype=np.int64), np.array([len(raw)], dtype=np.int64)
+        )
+        assert res is not None
+        return bool(res[3][0])
+
+    def _token_hashes(self, raw: bytes):
+        import numpy as np
+
+        from bloomsearch_tpu import native
+
+        res = native.ingest_tokenize(
+            raw, np.array([0], dtype=np.int64), np.array([len(raw)], dtype=np.int64)
+        )
+        assert res is not None
+        assert not res[3][0], raw  # stays native
+        return np.asarray(res[1])
+
+    def test_every_legal_spelling_indexes_the_spec_token(self):
+        """The native lane COMPUTES the repr token (bs_float_repr_token), so
+        any legal spelling indexes exactly what the Python spec would."""
+        import json
+
+        import numpy as np
+
+        from bloomsearch_tpu.bloom.hashing import hash_keys
+        from bloomsearch_tpu.utils import go_like_str
+
+        for raw in (
+            b'{"a":1.25000000000000001}',  # non-shortest: spec token "1.25"
+            b'{"a":-0}',                   # spec token "0"
+            b'{"a":10000000000000000.0}',  # spec token "1e+16"
+            b'{"a":0.00001}',              # spec token "1e-05"
+            b'{"a":1e5}',                  # spec token "100000"
+            b'{"a":1.25}', b'{"a":-0.5}', b'{"a":123}', b'{"a":0}',
+            b'{"a":5.0}', b'{"a":-0.0}', b'{"a":0.0001}', b'{"a":1.5e+25}',
+        ):
+            got = self._token_hashes(raw)
+            spec = hash_keys(
+                [go_like_str(json.loads(raw)["a"]).lower().encode()]
+            )
+            assert got.shape[0] == 1 and (got[0] == spec[0]).all(), raw
+
+    def test_differential_float_spelling_fuzz(self):
+        """Random doubles under random legal spellings: native token hash ==
+        spec token hash whenever the row stays native; spec-rejected
+        grammar always flags."""
+        import json
+        import random
+
+        import numpy as np
+
+        from bloomsearch_tpu import native
+        from bloomsearch_tpu.bloom.hashing import hash_keys
+        from bloomsearch_tpu.utils import go_like_str
+
+        rng = random.Random(77)
+        for _ in range(800):
+            kind = rng.random()
+            if kind < 0.4:
+                text = repr(rng.uniform(-1e3, 1e3) * (10 ** rng.randint(-8, 8)))
+            elif kind < 0.6:
+                text = f"{rng.uniform(-10, 10):.{rng.randint(1, 20)}f}"
+            elif kind < 0.75:
+                text = f"{rng.uniform(-10, 10):.{rng.randint(0, 17)}e}"
+            else:
+                text = str(rng.randint(-10**18, 10**18))
+            raw = ("{\"a\":" + text + "}").encode()
+            parsed = json.loads(raw)
+            res = native.ingest_tokenize(
+                raw, np.array([0], dtype=np.int64),
+                np.array([len(raw)], dtype=np.int64),
+            )
+            if res[3][0]:
+                continue  # conservative fallback: Python lane handles
+            spec = hash_keys([go_like_str(parsed["a"]).lower().encode()])
+            got = np.asarray(res[1])
+            assert got.shape[0] == 1 and (got[0] == spec[0]).all(), text
+
+    def test_spec_rejected_grammar_flags_row(self):
+        for raw in (
+            b'{"a":1-2}', b'{"a":+5}', b'{"a":1.2.3}', b'{"a":5e}',
+            b'{"a":"x\ny"}',  # raw control byte in string: json.loads raises
+        ):
+            assert self._fb(raw), raw
+
+    def test_minmax_does_not_trust_garbage_values(self):
+        import numpy as np
+
+        from bloomsearch_tpu import native
+
+        if not native.available():
+            pytest.skip("native unavailable")
+        raw = b'{"x":@@@,"t":5}'
+        res = native.extract_minmax(
+            raw, np.array([0], dtype=np.int64),
+            np.array([len(raw)], dtype=np.int64), "t",
+        )
+        if res is not None:
+            _, _, status = res
+            assert status[0] != 1
+
+    def test_dict_subclass_routes_to_json_dumps(self):
+        from collections import OrderedDict
+
+        from bloomsearch_tpu import native
+
+        if not native.available():
+            pytest.skip("native unavailable")
+        od = OrderedDict([("a", 1), ("b", 2)])
+        od.move_to_end("a")
+        out = native.serialize_rows([{"k": od}])
+        if out is not None:
+            import json
+
+            stream, offs, lens = out
+            got = bytes(stream[offs[0] : offs[0] + lens[0]])
+            assert got == json.dumps(
+                {"k": od}, separators=(",", ":")
+            ).encode(), got

@@ -123,8 +123,6 @@ class TestDirectedCases:
         rows = [
             '{"a": "héllo"}'.encode(),          # raw non-ASCII byte
             b'{"a": "\\u00e9cho"}',             # \u >= 0x80
-            b'{"a": 1e5}',                      # non-canonical number
-            b'{"a": 1.50}',                     # trailing fraction zero
             b'{"a": 1, "a": 2}',                # duplicate keys (last wins)
             b'{"a.b": 1}',                      # key containing delimiter
             b'[1, 2]',                          # non-object top level
@@ -133,6 +131,17 @@ class TestDirectedCases:
         conds = [(KIND_FIELD, "a", ""), (KIND_TOKEN, "", "1")]
         match, fallback = _run(rows, conds)
         assert fallback.all(), f"expected all fallback, got {fallback}"
+
+    def test_non_canonical_numbers_verify_natively_with_spec_tokens(self):
+        """Round-4: the parser COMPUTES the repr token, so legal non-spec
+        spellings verify natively against the spec token (no fallback)."""
+        rows = [b'{"a": 1e5}', b'{"a": 1.50}']
+        match, fallback = _run(rows, [(KIND_TOKEN, "", "100000")])
+        assert not fallback.any()
+        assert match[0].tolist() == [True, False]
+        match, fallback = _run(rows, [(KIND_TOKEN, "", "1.5")])
+        assert not fallback.any()
+        assert match[0].tolist() == [False, True]
 
     def test_duplicate_key_does_not_leak_first_occurrence(self):
         # json.loads keeps the LAST "a"; native must not silently report the
