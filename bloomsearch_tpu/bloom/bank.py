@@ -303,7 +303,11 @@ def _enable_persistent_jit_cache(jax) -> None:
             return  # user already configured a cache
         cache_dir = override or os.path.expanduser("~/.cache/bloomsearch-tpu-jit")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # 0.1 s, not the 1.0 default: warmup compiles ~30 programs and a
+        # restart should hit on ALL of them — the sub-second ones (e.g.
+        # probe_bank at 0.39 s) recompiling adds seconds through a tunnel.
+        # Measured on this chip: first compile 7.06 s, cached re-read 0.14 s.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:  # older jax or read-only home: cold compiles only
         logger.debug("persistent jit cache unavailable", exc_info=True)
 
@@ -332,7 +336,11 @@ class DeviceProbeBackend:
         if require_device and self.platform not in ("tpu", "gpu", "cpu"):
             raise RuntimeError(f"no usable JAX backend (got {self.platform})")
         self.use_pallas = self.platform == "tpu"
-        _enable_persistent_jit_cache(jax)
+        if self.platform in ("tpu", "gpu"):
+            # Accelerator compiles cost seconds-to-minutes and amortize
+            # across processes; CPU compiles are fast and persisting them
+            # floods restarts with XLA:CPU AOT machine-feature warnings.
+            _enable_persistent_jit_cache(jax)
         # Pallas interpret mode lets CPU runs exercise the production kernel
         # inside shard_map (tests, the multichip dryrun).
         self.pallas_interpret = False

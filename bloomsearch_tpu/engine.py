@@ -297,6 +297,15 @@ class BloomSearchEngineConfig:
     # when the device probe backend is active.
     row_cache_bytes: int = 0
 
+    # Restart sidecar cache directory (servingcache.py): persists each
+    # pinned block's packed stream chunks / candidate flags / row
+    # coordinates — pure functions of the immutable file bytes — so an
+    # engine restart skips the decode+pack pass and warmup cost collapses
+    # to the h2d upload floor (+ jit-cache reads). None disables. The
+    # directory is a cache: safe to delete, grows to ~1.07x the raw bytes
+    # ever pinned, entries invalidate with their file's tombstone.
+    serving_cache_dir: Optional[str] = None
+
     # Cold-block pins happen OFF the query's critical path when the native
     # pipeline already produced the scan result inline (the pin is then a
     # pure cache-warm upload — hundreds of ms through remote-attached
@@ -755,6 +764,17 @@ class BloomSearchEngine:
                 mesh_devices=config.mesh_devices,
                 host_shadow=self._row_shadow,
             )
+        # Restart sidecar: persisted packed serving state (pure function of
+        # immutable file bytes). Loads are skipped in shadow mode — a
+        # sidecar hit has no decompressed bytes to retain host-side.
+        self._serving_cache = None
+        if config.serving_cache_dir and self._row_cache is not None:
+            try:
+                from .servingcache import ServingStateCache
+
+                self._serving_cache = ServingStateCache(config.serving_cache_dir)
+            except Exception:
+                logger.exception("serving cache unavailable; decode+pack path only")
         # Warmup phase timings (reserve / first pins / programs / pins),
         # populated by _warmup_impl; exposed via stats()["warmup"].
         self._warmup_timeline: dict = {}
@@ -1136,10 +1156,28 @@ class BloomSearchEngine:
 
     def _decode_and_pin(self, pointer: bytes, blk, yield_to=None):
         """Decode one block (CRC-verified) and pin its rows in the device
-        row cache — the warmup counterpart of the query path's decode+pin."""
+        row cache — the warmup counterpart of the query path's decode+pin.
+
+        With a serving sidecar (config.serving_cache_dir) a previously
+        packed block skips the read+decode+pack entirely: the pin streams
+        straight from the sidecar's mmap to the device (restart fast
+        path)."""
         from . import native as _native
         from .scan import split_rows_arrays
 
+        key = (pointer, blk.offset)
+        sc = self._serving_cache
+        if sc is not None and not self._row_shadow:
+            hit = sc.load(pointer, blk)
+            if hit is not None:
+                return self._row_cache.pin(
+                    key, None, hit.row_offsets, hit.row_lengths,
+                    fetcher=self._make_row_fetcher(
+                        pointer, blk, comp_index=hit.comp_index
+                    ),
+                    yield_to=yield_to,
+                    prepacked=(hit.chunks, hit.always_candidate, hit.n_chunks),
+                )
         with self.data_store.open_file(pointer) as fh:
             compressed = read_block_rows_compressed(fh, blk, verify=False)
         processed = (
@@ -1161,11 +1199,38 @@ class BloomSearchEngine:
                 raise InvalidHashError("row data CRC mismatch")
             data = decompress_block(compressed, blk.compression, blk.uncompressed_size)
             _, offsets, lengths = split_rows_arrays(data)
-        return self._row_cache.pin(
-            (pointer, blk.offset), data, offsets, lengths,
-            fetcher=self._make_row_fetcher(pointer, blk, compressed),
-            yield_to=yield_to,
+        comp_index = self._comp_index_for(blk, compressed)
+        prepacked = self._sidecar_pack_store(
+            pointer, blk, data, offsets, lengths, comp_index
         )
+        return self._row_cache.pin(
+            key, data, offsets, lengths,
+            fetcher=self._make_row_fetcher(pointer, blk, comp_index=comp_index),
+            yield_to=yield_to,
+            prepacked=prepacked,
+        )
+
+    def _sidecar_pack_store(
+        self, pointer: bytes, blk, data, offsets, lengths, comp_index
+    ):
+        """Pack a block for pinning and persist the result to the serving
+        sidecar (best-effort). Returns the prepacked triple for pin(), or
+        None when no sidecar is configured (pin packs internally)."""
+        sc = self._serving_cache
+        if sc is None:
+            return None
+        from .rowcache import pack_block
+
+        try:
+            chunks, flags, n_chunks = pack_block(data, offsets, lengths)
+        except Exception:
+            logger.exception("sidecar pack failed for %r", pointer)
+            return None
+        try:
+            sc.store(pointer, blk, chunks, flags, n_chunks, offsets, lengths, comp_index)
+        except Exception:
+            logger.exception("sidecar store failed for %r", pointer)
+        return chunks, flags, n_chunks
 
     def _warmup_scan_programs(
         self, pinned: list, yield_budget: "_YieldBudget", timeline: dict, t0: float
@@ -1282,19 +1347,29 @@ class BloomSearchEngine:
             return False  # stream full and churn budget spent: stays a host hit
         return True
 
-    def _submit_background_pin(self, key, data, offsets, lengths, fetcher) -> None:
+    def _submit_background_pin(
+        self, key, data, offsets, lengths, fetcher, sidecar=None
+    ) -> None:
         """Queue a pre-admitted cache-warm pin; bounded, best-effort.
 
         The caller holds ``key``'s _bg_pins registration from
         _admit_background_pin; every exit below (pin done, pin failed,
-        pool shut down) releases it."""
+        pool shut down) releases it. ``sidecar`` = (pointer, blk,
+        comp_index) to persist the packed state on the pin thread."""
 
         def work():
             try:
                 if not self._stop_event.is_set():
+                    prepacked = None
+                    if sidecar is not None:
+                        pointer, blk, comp_index = sidecar
+                        prepacked = self._sidecar_pack_store(
+                            pointer, blk, data, offsets, lengths, comp_index
+                        )
                     self._row_cache.pin(
                         key, data, offsets, lengths, fetcher=fetcher,
                         yield_to=self._pins_should_yield,
+                        prepacked=prepacked,
                     )
             except Exception:
                 logger.exception("background pin failed for %r", key)
@@ -1313,17 +1388,26 @@ class BloomSearchEngine:
         benchmarks that assert cache state after a query)."""
         self._pin_pool.submit(lambda: None).result(timeout)
 
-    def _make_row_fetcher(self, pointer: bytes, blk, compressed):
-        """Shadow-free extraction source for a pinned block, or None when the
-        host shadow is enabled. Captures only tiny state (block metadata and,
-        for snappy, the ~nchunks-entry compressed chunk index)."""
-        if self._row_shadow:
-            return None
-        comp_index = None
-        if blk.compression == "snappy":
+    def _comp_index_for(self, blk, compressed):
+        """Snappy random-access chunk index for a block's compressed bytes
+        (None for other codecs) — feeds both the shadow-free fetcher and
+        the serving sidecar."""
+        if blk.compression == "snappy" and compressed is not None:
             from . import snappy as _snappy
 
-            comp_index = _snappy.chunk_index(compressed)
+            return _snappy.chunk_index(compressed)
+        return None
+
+    def _make_row_fetcher(self, pointer: bytes, blk, compressed=None, *,
+                          comp_index=None):
+        """Shadow-free extraction source for a pinned block, or None when the
+        host shadow is enabled. Captures only tiny state (block metadata and,
+        for snappy, the ~nchunks-entry compressed chunk index — passed in,
+        or derived from ``compressed``)."""
+        if self._row_shadow:
+            return None
+        if comp_index is None:
+            comp_index = self._comp_index_for(blk, compressed)
 
         def fetch(idx, offsets, lengths):
             return self._fetch_pinned_rows(pointer, blk, comp_index, idx, offsets, lengths)
@@ -1726,6 +1810,8 @@ class BloomSearchEngine:
             out["device"] = self._device_backend.stats()
         if self._row_cache is not None:
             out["row_cache"] = self._row_cache.stats()
+        if self._serving_cache is not None:
+            out["serving_cache"] = self._serving_cache.stats()
         if self._warmup_timeline:
             out["warmup"] = dict(self._warmup_timeline)
         return out
@@ -1898,6 +1984,8 @@ class BloomSearchEngine:
             self._device_backend.invalidate(pointer)
         if self._row_cache is not None:
             self._row_cache.invalidate_file(pointer)
+        if self._serving_cache is not None:
+            self._serving_cache.invalidate_file(pointer)
         self._invalidate_host_bank(pointer)
         with self._file_bank_lock:
             for bank in self._file_bank_cache.values():
@@ -2458,8 +2546,12 @@ class BloomSearchEngine:
                                 pin_data = (
                                     data if isinstance(data, bytes) else bytes(data)
                                 )
+                                comp_index = self._comp_index_for(
+                                    job.block, compressed
+                                )
                                 fetcher = self._make_row_fetcher(
-                                    job.file_pointer, job.block, compressed
+                                    job.file_pointer, job.block,
+                                    comp_index=comp_index,
                                 )
                             except BaseException:
                                 # Payload prep failed: release the admission
@@ -2470,16 +2562,27 @@ class BloomSearchEngine:
                                     self._bg_pins.discard(cache_key)
                                 raise
                             self._submit_background_pin(
-                                cache_key, pin_data, offsets, lengths, fetcher
+                                cache_key, pin_data, offsets, lengths, fetcher,
+                                sidecar=(
+                                    (job.file_pointer, job.block, comp_index)
+                                    if self._serving_cache is not None
+                                    else None
+                                ),
                             )
                     else:
                         if not isinstance(data, bytes):
                             data = bytes(data)
+                        comp_index = self._comp_index_for(job.block, compressed)
                         fetcher = self._make_row_fetcher(
-                            job.file_pointer, job.block, compressed
+                            job.file_pointer, job.block, comp_index=comp_index
+                        )
+                        prepacked = self._sidecar_pack_store(
+                            job.file_pointer, job.block, data, offsets,
+                            lengths, comp_index,
                         )
                         pinned = self._row_cache.pin(
-                            cache_key, data, offsets, lengths, fetcher=fetcher
+                            cache_key, data, offsets, lengths, fetcher=fetcher,
+                            prepacked=prepacked,
                         )
             num_rows = offsets.shape[0]
             stats.rows_processed = num_rows

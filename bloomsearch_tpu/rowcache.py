@@ -182,6 +182,36 @@ def _pack_stream_numpy(
     return chunks, flags
 
 
+def pack_block(
+    data, row_offsets: np.ndarray, row_lengths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Pack one block's row buffer into serving-stream form.
+
+    -> (chunks uint8[max(n_chunks,1), CHUNK_BYTES], always_candidate
+    bool[num_rows], n_chunks). Pure function of the block bytes — what the
+    restart sidecar (servingcache.py) persists; pin() calls it when the
+    caller didn't supply ``prepacked``.
+    """
+    nat = (
+        _native.pack_stream(
+            data, row_offsets, row_lengths, STREAM_STRIDE, CHUNK_BYTES
+        )
+        if _native.available()
+        else None
+    )
+    if nat is not None:
+        # Native single pass: chunk + lowercase + conservative flags at
+        # GB/s; _pack_stream_numpy is the spec (parity tested).
+        chunks, flags = nat
+        always_candidate = flags.astype(bool)
+    else:
+        chunks, always_candidate = _pack_stream_numpy(
+            data, row_offsets, row_lengths
+        )
+    n_chunks = -(-len(data) // STREAM_STRIDE) if data is not None and len(data) else 0
+    return chunks, always_candidate, n_chunks
+
+
 def _device_scan_fn(mesh):
     import functools
 
@@ -727,6 +757,7 @@ class DeviceRowCache:
         row_lengths: np.ndarray,
         fetcher=None,
         yield_to=None,
+        prepacked: Optional[tuple[np.ndarray, np.ndarray, int]] = None,
     ) -> _PinnedBlock:
         """Chunk + lowercase a block's row buffer and append it to the
         stream matrix.
@@ -747,7 +778,12 @@ class DeviceRowCache:
         sync pin, which would deadlock on itself): a callable polled at
         each device-work boundary; while truthy the pin pauses (bounded by
         _PIN_YIELD_MAX_S total) so in-flight queries' launches aren't
-        queued behind this pin's uploads/compactions on the device."""
+        queued behind this pin's uploads/compactions on the device.
+
+        ``prepacked`` = (chunks, always_candidate, n_chunks) from
+        pack_block() or a restart sidecar (servingcache.py): the pack pass
+        is skipped and ``data`` may be None (fetcher then required — there
+        are no bytes to shadow)."""
         jnp = self._jnp
         num_rows = row_offsets.shape[0]
         with self._lock:
@@ -755,23 +791,14 @@ class DeviceRowCache:
             if existing is not None:
                 return existing
 
-        nat = (
-            _native.pack_stream(
-                data, row_offsets, row_lengths, STREAM_STRIDE, CHUNK_BYTES
-            )
-            if _native.available()
-            else None
-        )
-        if nat is not None:
-            # Native single pass: chunk + lowercase + conservative flags at
-            # GB/s; _pack_stream_numpy is the spec (parity tested).
-            chunks, flags = nat
-            always_candidate = flags.astype(bool)
+        if prepacked is not None:
+            chunks, always_candidate, n_chunks = prepacked
+            if data is None and fetcher is None:
+                raise ValueError("prepacked pin without data requires a fetcher")
         else:
-            chunks, always_candidate = _pack_stream_numpy(
+            chunks, always_candidate, n_chunks = pack_block(
                 data, row_offsets, row_lengths
             )
-        n_chunks = -(-len(data) // STREAM_STRIDE) if data else 0
 
         # Pack 4 bytes per int32 word, little-endian (what the SWAR scan
         # kernel and its host-computed pattern words assume). A pure
@@ -954,7 +981,7 @@ class DeviceRowCache:
             # Retained coordinate arrays downcast to int32 (a block is at
             # most max_row_group_bytes, far under 2^31) — with the shadow
             # gone these arrays ARE the host footprint.
-            if len(data) < (1 << 31):
+            if data is None or len(data) < (1 << 31):
                 row_offsets = np.asarray(row_offsets, dtype=np.int32)
                 row_lengths = np.asarray(row_lengths, dtype=np.int32)
             block = _PinnedBlock(
