@@ -122,20 +122,29 @@ class TestRiskScreen:
 
 
 class TestFlagRouting:
-    """Flags the Pike VM cannot model must route to the budgeted fallback,
-    never silently change semantics (the VM dropping (?i:...) made matching
-    rows disappear from results — a zero-false-negative violation)."""
+    """Semantic flags (IGNORECASE/MULTILINE/DOTALL/ASCII, global or scoped)
+    compile INTO the Pike VM with exact re parity (round 5 — previously
+    they routed to the budgeted fallback, the only path that can error
+    where the reference completes)."""
 
     def test_scoped_inline_flags_parity(self):
-        # Risky pattern + scoped IGNORECASE: VM must refuse (it has no flag
-        # plumbing), and the fallback must match re exactly.
+        # Risky pattern + scoped IGNORECASE: the VM must model the scoped
+        # fold exactly (dropping it made matching rows disappear — a
+        # zero-false-negative violation).
         pattern = r"(?i:(a+)+b)"
-        with pytest.raises(Exception):
-            LinearMatcher(pattern)
+        vm = LinearMatcher(pattern)
         matcher = build_safe_matcher(pattern)
         ref = re.compile(pattern)
         for s in ("AAAB", "aab", "xxxx", "A" * 30 + "c", "aAaAb"):
+            assert vm.search(s) == (ref.search(s) is not None), s
             assert matcher(s) == (ref.search(s) is not None), s
+        # The scope must END with the group: the tail 'b' outside stays
+        # case-sensitive.
+        pattern = r"(?i:(a+)+x)b"
+        vm = LinearMatcher(pattern)
+        ref = re.compile(pattern)
+        for s in ("AAXb", "AAXB", "aaxb", "aaxB"):
+            assert vm.search(s) == (ref.search(s) is not None), s
 
     def test_scoped_dotall_parity(self):
         pattern = r"(?s:(.+)+x)"
@@ -145,15 +154,36 @@ class TestFlagRouting:
             assert matcher(s) == (ref.search(s) is not None), repr(s)
 
     def test_ascii_flag_parity(self):
-        # (?a) flips \d to ASCII-only; the VM's Unicode predicates would
-        # match Arabic-Indic digits the user excluded (wrong results).
+        # (?a) flips \d to ASCII-only; the VM's class predicates must honor
+        # it (Unicode \d would match Arabic-Indic digits the user excluded
+        # — wrong results, not just missed ones).
         pattern = r"(?a)(\d+)+x"
-        with pytest.raises(Exception):
-            LinearMatcher(pattern)
+        vm = LinearMatcher(pattern)
         matcher = build_safe_matcher(pattern)
         ref = re.compile(pattern)
         for s in ("٣٣x", "12x", "abc", "1x"):
+            assert vm.search(s) == (ref.search(s) is not None), repr(s)
             assert matcher(s) == (ref.search(s) is not None), repr(s)
+
+    def test_ignorecase_unicode_edge_parity(self):
+        # Kelvin sign / long s / final sigma: the VM delegates folded
+        # literals to re itself, so these match exactly like re.
+        for pattern, samples in [
+            (r"(?i)(k+)+x", ["Kkx", "KKx", "qx"]),
+            (r"(?i)(s+)+x", ["ſsx", "SSx", "tx"]),
+            (r"(?i)[σ]+x", ["Σx", "ςx", "ax"]),
+        ]:
+            vm = LinearMatcher(pattern)
+            ref = re.compile(pattern)
+            for s in samples:
+                assert vm.search(s) == (ref.search(s) is not None), (pattern, s)
+
+    def test_multiline_anchor_parity(self):
+        pattern = r"(?m)^(x+)+$"
+        vm = LinearMatcher(pattern)
+        ref = re.compile(pattern)
+        for s in ("yy\nxxx", "yy\nxxz", "xxx\nyy", "a\n\nb"):
+            assert vm.search(s) == (ref.search(s) is not None), repr(s)
 
     def test_polynomial_chain_bounded(self):
         # O(n^5) under raw re on a few-KB row; must complete instantly here.
@@ -270,13 +300,42 @@ class TestEngineCompletesPathologicalQuery:
 
 class TestFlagAndFallbackRouting:
     def test_ignorecase_risky_pattern_still_correct(self):
-        # IGNORECASE is outside the VM subset -> budgeted fallback engine.
+        # IGNORECASE risky pattern: VM path since round 5.
         m = build_safe_matcher(r"(?i)(a+)+$")
         assert m("AAA") and not m("AAB")
 
     def test_multiline_risky_pattern_still_correct(self):
         m = build_safe_matcher(r"(?m)^(x+)+$")
         assert m("yy\nxxx") and not m("yy\nxxz")
+
+    def test_reference_pattern_sweep_never_budgeted(self):
+        # Every regex in the reference's own tests (tokenizer_test.go:
+        # 280-313, bloom_tree_engine_test.go regex cases) plus RE2-style
+        # shapes must run on the screen-cleared re path or the linear VM —
+        # NEVER the budgeted fallback, which is the only path that can
+        # error where the reference completes (VERDICT r4 item 9).
+        from bloomsearch_tpu.relinear import matcher_route
+
+        reference_patterns = [
+            r"(?i)^jo", r"^true$", r"^2$", r"^auth$", r"^error$", r"^pay",
+            r"^payment$", r"failed", r"timeout", r"timeout$",
+        ]
+        re2_shapes = [
+            r"(?i)(ab|cd)+x", r"(?m)^err.*$", r"(?s)a.+b", r"(?a)\w+\d{2,8}",
+            r"[A-Za-z0-9_.+-]+@[a-z]+\.[a-z]{2,6}",
+            r"(?i:warn|error)\s+code=\d+", r"(a|b)*c", r"x{2,100}y",
+            r"\bword\b", r"(?i)[σk]+x",
+        ]
+        for p in reference_patterns + re2_shapes:
+            assert matcher_route(p) in ("re", "vm"), p
+
+    def test_go_rejected_constructs_route_to_fallback(self):
+        # Constructs Go regexp itself REJECTS may still use the budgeted
+        # fallback here (we're more permissive than the reference, bounded).
+        from bloomsearch_tpu.relinear import matcher_route
+
+        assert matcher_route(r"(a+)\1+b") == "fallback"  # risky + backref
+        assert matcher_route(r"(?<=a)(b+)+c") == "fallback"  # risky + lookbehind
 
     def test_counted_repeat_blowup_routes_to_fallback(self):
         # Program-size cap: (a{0,500}){0,500} would expand enormously.
