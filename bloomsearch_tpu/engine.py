@@ -984,10 +984,15 @@ class BloomSearchEngine:
             )
             scan_thread.start()
 
-        # Block banks: make every group resident (device superbanks or the
-        # host cache); remember one (pointer, gi) per (m, k, layout) for the
-        # compile pass below.
+        # Block banks: make groups resident (device superbanks or the host
+        # cache) UP TO the bank cache budget — a beyond-budget dataset
+        # (total banks > bank_cache_bytes, the >30 GB regime) would
+        # otherwise thrash-load every group through LRU eviction during
+        # warmup; the un-warmed tail is served by per-query sparse cold
+        # probes instead. Remember one (pointer, gi) per (m, k, layout)
+        # for the compile pass below.
         compile_reps: dict[tuple, tuple] = {}
+        bank_budget_hit = False
         for mf in maybe_files:
             if self._stop_event.is_set():
                 return
@@ -1001,6 +1006,16 @@ class BloomSearchEngine:
 
                 try:
                     if self._device_backend is not None:
+                        if (
+                            not bank_budget_hit
+                            and self._device_backend.total_bytes()
+                            + group.size
+                            > self.config.bank_cache_bytes
+                        ):
+                            bank_budget_hit = True
+                            timeline["bank_budget_hit"] = True
+                        if bank_budget_hit and mk in compile_reps:
+                            continue  # sparse cold probes serve this group
                         seg_key = self._device_backend.segment_key(mf.pointer, gi)
                         self._device_backend._ensure_resident(
                             mf.pointer, mk, seg_key, load,
@@ -1008,6 +1023,15 @@ class BloomSearchEngine:
                         )
                         compile_reps.setdefault(mk, (mf.pointer, gi, load))
                     elif self._host_bank(mf.pointer, group) is None:
+                        if (
+                            not bank_budget_hit
+                            and self._host_bank_bytes + group.size
+                            > self.config.bank_cache_bytes
+                        ):
+                            bank_budget_hit = True
+                            timeline["bank_budget_hit"] = True
+                        if bank_budget_hit:
+                            continue
                         self._host_bank_put(mf.pointer, group, load())
                 except FileNotFoundError:
                     break  # merged/tombstoned during warmup
@@ -2280,6 +2304,7 @@ class BloomSearchEngine:
         # probe) and warm the CRC-verified full bank in the background so
         # the next query is resident.
         sparse: list[tuple] = []
+        host_fallback: list[tuple] = []
         if self._device_backend is not None:
             from .bloom.probe import compile_cnf_clauses, is_flat_and_expression
 
@@ -2292,33 +2317,67 @@ class BloomSearchEngine:
             flat_and = is_flat_and_expression(prune_query.expression)
             cnf_mask = compile_cnf_clauses(prune_query.expression, terms)
             requests = []
+            # One probe snapshots EVERY requested segment simultaneously, so
+            # a single query's resident set must fit the bank cache — beyond
+            # that, _ensure_resident of later groups evicts earlier ones and
+            # probe_groups churns. Admit up to ~90% of the budget (headroom
+            # for superbank capacity padding); overflow goes sparse when
+            # row CRCs allow, else to the host probe fallback.
+            admit_budget = max(int(backend.cache_bytes * 0.9), 1)
+            admitted = 0
             for pointer, gi, group in needed:
                 mk = (group.m_bits, group.k, group.params.layout)
                 # Sparse probing requires per-row CRCs (older files lack
                 # them): unverified bytes must never disqualify a block.
-                if (
-                    group.size <= SPARSE_BANK_BYTES
-                    or group.row_crc_offset is None
-                    or backend.is_resident(mk, backend.segment_key(pointer, gi))
-                ):
-                    requests.append((pointer, gi, mk, make_loader(pointer, group)))
-                else:
-                    sparse.append((pointer, gi, group))
-            if requests:
-                matches = backend.probe_groups(
-                    requests, terms, reduce_and=flat_and, clause_mask=cnf_mask
+                sparse_ok = (
+                    group.size > SPARSE_BANK_BYTES
+                    and group.row_crc_offset is not None
                 )
-                for pointer, gi, mk, _loader in requests:
-                    match = matches[(pointer, gi)]
-                    if match.shape[0] == 1 and (flat_and or cnf_mask is not None):
-                        # Expression fused on-device: [1, B] survivors.
-                        result[(pointer, gi)] = np.asarray(match[0])
-                    else:
-                        result[(pointer, gi)] = np.asarray(
-                            evaluate_match_expression(
-                                prune_query.expression, terms, match, match.shape[1]
+                resident = backend.is_resident(
+                    mk, backend.segment_key(pointer, gi)
+                )
+                if sparse_ok and not resident:
+                    sparse.append((pointer, gi, group))
+                elif admitted + group.size <= admit_budget:
+                    admitted += group.size
+                    requests.append((pointer, gi, mk, make_loader(pointer, group)))
+                elif sparse_ok:
+                    sparse.append((pointer, gi, group))
+                else:
+                    host_fallback.append((pointer, gi, group))
+            if requests:
+                try:
+                    matches = backend.probe_groups(
+                        requests, terms, reduce_and=flat_and, clause_mask=cnf_mask
+                    )
+                except RuntimeError:
+                    # Residency kept churning (concurrent queries competing
+                    # for an undersized cache): degrade to host probing
+                    # rather than failing the query.
+                    logger.warning(
+                        "device bank probe churned (cache %.0f MB, query "
+                        "needs %.0f MB); probing %d groups on host",
+                        backend.cache_bytes / 1e6,
+                        admitted / 1e6,
+                        len(requests),
+                    )
+                    group_of = {(p, gi): g for p, gi, g in needed}
+                    host_fallback.extend(
+                        (p, gi, group_of[(p, gi)]) for p, gi, _mk, _ld in requests
+                    )
+                else:
+                    for pointer, gi, mk, _loader in requests:
+                        match = matches[(pointer, gi)]
+                        if match.shape[0] == 1 and (flat_and or cnf_mask is not None):
+                            # Expression fused on-device: [1, B] survivors.
+                            result[(pointer, gi)] = np.asarray(match[0])
+                        else:
+                            result[(pointer, gi)] = np.asarray(
+                                evaluate_match_expression(
+                                    prune_query.expression, terms, match,
+                                    match.shape[1],
+                                )
                             )
-                        )
         else:
             by_pointer: dict[bytes, list[tuple[int, Any]]] = {}
             for pointer, gi, group in needed:
@@ -2349,6 +2408,27 @@ class BloomSearchEngine:
                 finally:
                     if fh is not None:
                         fh.close()
+
+        if host_fallback:
+            # Beyond-budget overflow from the device path: read + probe on
+            # host, uncached (these groups were refused residency precisely
+            # because the cache can't hold them alongside the rest of the
+            # query's set).
+            by_pointer_fb: dict[bytes, list[tuple[int, Any]]] = {}
+            for pointer, gi, group in host_fallback:
+                by_pointer_fb.setdefault(pointer, []).append((gi, group))
+            for pointer, groups in by_pointer_fb.items():
+                with self.data_store.open_file(pointer) as fh:
+                    for gi, group in groups:
+                        bank = read_bank_group(fh, group)
+                        match = probe_bank_host(
+                            bank, terms, group.m_bits, group.k,
+                            group.params.layout,
+                        )
+                        result[(pointer, gi)] = evaluate_match_expression(
+                            prune_query.expression, terms, match,
+                            group.num_blocks,
+                        )
 
         if sparse:
             from .bloom.probe import probe_rows_sparse

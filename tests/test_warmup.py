@@ -257,3 +257,114 @@ class TestIncrementalWarmup:
             assert st["device_bytes"] == cap0 * 512
         finally:
             engine.stop(timeout=TIMEOUT)
+
+
+class TestWarmupBankBudget:
+    """Beyond-budget bank warmup (the >30 GB regime scaled down): warmup
+    loads filter banks only up to bank_cache_bytes instead of LRU-thrashing
+    every group through the cache; the un-warmed tail is served by the
+    query path's sparse cold probes, so results stay exact."""
+
+    def _multifile_store(self, tmp_path, files=5, rows=300):
+        store = bs.FileSystemDataStore(str(tmp_path / "data"))
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(probe_backend="host"), store, store
+        )
+        engine.start()
+        for f in range(files):
+            engine.ingest_rows(
+                [{"f": f, "n": i, "w": f"file{f}tok {i}"} for i in range(rows)],
+                timeout=TIMEOUT,
+            )
+            engine.flush(timeout=TIMEOUT)
+        engine.stop(timeout=TIMEOUT)
+        return store
+
+    def test_device_warmup_stops_at_bank_budget(self, tmp_path):
+        store = self._multifile_store(tmp_path)
+        total_bank_bytes = sum(
+            g.size
+            for mf in store.get_maybe_files_for_query(None)
+            for g in mf.metadata.bank_groups
+        )
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(
+                probe_backend="device",
+                bank_cache_bytes=max(total_bank_bytes // 3, 1),
+            ),
+            store,
+            store,
+        )
+        engine.start()
+        try:
+            engine.warmup(block=True, timeout=120)
+            assert engine._warmup_timeline.get("bank_budget_hit") is True
+            # No full-dataset thrash-load: warmup stopped loading groups at
+            # the budget (only the compile rep(s) + pre-budget files are
+            # resident), instead of pulling all 5 files through the LRU.
+            # (total_bytes() is mesh-padded superbank capacity, so the
+            # budget comparison itself is what capped the loads.)
+            assert len(engine._device_backend._by_file) < 5
+            for f in range(5):
+                res = engine.query_sync(
+                    bs.new_query().token(f"file{f}tok").build(), timeout=60
+                )
+                assert len(res) == 300 and all(r["f"] == f for r in res)
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_probe_overflow_degrades_to_host_not_churn_error(self, tmp_path):
+        """A single query whose bank groups exceed the device cache must
+        degrade to host probing (budget admission + churn fallback in
+        _probe_blocks), never raise 'segments kept churning'."""
+        store = self._multifile_store(tmp_path, files=6, rows=200)
+        total_bank_bytes = sum(
+            g.size
+            for mf in store.get_maybe_files_for_query(None)
+            for g in mf.metadata.bank_groups
+        )
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(
+                probe_backend="device",
+                bank_cache_bytes=max(total_bank_bytes // 4, 1),
+            ),
+            store,
+            store,
+        )
+        engine.start()
+        try:
+            for f in range(6):
+                res = engine.query_sync(
+                    bs.new_query().token(f"file{f}tok").build(), timeout=60
+                )
+                assert len(res) == 200 and all(r["f"] == f for r in res)
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_host_warmup_stops_at_bank_budget(self, tmp_path):
+        store = self._multifile_store(tmp_path)
+        total_bank_bytes = sum(
+            g.size
+            for mf in store.get_maybe_files_for_query(None)
+            for g in mf.metadata.bank_groups
+        )
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(
+                probe_backend="host",
+                bank_cache_bytes=max(total_bank_bytes // 3, 1),
+            ),
+            store,
+            store,
+        )
+        engine.start()
+        try:
+            engine.warmup(block=True, timeout=120)
+            assert engine._warmup_timeline.get("bank_budget_hit") is True
+            assert engine._host_bank_bytes <= engine.config.bank_cache_bytes
+            for f in range(5):
+                res = engine.query_sync(
+                    bs.new_query().token(f"file{f}tok").build(), timeout=60
+                )
+                assert len(res) == 300 and all(r["f"] == f for r in res)
+        finally:
+            engine.stop(timeout=TIMEOUT)
