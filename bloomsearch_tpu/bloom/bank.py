@@ -552,6 +552,92 @@ class DeviceProbeBackend:
 
     # -- probing --------------------------------------------------------
 
+    def precompile_probe_programs(self) -> int:
+        """AOT-compile (.lower().compile()) the probe program ladder for
+        every resident superbank shape, WITHOUT the per-bank launch lock.
+
+        The warmup probe pass executes each ladder rung through the launch
+        combiner, holding the bank's launch lock for the full multi-second
+        compile — a query probing mid-warmup starved behind it on 1-core
+        hosts. Running this AOT pass first populates jax's in-memory +
+        persistent compilation caches, so the locked executions (and any
+        query launch) deserialize in ~0.1-0.5 s instead of compiling.
+        Covers solo flat-AND (reduce), CNF-clause (Cp/Mp 16 floors), and
+        the full-bitmap program at every pow2 term pad <= 16 — the same
+        shape space _probe_superbank_batched can launch. Best-effort per
+        shape; returns programs compiled.
+        """
+        jnp = self._jnp
+        with self._lock:
+            snapshots = [
+                (mk, sb.bank2d, sb.k) for mk, sb in self._superbanks.items()
+            ]
+        from .pallas_kernels import (
+            MAX_UNROLLED_PROBES,
+            probe_and_pack,
+            probe_clauses_pack,
+            probe_reduce_and_pack,
+        )
+
+        compiled = 0
+        for mk, bank2d, k in snapshots:
+            for Tp in (1, 2, 4, 8, 16):
+                rows = jnp.zeros((Tp * k,), jnp.int32)
+                shifts = jnp.zeros((Tp * k,), jnp.int32)
+                mask = jnp.ones((Tp,), bool)
+                clause = jnp.zeros((16, Tp), jnp.float32)
+                member = jnp.zeros((16, 16), jnp.float32)
+                up = (
+                    self.use_pallas or self.pallas_interpret
+                ) and Tp * k <= MAX_UNROLLED_PROBES
+                interp = self.pallas_interpret
+                if self.mesh is not None:
+                    from ..parallel.mesh import (
+                        sharded_probe_clauses,
+                        sharded_probe_packed,
+                        sharded_query_step,
+                    )
+
+                    specs = [
+                        lambda: sharded_query_step.lower(
+                            self.mesh, bank2d, rows, shifts, mask, Tp, k,
+                            use_pallas=up, interpret=interp,
+                        ),
+                        lambda: sharded_probe_clauses.lower(
+                            self.mesh, bank2d, rows, shifts, clause, member,
+                            Tp, k, use_pallas=up, interpret=interp,
+                        ),
+                        lambda: sharded_probe_packed.lower(
+                            self.mesh, bank2d, rows, shifts, Tp, k,
+                            use_pallas=up, interpret=interp,
+                        ),
+                    ]
+                else:
+                    specs = [
+                        lambda: probe_reduce_and_pack.lower(
+                            bank2d, rows, shifts, Tp, k, mask,
+                            use_pallas=up, interpret=interp,
+                        ),
+                        lambda: probe_clauses_pack.lower(
+                            bank2d, rows, shifts, Tp, k, clause, member,
+                            use_pallas=up, interpret=interp,
+                        ),
+                        lambda: probe_and_pack.lower(
+                            bank2d, rows, shifts, Tp, k,
+                            use_pallas=up, interpret=interp,
+                        ),
+                    ]
+                for spec in specs:
+                    try:
+                        spec().compile()
+                        compiled += 1
+                    except Exception:
+                        logger.debug(
+                            "probe AOT failed (mk=%s Tp=%d)", mk, Tp,
+                            exc_info=True,
+                        )
+        return compiled
+
     def probe_groups(
         self,
         requests: list[tuple[bytes, int, tuple[int, int], Callable[[], np.ndarray]]],

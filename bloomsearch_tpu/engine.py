@@ -1054,6 +1054,14 @@ class BloomSearchEngine:
         if self._device_backend is not None and compile_reps:
             from .bloom.probe import compile_cnf_clauses
 
+            # AOT pass first (same rationale as the scan pass: compiles off
+            # the launch lock, cache-hits under it).
+            try:
+                n = self._device_backend.precompile_probe_programs()
+                timeline["probe_aot_programs"] = n
+                timeline["probe_aot_s"] = round(time.monotonic() - t0, 3)
+            except Exception:
+                logger.exception("warmup: probe AOT pass failed")
             warm_specs = [(n, "reduce") for n in (1, 2, 3, 5, 9)]  # Tp 1-16
             warm_specs += [(n, "clause") for n in (1, 2, 3, 5, 9)]  # Tp 1-16
             for mk, (pointer, gi, load) in compile_reps.items():
@@ -1284,25 +1292,44 @@ class BloomSearchEngine:
         from .bloom.pallas_kernels import SCAN_WORD_BUCKETS
 
         try:
+            # AOT pass FIRST (no launch lock, no pending queue): populates
+            # the compilation caches so the locked warm executions below —
+            # and any query launch racing them — deserialize in ~0.1-0.5 s
+            # instead of compiling for seconds while holding the lock.
+            try:
+                n = self._row_cache.precompile_scan_programs(pinned)
+                timeline["scan_aot_programs"] = n
+                timeline["scan_aot_s"] = round(time.monotonic() - t0, 3)
+            except Exception:
+                logger.exception("warmup: scan AOT pass failed")
             for wb in SCAN_WORD_BUCKETS:
                 if self._stop_event.is_set():
                     return
-                self._yield_warmup_device_work(yield_budget)
                 ln = min(4 * wb - 3, 32)  # longest length in this bucket
                 needle = (b"\x00warm" + b"\x00" * ln)[:ln]
                 try:
+                    # Yield BETWEEN every warm launch, not once per word
+                    # bucket: each launch below is a fresh multi-second jit
+                    # holding the scan launch lock, and on a 1-core host the
+                    # back-to-back inner launches re-acquired the lock
+                    # before a queued query thread ever got scheduled — the
+                    # captured 72.8 s during-warmup stall (BENCH_r04) was a
+                    # query starving behind a full bucket of compiles.
+                    self._yield_warmup_device_work(yield_budget)
                     self._row_cache.scan_many(pinned, [needle])
                     for nr in (2, 4, 8):
                         group = [
                             (b"\x02w%d_%d" % (nr, i) + b"\x00" * ln)[:ln]
                             for i in range(nr)
                         ]
+                        self._yield_warmup_device_work(yield_budget)
                         self._row_cache.scan_many(pinned, group)
                     for si, subset in enumerate(
                         (pinned[:1], pinned[:2], pinned[:3])
                     ):
                         if subset and len(pinned) > len(subset):
                             sub = (b"\x01wrm%d" % si + b"\x00" * ln)[:ln]
+                            self._yield_warmup_device_work(yield_budget)
                             self._row_cache.scan_many(subset, [sub])
                 except Exception:
                     logger.exception("warmup: scan compile failed")

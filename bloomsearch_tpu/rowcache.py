@@ -1024,6 +1024,75 @@ class DeviceRowCache:
 
     # -- scanning ---------------------------------------------------------
 
+    def precompile_scan_programs(self, blocks: list) -> int:
+        """AOT-compile (.lower().compile()) every scan program shape the
+        warmup execution pass will run, WITHOUT touching the launch lock or
+        the pending queue.
+
+        Compiles held the scan launch lock for their full multi-second
+        duration, so a query arriving mid-warmup starved behind them (the
+        72.8 s during-warmup stall in BENCH_r04). AOT populates jax's
+        persistent compilation cache first — the locked warm executions
+        that follow (and any query-path launch) then deserialize in
+        ~0.1-0.5 s instead of compiling for seconds. Shape enumeration
+        mirrors _launch_bucket_scan: dense scan-all at n_real {1,2,4,8} per
+        word bucket; sparse scan_segments (single-device only) at n_segs
+        {1,2,4} with the needle axis at its fixed sparse capacity (8) and
+        seg_chunks derived from ``blocks`` exactly like a live launch.
+        Best-effort: a failed shape is skipped (the execution pass still
+        compiles it, just under the lock). Returns programs compiled.
+        """
+        bucket = self._bucket
+        with self._lock:
+            matrix = bucket.matrix
+        if matrix is None:
+            return 0
+        from .bloom.pallas_kernels import SCAN_WORD_BUCKETS
+
+        phys_cap = int(matrix.shape[0])
+        use_pallas = self.use_pallas or self.pallas_interpret
+        max_chunks = max((b.num_chunks for b in blocks), default=1)
+        seg_chunks = max(_round_up_pow2(max(max_chunks, 1)), 512)
+        jnp = self._jnp
+        compiled = 0
+        for wb in SCAN_WORD_BUCKETS:
+            for n_bucket in (1, 2, 4, 8):
+                padded = jnp.zeros((max(8, n_bucket), MAX_NEEDLE), jnp.int32)
+                lens = jnp.zeros(max(8, n_bucket), jnp.int32)
+                common = dict(
+                    n_real=n_bucket,
+                    max_words=wb,
+                    use_pallas=use_pallas,
+                    interpret=self.pallas_interpret,
+                )
+                try:
+                    self._scan.lower(matrix, padded, lens, **common).compile()
+                    compiled += 1
+                except Exception:
+                    logger.debug("scan AOT failed (dense %s)", common,
+                                 exc_info=True)
+                if (
+                    self.mesh is None
+                    and n_bucket == 8
+                    and seg_chunks <= phys_cap
+                ):
+                    for n_segs in (1, 2, 4):
+                        if n_segs * seg_chunks * 4 > phys_cap:
+                            continue
+                        starts = jnp.zeros(n_segs, jnp.int32)
+                        try:
+                            self._scan_segments.lower(
+                                matrix, starts, padded, lens,
+                                seg_chunks=seg_chunks, **common,
+                            ).compile()
+                            compiled += 1
+                        except Exception:
+                            logger.debug(
+                                "scan AOT failed (sparse %d)", n_segs,
+                                exc_info=True,
+                            )
+        return compiled
+
     def scan(self, block: _PinnedBlock, needles: list[bytes]) -> np.ndarray:
         """-> bool[len(needles), num_rows] candidate matrix (device scan).
 

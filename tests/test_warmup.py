@@ -259,6 +259,62 @@ class TestIncrementalWarmup:
             engine.stop(timeout=TIMEOUT)
 
 
+class TestWarmupAOTPrecompile:
+    """The AOT passes (.lower().compile() with no launch lock held) run
+    before the locked warm executions so mid-warmup queries never starve
+    behind a multi-second compile holding the probe/scan launch lock
+    (BENCH_r04's 72.8 s during-warmup stall)."""
+
+    def test_timeline_records_aot_passes(self, tmp_path):
+        store = _dataset(tmp_path)
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(
+                probe_backend="device", row_cache_bytes=64 << 20
+            ),
+            store,
+            store,
+        )
+        engine.start()
+        try:
+            engine.warmup(block=True, timeout=120)
+            tl = engine.stats()["warmup"]
+            assert tl.get("probe_aot_programs", 0) > 0, tl
+            assert tl.get("scan_aot_programs", 0) > 0, tl
+            # AOT must land no later than the (timeline-final) pin pass.
+            assert tl["scan_aot_s"] <= tl["total_s"]
+            got = engine.query_sync(
+                bs.new_query().token("word11").build(), timeout=TIMEOUT
+            )
+            assert got == [{"n": 11, "w": "word11", "tag": "all"}]
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_precompile_direct_calls_are_reentrant(self, tmp_path):
+        """Direct calls return a positive count and are safe to repeat
+        (second call hits jax's in-memory cache, still counts programs)."""
+        store = _dataset(tmp_path)
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(
+                probe_backend="device", row_cache_bytes=64 << 20
+            ),
+            store,
+            store,
+        )
+        engine.start()
+        try:
+            engine.warmup(block=True, timeout=120)
+            n1 = engine._device_backend.precompile_probe_programs()
+            n2 = engine._device_backend.precompile_probe_programs()
+            assert n1 > 0 and n2 == n1
+            pinned = list(engine._row_cache._blocks.values())
+            assert pinned
+            s1 = engine._row_cache.precompile_scan_programs(pinned)
+            s2 = engine._row_cache.precompile_scan_programs(pinned)
+            assert s1 > 0 and s2 == s1
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+
 class TestWarmupBankBudget:
     """Beyond-budget bank warmup (the >30 GB regime scaled down): warmup
     loads filter banks only up to bank_cache_bytes instead of LRU-thrashing
