@@ -1025,7 +1025,14 @@ def main() -> None:
         # random row-tiles run at ~86% of that — ~2.0 B probes/s is the
         # honest steady state (docs/PERFORMANCE.md round-4 decomposition).
         "kernel_hbm_floor_probes_per_sec": round(819e9 / (params.k * 4 * 8)),
-        "kernel_floor_note": "datasheet-rate floor; measured sequential HBM ~740 GB/s -> achievable floor ~2.31B; kernel at ~86% of achievable",
+        # Attribution measured in scripts/exp_kernel_floor.py (round 5): a
+        # body-less kernel with the probe's exact grid/BlockSpec (the pure
+        # indexed 8-row-group DMA pattern) tops out at 721 GB/s = 2.25 B
+        # probes/s-equivalent — the pattern floor, below the 740 GB/s
+        # sequential stream because index_map-steered group fetches can't
+        # pipeline as deeply. The probe kernel reaches ~95% of THAT floor
+        # at c_tile=32768 (2.14 B); the last 5% is the VPU select+AND body.
+        "kernel_floor_note": "datasheet-rate floor; measured DMA-pattern floor (exp_kernel_floor) ~721 GB/s -> 2.25B; kernel ~95% of pattern floor at c_tile=32768, remainder is VPU probe math",
         # Every e2e wall below includes this per-query fetch floor (2
         # device->host fetches/query). The sub-refscale phases' p50 (40-60
         # ms at 48 MB) sits ON this floor — their vs_ref keys measure the

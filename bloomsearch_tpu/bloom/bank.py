@@ -552,9 +552,15 @@ class DeviceProbeBackend:
 
     # -- probing --------------------------------------------------------
 
-    def precompile_probe_programs(self) -> int:
+    def precompile_probe_programs(self, yield_to=None) -> int:
         """AOT-compile (.lower().compile()) the probe program ladder for
         every resident superbank shape, WITHOUT the per-bank launch lock.
+
+        ``yield_to``: optional callable invoked between programs — tracing/
+        lowering runs on the HOST and on few-core machines it starves a
+        concurrent query's own host work (plan, native block scan, its own
+        trace if its shape isn't cached yet); the engine passes its
+        queries-in-flight pause gate.
 
         The warmup probe pass executes each ladder rung through the launch
         combiner, holding the bank's launch lock for the full multi-second
@@ -628,6 +634,8 @@ class DeviceProbeBackend:
                         ),
                     ]
                 for spec in specs:
+                    if yield_to is not None:
+                        yield_to()
                     try:
                         spec().compile()
                         compiled += 1

@@ -32,14 +32,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROW_GROUP = 8  # TPU sublane tiling: minimum aligned row-group fetch
 
-# Block-axis tile: 16K uint32 words = 64 KiB per probed row (512 KiB
-# fetched per aligned group). Re-measured on v5e in round 2 across
-# {2K..32K}: 16384 runs 53-66 µs/launch at T=4 (2.0-2.4 B probes/s) vs
-# 67 µs at the old 8192, and larger tiles win further as T grows (T=16:
-# 32K tile 2.1 B vs 8K tile 1.4 B) — fewer grid revisits of the output
-# tile amortize better. Run-to-run tunnel variance is ±20%; 16384 was
-# never worse than 8192 in any run.
-DEFAULT_C_TILE = 16_384
+# Block-axis tile: 32K uint32 words = 128 KiB per probed row (1 MiB
+# fetched per aligned group). Re-measured on v5e in round 5
+# (scripts/exp_kernel_floor.py, chained-launch slopes at T=4/k=10 over a
+# 32768-column bank): the PATTERN floor — a kernel with this exact
+# grid/BlockSpec whose body does one OR — runs 58.2 µs at 32K vs 58.8 at
+# 16K vs 69.1 at 8K (fewer output-tile flush+revisit cycles per launch),
+# and the real probe kernel follows: 2.140 B probes/s at 32K (95% of its
+# 2.25 B pattern floor) vs 1.974 B at 16K vs 1.623 B at 8K. VMEM stays
+# comfortable: in-tile 1 MiB, out-tile <= 2 MiB at the T=16 ladder top.
+DEFAULT_C_TILE = 32_768
 
 # Above this many probes (padded_terms * k) the unrolled/gridded kernel's
 # compile time outweighs the win; callers fall back to the XLA path.

@@ -163,24 +163,49 @@ class _ChurnBudget:
 
 
 class _YieldBudget:
-    """Thread-safe total-seconds allowance for warmup's yield-to-queries
-    pauses — shared by the main warm thread and the concurrent scan-compile
-    thread, so a saturating query stream stretches warmup by at most this
-    many seconds TOTAL (an unlocked `budget[0] -= dt` let two threads lose
-    each other's decrements and overshoot the cap)."""
+    """Thread-safe REFILLING allowance (token bucket) of seconds warmup may
+    spend paused letting queries go first — shared by the main warm thread
+    and the concurrent scan-compile thread.
 
-    __slots__ = ("remaining", "_lock")
+    Round 4 used a fixed total (120 s): under a sustained during-warmup
+    query stream it drained mid-warmup, after which warmup stopped yielding
+    entirely and queries stalled 4-15 s behind pin uploads and locked warm
+    launches for the REST of warmup (BENCH_r05 validation run: during-
+    warmup p50 3.9 s, worst 15.7 s, with the stalls clustered after the
+    early yields spent the budget). Refilling at ``rate`` seconds of pause
+    per wall second keeps both properties (refill accrues during pauses
+    too, so the long-run paused fraction converges to ``rate`` — it MUST
+    be < 1 or a saturating stream pauses warmup forever):
 
-    def __init__(self, seconds: float):
-        self.remaining = seconds
+    - bounded stretch: warmup pauses at most ``rate`` of wall time, so a
+      saturating query stream stretches warmup <= 1/(1-rate)x
+      (rate=0.5 -> at most 2x), never forever;
+    - no starvation: a query arriving at ANY point in warmup finds pause
+      tokens — the bucket refills continuously instead of dying.
+
+    ``burst`` caps banked tokens so a long query-free stretch can't fund
+    one unbounded pause later."""
+
+    __slots__ = ("rate", "burst", "_tokens", "_t", "_lock")
+
+    def __init__(self, burst: float, rate: float = 0.5):
+        self.rate = rate
+        self.burst = burst
+        self._tokens = burst
+        self._t = time.monotonic()
         self._lock = threading.Lock()
 
     def consume(self, dt: float) -> bool:
-        """Spend ``dt`` seconds; False once the allowance is exhausted."""
+        """Spend ``dt`` seconds of pause; False while the bucket is dry
+        (the caller should do one unit of warmup work, which itself banks
+        refill time for the next yield point)."""
         with self._lock:
-            if self.remaining <= 0:
+            now = time.monotonic()
+            self._tokens = min(self.burst, self._tokens + (now - self._t) * self.rate)
+            self._t = now
+            if self._tokens < dt:
                 return False
-            self.remaining -= dt
+            self._tokens -= dt
             return True
 
 
@@ -277,6 +302,16 @@ class BloomSearchEngineConfig:
     # forces it, "host" forces numpy probing.
     probe_backend: str = "auto"
     bank_cache_bytes: int = 2 * 1024 * 1024 * 1024
+
+    # Per-query cap on SYNCHRONOUS residency promotion: a query that finds
+    # candidate bank groups non-resident may upload at most this many bytes
+    # inline; groups past the cap are probed on host THIS query (disk read
+    # + numpy — the reference's per-query speed) and promoted by a
+    # background warm for the next one. Unbounded promotion made first-
+    # query latency nondeterministic (an 18x swing across runs: through a
+    # tunneled chip every inline upload queues ahead of the query's own
+    # result fetches). 0 = never promote inline.
+    bank_promote_bytes_per_query: int = 32 * 1024 * 1024
 
     # Devices for the sharded device probe: superbanks shard their block
     # axis over a 1-D jax mesh, so filter capacity and probe bandwidth scale
@@ -778,6 +813,15 @@ class BloomSearchEngine:
         # Warmup phase timings (reserve / first pins / programs / pins),
         # populated by _warmup_impl; exposed via stats()["warmup"].
         self._warmup_timeline: dict = {}
+        # During-warmup serving gate: while warmup is active AND the scan
+        # program pass hasn't finished, queries route pinned blocks through
+        # the native DISK scan path instead of launching a device scan — a
+        # device launch before its program exists jits inline for seconds
+        # (the captured 15.7 s prescan stall at t=11 into warmup) while the
+        # native path serves the same block in ~10-30 ms. Outside warmup
+        # both events are clear, so on-demand jit behaves as before.
+        self._warmup_active = threading.Event()
+        self._warmup_scan_ready = threading.Event()
         # Background cache-warm pins (bounded; duplicates and overflow drop —
         # a dropped pin is just a cache miss that retries on a later query).
         self._bg_pins: set = set()
@@ -891,6 +935,14 @@ class BloomSearchEngine:
         return None
 
     def _warmup_impl(self) -> None:
+        self._warmup_active.set()
+        self._warmup_scan_ready.clear()
+        try:
+            self._warmup_impl_body()
+        finally:
+            self._warmup_active.clear()
+
+    def _warmup_impl_body(self) -> None:
         try:
             maybe_files = self.meta_store.get_maybe_files_for_query(None)
         except Exception:
@@ -957,14 +1009,13 @@ class BloomSearchEngine:
             )
             pin_thread.start()
 
-        # Total seconds warmup may spend paused letting queries go first
-        # (shared across the bank-load, probe-compile and scan-compile
-        # loops below — two warm threads draining one budget just means
-        # yielding drains it faster under query load). Generous: warmup is
-        # background work — stretching it under sustained query load is the
-        # right trade, bounded so a saturating stream can't stall it
-        # forever.
-        yield_budget = _YieldBudget(120.0)
+        # Refilling pause allowance for letting queries go first (shared
+        # across the bank-load, probe-compile and scan-compile loops below —
+        # two warm threads draining one bucket just means yielding drains it
+        # faster under query load). Warmup is background work: stretching it
+        # under sustained query load is the right trade, bounded at <= 2x
+        # (rate 0.5) so a saturating stream can't stall it forever.
+        yield_budget = _YieldBudget(burst=30.0)
 
         # Scan programs compile on their own thread, CONCURRENTLY with the
         # bank uploads + probe compiles below — the two passes were each
@@ -993,6 +1044,16 @@ class BloomSearchEngine:
         # for the compile pass below.
         compile_reps: dict[tuple, tuple] = {}
         bank_budget_hit = False
+        # Cumulative RAW bytes of groups this warmup has loaded. The budget
+        # check must use this, not backend.total_bytes(): superbank capacity
+        # PLATEAUS once LRU eviction starts recycling columns (xxlscale:
+        # total_bytes saturated at 1.38 GB under a 2 GB budget while warmup
+        # kept pushing all 24.4 GB of groups through the tunnel — every
+        # insert past saturation evicts an earlier one, pure thrash; the
+        # captured 823 s warmup was mostly this). total_bytes() still
+        # participates for the capacity-padding case (a padded superbank
+        # can exceed the budget before a budget's worth of raw bytes loads).
+        bank_loaded_bytes = 0
         for mf in maybe_files:
             if self._stop_event.is_set():
                 return
@@ -1006,21 +1067,29 @@ class BloomSearchEngine:
 
                 try:
                     if self._device_backend is not None:
+                        seg_key = self._device_backend.segment_key(mf.pointer, gi)
+                        already = self._device_backend.is_resident(mk, seg_key)
                         if (
                             not bank_budget_hit
-                            and self._device_backend.total_bytes()
-                            + group.size
-                            > self.config.bank_cache_bytes
+                            and not already
+                            and (
+                                bank_loaded_bytes + group.size
+                                > self.config.bank_cache_bytes
+                                or self._device_backend.total_bytes()
+                                + group.size
+                                > self.config.bank_cache_bytes
+                            )
                         ):
                             bank_budget_hit = True
                             timeline["bank_budget_hit"] = True
                         if bank_budget_hit and mk in compile_reps:
                             continue  # sparse cold probes serve this group
-                        seg_key = self._device_backend.segment_key(mf.pointer, gi)
                         self._device_backend._ensure_resident(
                             mf.pointer, mk, seg_key, load,
                             yield_to=self._pins_should_yield,
                         )
+                        if not already:
+                            bank_loaded_bytes += group.size
                         compile_reps.setdefault(mk, (mf.pointer, gi, load))
                     elif self._host_bank(mf.pointer, group) is None:
                         if (
@@ -1057,7 +1126,9 @@ class BloomSearchEngine:
             # AOT pass first (same rationale as the scan pass: compiles off
             # the launch lock, cache-hits under it).
             try:
-                n = self._device_backend.precompile_probe_programs()
+                n = self._device_backend.precompile_probe_programs(
+                    yield_to=lambda: self._yield_warmup_device_work(yield_budget)
+                )
                 timeline["probe_aot_programs"] = n
                 timeline["probe_aot_s"] = round(time.monotonic() - t0, 3)
             except Exception:
@@ -1155,7 +1226,7 @@ class BloomSearchEngine:
         # pack burn the CPU the query path's host scans need (decisive on
         # few-core hosts — a query host-scanning cold blocks mid-warmup ran
         # 2-10x slower while the pin pass decoded on the same core).
-        host_yield = _YieldBudget(120.0)
+        host_yield = _YieldBudget(burst=30.0)
         for mf in maybe_files:
             for blk in mf.metadata.data_blocks:
                 if self._stop_event.is_set():
@@ -1297,7 +1368,10 @@ class BloomSearchEngine:
             # and any query launch racing them — deserialize in ~0.1-0.5 s
             # instead of compiling for seconds while holding the lock.
             try:
-                n = self._row_cache.precompile_scan_programs(pinned)
+                n = self._row_cache.precompile_scan_programs(
+                    pinned,
+                    yield_to=lambda: self._yield_warmup_device_work(yield_budget),
+                )
                 timeline["scan_aot_programs"] = n
                 timeline["scan_aot_s"] = round(time.monotonic() - t0, 3)
             except Exception:
@@ -1336,6 +1410,10 @@ class BloomSearchEngine:
                     break
         finally:
             timeline["scan_programs_s"] = round(time.monotonic() - t0, 3)
+            # Lift the during-warmup scan gate: from here every scan shape
+            # a query can launch is compiled, so prescans go back on-device
+            # while the pin pass continues.
+            self._warmup_scan_ready.set()
 
     def _yield_warmup_device_work(self, budget: "_YieldBudget") -> None:
         """Pause a warmup device-work loop while queries are in flight.
@@ -2148,19 +2226,35 @@ class BloomSearchEngine:
         prescanned: dict = {}
         t_prescan = time.monotonic()
         if self._row_cache is not None and scan_plan is not None:
-            already_pinned = []
-            for job in jobs:
-                pinned = self._row_cache.get((job.file_pointer, job.block.offset))
-                if pinned is not None:
-                    already_pinned.append(pinned)
-            if already_pinned:
-                try:
-                    prescanned = self._row_cache.scan_many(
-                        already_pinned, scan_plan.needles
+            if (
+                self._warmup_active.is_set()
+                and not self._warmup_scan_ready.is_set()
+            ):
+                # Scan programs are still compiling: a device launch now
+                # would jit inline for seconds (captured: a 15.7 s prescan
+                # stall 11 s into warmup). Route every pinned block through
+                # the native disk-scan path this query (~10-30 ms/block);
+                # the sentinel tells _block_task not to device-scan either.
+                prescanned = {"__scan_cold__": True}
+                timing["scan_cold_gate"] = True
+            else:
+                already_pinned = []
+                for job in jobs:
+                    pinned = self._row_cache.get(
+                        (job.file_pointer, job.block.offset)
                     )
-                except Exception:
-                    logger.exception("batched row-cache scan failed; per-block fallback")
-            timing["pinned"] = len(already_pinned)
+                    if pinned is not None:
+                        already_pinned.append(pinned)
+                if already_pinned:
+                    try:
+                        prescanned = self._row_cache.scan_many(
+                            already_pinned, scan_plan.needles
+                        )
+                    except Exception:
+                        logger.exception(
+                            "batched row-cache scan failed; per-block fallback"
+                        )
+                timing["pinned"] = len(already_pinned)
         timing["prescan_s"] = round(time.monotonic() - t_prescan, 4)
 
         # Block work runs on the SHARED executor (bounded across all
@@ -2253,7 +2347,7 @@ class BloomSearchEngine:
             return jobs
 
         t_probe = time.monotonic()
-        group_ok = self._probe_blocks(maybe_files, terms, prune_query)
+        group_ok = self._probe_blocks(maybe_files, terms, prune_query, timing=timing)
         if timing is not None:
             timing["probe_s"] = round(time.monotonic() - t_probe, 4)
         for mf in maybe_files:
@@ -2299,7 +2393,11 @@ class BloomSearchEngine:
             return cached.ensure(group_files)
 
     def _probe_blocks(
-        self, maybe_files, terms: CompiledBloomTerms, prune_query: BloomQuery
+        self,
+        maybe_files,
+        terms: CompiledBloomTerms,
+        prune_query: BloomQuery,
+        timing: Optional[dict] = None,
     ) -> dict[tuple[bytes, int], np.ndarray]:
         """Probe every needed (file, bank-group) against the query terms.
 
@@ -2352,6 +2450,25 @@ class BloomSearchEngine:
             # row CRCs allow, else to the host probe fallback.
             admit_budget = max(int(backend.cache_bytes * 0.9), 1)
             admitted = 0
+            # Synchronous-promotion cap (config.bank_promote_bytes_per_query):
+            # resident groups probe for free, but each NON-resident group a
+            # query promotes inline is a full-group upload on the query's
+            # critical path (hundreds of ms each through remote-attached
+            # chips — the measured 18x first-query swing, and the 8-16 s
+            # during-warmup stalls while banks were still loading). Past the
+            # cap the group is probed on host NOW (reference-speed) and a
+            # background warm promotes it for the NEXT query.
+            promote_budget = max(self.config.bank_promote_bytes_per_query, 0)
+            # Mid-warmup, the warm thread is already loading every group in
+            # file order: a query promoting inline would double-upload (two
+            # concurrent loaders of one segment both read AND stage) and
+            # put seconds of h2d on its own critical path — host-probe the
+            # not-yet-loaded tail instead, and skip the background warms
+            # (redundant with warmup's own pass).
+            in_warmup = self._warmup_active.is_set()
+            if in_warmup:
+                promote_budget = 0
+            promoted = 0
             for pointer, gi, group in needed:
                 mk = (group.m_bits, group.k, group.params.layout)
                 # Sparse probing requires per-row CRCs (older files lack
@@ -2365,13 +2482,26 @@ class BloomSearchEngine:
                 )
                 if sparse_ok and not resident:
                     sparse.append((pointer, gi, group))
-                elif admitted + group.size <= admit_budget:
+                elif admitted + group.size > admit_budget:
+                    # Single-query cache overflow (existing rule): the one
+                    # probe snapshot can't hold everything.
+                    if sparse_ok:
+                        sparse.append((pointer, gi, group))
+                    else:
+                        host_fallback.append((pointer, gi, group))
+                elif resident:
                     admitted += group.size
                     requests.append((pointer, gi, mk, make_loader(pointer, group)))
-                elif sparse_ok:
-                    sparse.append((pointer, gi, group))
+                elif promoted + group.size <= promote_budget:
+                    promoted += group.size
+                    admitted += group.size
+                    requests.append((pointer, gi, mk, make_loader(pointer, group)))
                 else:
                     host_fallback.append((pointer, gi, group))
+                    if not in_warmup:
+                        self._schedule_bank_warm(pointer, gi, group)
+            if timing is not None and promoted:
+                timing["bank_promote_bytes"] = promoted
             if requests:
                 try:
                     matches = backend.probe_groups(
@@ -2639,6 +2769,16 @@ class BloomSearchEngine:
             pinned = self._row_cache.get(cache_key) if self._row_cache is not None else None
             mask = None
             scanned_inline = None
+            # During-warmup scan gate (see _plan... prescan): the device
+            # scan program for this launch isn't compiled yet, so treat the
+            # pinned block as cold for SCANNING — read + native-scan from
+            # the store — while keeping the pin (skip_pin) for the device
+            # path once the gate lifts.
+            scan_cold = bool(prescanned) and prescanned.get("__scan_cold__", False)
+            skip_pin = False
+            if pinned is not None and scan_cold and scan_plan is not None:
+                pinned = None
+                skip_pin = True
             if pinned is not None:
                 data = pinned.data
                 offsets, lengths = pinned.row_offsets, pinned.row_lengths
@@ -2670,7 +2810,7 @@ class BloomSearchEngine:
                         compressed, job.block.compression, job.block.uncompressed_size
                     )
                     _, offsets, lengths = split_rows_arrays(data)
-                if self._row_cache is not None:
+                if self._row_cache is not None and not skip_pin:
                     if self.config.row_cache_async_pins and processed is not None:
                         # The native pipeline already scanned this block
                         # inline; the pin is a pure cache-warm upload —

@@ -1024,10 +1024,14 @@ class DeviceRowCache:
 
     # -- scanning ---------------------------------------------------------
 
-    def precompile_scan_programs(self, blocks: list) -> int:
+    def precompile_scan_programs(self, blocks: list, yield_to=None) -> int:
         """AOT-compile (.lower().compile()) every scan program shape the
         warmup execution pass will run, WITHOUT touching the launch lock or
         the pending queue.
+
+        ``yield_to``: optional callable invoked between programs — lowering
+        is host work that starves a concurrent query's host path on
+        few-core machines (the engine passes its queries-in-flight gate).
 
         Compiles held the scan launch lock for their full multi-second
         duration, so a query arriving mid-warmup starved behind them (the
@@ -1065,6 +1069,8 @@ class DeviceRowCache:
                     use_pallas=use_pallas,
                     interpret=self.pallas_interpret,
                 )
+                if yield_to is not None:
+                    yield_to()
                 try:
                     self._scan.lower(matrix, padded, lens, **common).compile()
                     compiled += 1
@@ -1080,6 +1086,8 @@ class DeviceRowCache:
                         if n_segs * seg_chunks * 4 > phys_cap:
                             continue
                         starts = jnp.zeros(n_segs, jnp.int32)
+                        if yield_to is not None:
+                            yield_to()
                         try:
                             self._scan_segments.lower(
                                 matrix, starts, padded, lens,

@@ -315,6 +315,101 @@ class TestWarmupAOTPrecompile:
             engine.stop(timeout=TIMEOUT)
 
 
+class TestDuringWarmupServing:
+    """Round-5 during-warmup SLO machinery: the scan-cold gate (queries
+    never trigger an inline device-scan jit while warmup is still
+    compiling) and the per-query bank promotion budget (queries never pay
+    unbounded synchronous bank uploads)."""
+
+    def test_scan_cold_gate_serves_exact_and_skips_device_scan(self, tmp_path):
+        store = _dataset(tmp_path)
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(
+                probe_backend="device", row_cache_bytes=64 << 20
+            ),
+            store,
+            store,
+        )
+        engine.start()
+        try:
+            engine.warmup(block=True, timeout=120)
+            launches_before = engine._row_cache.launches
+            # Simulate mid-warmup (scan programs not ready): the gate must
+            # route pinned blocks through the native disk path — exact
+            # results, zero device scan launches.
+            engine._warmup_active.set()
+            engine._warmup_scan_ready.clear()
+            got = engine.query_sync(
+                bs.new_query().token("word77").build(), timeout=TIMEOUT
+            )
+            assert got == [{"n": 77, "w": "word77", "tag": "all"}]
+            assert engine._row_cache.launches == launches_before
+            timings = list(engine._query_timings)
+            assert timings[-1].get("scan_cold_gate") is True
+            # Gate lifts with the scan-ready event: device scanning resumes.
+            engine._warmup_scan_ready.set()
+            got = engine.query_sync(
+                bs.new_query().token("word78").build(), timeout=TIMEOUT
+            )
+            assert got == [{"n": 78, "w": "word78", "tag": "all"}]
+            assert engine._row_cache.launches > launches_before
+        finally:
+            engine._warmup_active.clear()
+            engine.stop(timeout=TIMEOUT)
+
+    def test_zero_promote_budget_query_exact_then_background_residency(
+        self, tmp_path
+    ):
+        import time as _time
+
+        store = _dataset(tmp_path)
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(
+                probe_backend="device", bank_promote_bytes_per_query=0
+            ),
+            store,
+            store,
+        )
+        engine.start()
+        try:
+            # No warmup: every group is non-resident, and the zero budget
+            # forbids inline promotion — host probing must serve the query
+            # exactly while a background warm promotes the group.
+            got = engine.query_sync(
+                bs.new_query().token("word5").build(), timeout=TIMEOUT
+            )
+            assert got == [{"n": 5, "w": "word5", "tag": "all"}]
+            deadline = _time.monotonic() + 20
+            while _time.monotonic() < deadline:
+                if engine._device_backend._by_file:
+                    break
+                _time.sleep(0.05)
+            assert engine._device_backend._by_file  # background warm landed
+            got = engine.query_sync(
+                bs.new_query().token("word6").build(), timeout=TIMEOUT
+            )
+            assert got == [{"n": 6, "w": "word6", "tag": "all"}]
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_default_budget_promotes_inline(self, tmp_path):
+        store = _dataset(tmp_path)
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(probe_backend="device"), store, store
+        )
+        engine.start()
+        try:
+            got = engine.query_sync(
+                bs.new_query().token("word9").build(), timeout=TIMEOUT
+            )
+            assert got == [{"n": 9, "w": "word9", "tag": "all"}]
+            assert engine._device_backend._by_file  # promoted inline
+            timings = list(engine._query_timings)
+            assert timings[-1].get("bank_promote_bytes", 0) > 0
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+
 class TestWarmupBankBudget:
     """Beyond-budget bank warmup (the >30 GB regime scaled down): warmup
     loads filter banks only up to bank_cache_bytes instead of LRU-thrashing
@@ -389,6 +484,45 @@ class TestWarmupBankBudget:
         )
         engine.start()
         try:
+            for f in range(6):
+                res = engine.query_sync(
+                    bs.new_query().token(f"file{f}tok").build(), timeout=60
+                )
+                assert len(res) == 200 and all(r["f"] == f for r in res)
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_device_warmup_stops_on_cumulative_load_despite_plateau(
+        self, tmp_path
+    ):
+        """The xxlscale regression: superbank capacity (and so
+        total_bytes()) PLATEAUS once LRU eviction recycles columns, so a
+        budget check against total_bytes() alone never fires and warmup
+        thrash-uploads every group in the dataset (24.4 GB through the
+        tunnel in the captured run). The cumulative-loaded-bytes check must
+        stop it even when total_bytes() reports under-budget forever."""
+        store = self._multifile_store(tmp_path, files=6, rows=200)
+        total_bank_bytes = sum(
+            g.size
+            for mf in store.get_maybe_files_for_query(None)
+            for g in mf.metadata.bank_groups
+        )
+        engine = bs.BloomSearchEngine(
+            bs.BloomSearchEngineConfig(
+                probe_backend="device",
+                bank_cache_bytes=max(total_bank_bytes // 3, 1),
+            ),
+            store,
+            store,
+        )
+        engine.start()
+        try:
+            # Simulate the eviction plateau: total_bytes() always reports
+            # empty, so only the cumulative check can stop the loads.
+            engine._device_backend.total_bytes = lambda: 0
+            engine.warmup(block=True, timeout=120)
+            assert engine._warmup_timeline.get("bank_budget_hit") is True
+            assert len(engine._device_backend._by_file) < 6
             for f in range(6):
                 res = engine.query_sync(
                     bs.new_query().token(f"file{f}tok").build(), timeout=60
