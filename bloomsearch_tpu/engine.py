@@ -822,6 +822,7 @@ class BloomSearchEngine:
         # both events are clear, so on-demand jit behaves as before.
         self._warmup_active = threading.Event()
         self._warmup_scan_ready = threading.Event()
+        self._warmup_probe_ready = threading.Event()
         # Background cache-warm pins (bounded; duplicates and overflow drop —
         # a dropped pin is just a cache miss that retries on a later query).
         self._bg_pins: set = set()
@@ -937,6 +938,7 @@ class BloomSearchEngine:
     def _warmup_impl(self) -> None:
         self._warmup_active.set()
         self._warmup_scan_ready.clear()
+        self._warmup_probe_ready.clear()
         try:
             self._warmup_impl_body()
         finally:
@@ -1163,6 +1165,10 @@ class BloomSearchEngine:
                         break
 
         timeline["probe_programs_s"] = round(time.monotonic() - t0, 3)
+        # Lift the during-warmup probe gate: every probe program shape is
+        # compiled, so queries go back to device probing while the pin pass
+        # continues.
+        self._warmup_probe_ready.set()
 
         # Pre-spawn the block pool's worker threads (ThreadPoolExecutor
         # creates them lazily; measured ~50 ms of thread startup landing on
@@ -2468,6 +2474,15 @@ class BloomSearchEngine:
             in_warmup = self._warmup_active.is_set()
             if in_warmup:
                 promote_budget = 0
+            # Until warmup's probe compile pass finishes, a device probe
+            # launch would jit inline — and the compile queues behind the
+            # AOT passes' ~40 programs on the (possibly remote) compiler,
+            # which held one captured query for 186 s. Host-probe instead
+            # (disk read + numpy, the reference's own speed); sparse cold
+            # probes stay sparse (pure host seeks, no jit either way).
+            probe_cold = in_warmup and not self._warmup_probe_ready.is_set()
+            if probe_cold and timing is not None:
+                timing["probe_cold_gate"] = True
             promoted = 0
             for pointer, gi, group in needed:
                 mk = (group.m_bits, group.k, group.params.layout)
@@ -2477,6 +2492,14 @@ class BloomSearchEngine:
                     group.size > SPARSE_BANK_BYTES
                     and group.row_crc_offset is not None
                 )
+                if probe_cold:
+                    if sparse_ok and not backend.is_resident(
+                        mk, backend.segment_key(pointer, gi)
+                    ):
+                        sparse.append((pointer, gi, group))
+                    else:
+                        host_fallback.append((pointer, gi, group))
+                    continue
                 resident = backend.is_resident(
                     mk, backend.segment_key(pointer, gi)
                 )
@@ -2608,7 +2631,11 @@ class BloomSearchEngine:
                                 prune_query.expression, terms, match, group.num_blocks
                             )
                         )
-                        self._schedule_bank_warm(pointer, gi, group)
+                        # Mid-warmup the warm thread is already loading
+                        # groups in file order — scheduling another warm
+                        # would double-read and double-upload the segment.
+                        if not self._warmup_active.is_set():
+                            self._schedule_bank_warm(pointer, gi, group)
         return result
 
     def _schedule_bank_warm(self, pointer: bytes, gi: int, group) -> None:
