@@ -1167,8 +1167,13 @@ class BloomSearchEngine:
         timeline["probe_programs_s"] = round(time.monotonic() - t0, 3)
         # Lift the during-warmup probe gate: every probe program shape is
         # compiled, so queries go back to device probing while the pin pass
-        # continues.
+        # continues. The gated window's host bank copies are now redundant
+        # (device superbanks serve every probe) — release the memory.
         self._warmup_probe_ready.set()
+        if self._device_backend is not None:
+            with self._host_bank_lock:
+                self._host_bank_cache.clear()
+                self._host_bank_bytes = 0
 
         # Pre-spawn the block pool's worker threads (ThreadPoolExecutor
         # creates them lazily; measured ~50 ms of thread startup landing on
@@ -2436,6 +2441,7 @@ class BloomSearchEngine:
         # the next query is resident.
         sparse: list[tuple] = []
         host_fallback: list[tuple] = []
+        host_cached: list[tuple] = []
         if self._device_backend is not None:
             from .bloom.probe import compile_cnf_clauses, is_flat_and_expression
 
@@ -2498,7 +2504,14 @@ class BloomSearchEngine:
                     ):
                         sparse.append((pointer, gi, group))
                     else:
-                        host_fallback.append((pointer, gi, group))
+                        # host_cached, not host_fallback: gated queries
+                        # repeat every ~seconds, and the warmup pin pass
+                        # streams GBs through the page cache — re-reading
+                        # ~200 MB of banks per query measured up to 6 s.
+                        # The in-process LRU (bank_cache_bytes-bounded)
+                        # makes every gated probe after the first ~100 ms;
+                        # warmup releases it once device probing resumes.
+                        host_cached.append((pointer, gi, group))
                     continue
                 resident = backend.is_resident(
                     mk, backend.segment_key(pointer, gi)
@@ -2584,6 +2597,34 @@ class BloomSearchEngine:
                         )
                         result[(pointer, gi)] = evaluate_match_expression(
                             prune_query.expression, terms, match, group.num_blocks
+                        )
+                finally:
+                    if fh is not None:
+                        fh.close()
+
+        if host_cached:
+            # During-warmup gated probes: host-probe via the in-process
+            # bank LRU (read once, reuse across the gated window).
+            by_pointer_hc: dict[bytes, list[tuple[int, Any]]] = {}
+            for pointer, gi, group in host_cached:
+                by_pointer_hc.setdefault(pointer, []).append((gi, group))
+            for pointer, groups in by_pointer_hc.items():
+                fh = None
+                try:
+                    for gi, group in groups:
+                        bank = self._host_bank(pointer, group)
+                        if bank is None:
+                            if fh is None:
+                                fh = self.data_store.open_file(pointer)
+                            bank = read_bank_group(fh, group)
+                            self._host_bank_put(pointer, group, bank)
+                        match = probe_bank_host(
+                            bank, terms, group.m_bits, group.k,
+                            group.params.layout,
+                        )
+                        result[(pointer, gi)] = evaluate_match_expression(
+                            prune_query.expression, terms, match,
+                            group.num_blocks,
                         )
                 finally:
                     if fh is not None:
