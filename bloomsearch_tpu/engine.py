@@ -975,6 +975,44 @@ class BloomSearchEngine:
         # CONCURRENTLY with the bank loads + probe compiles below).
         t0 = time.monotonic()
         timeline = self._warmup_timeline = {}
+
+        # Prime the host bank LRU FIRST (device backend only): until the
+        # probe-cold gate lifts, queries host-probe the small (non-sparse-
+        # capable) groups, and the first such query otherwise pays one cold
+        # ~hundreds-of-MB read while the pin pass hammers the same disk
+        # (captured: 6.0 s). One uncontended sequential read now, bounded
+        # by the bank budget, makes every gated probe a memory hit; the
+        # copies are released when the gate lifts. Sparse-capable groups
+        # (the beyond-budget regime's) bypass the host path entirely.
+        if self._device_backend is not None:
+            primed = 0
+            try:
+                for mf in maybe_files:
+                    if self._stop_event.is_set():
+                        return
+                    for group in mf.metadata.bank_groups:
+                        if (
+                            group.size > SPARSE_BANK_BYTES
+                            and group.row_crc_offset is not None
+                        ):
+                            continue
+                        if primed + group.size > self.config.bank_cache_bytes:
+                            break
+                        if self._host_bank(mf.pointer, group) is None:
+                            with self.data_store.open_file(mf.pointer) as fh:
+                                self._host_bank_put(
+                                    mf.pointer, group, read_bank_group(fh, group)
+                                )
+                            primed += group.size
+                    else:
+                        continue
+                    break
+            except FileNotFoundError:
+                pass  # merged/tombstoned mid-listing: queries re-list
+            except Exception:
+                logger.exception("warmup: host bank prime failed")
+            timeline["host_prime_s"] = round(time.monotonic() - t0, 3)
+
         first_pins: list = []
         pin_thread = None
         if self._row_cache is not None:
