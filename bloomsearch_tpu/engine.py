@@ -2537,18 +2537,21 @@ class BloomSearchEngine:
                     and group.row_crc_offset is not None
                 )
                 if probe_cold:
-                    if sparse_ok and not backend.is_resident(
-                        mk, backend.segment_key(pointer, gi)
-                    ):
+                    # Sparse-capable groups go sparse REGARDLESS of device
+                    # residency: the gate forbids the device launch anyway,
+                    # and seek-reading the probed rows (KBs) beats a full
+                    # group read — the first gated query full-reading the
+                    # resident groups mid-pin-pass measured 5.5 s.
+                    if sparse_ok:
                         sparse.append((pointer, gi, group))
                     else:
                         # host_cached, not host_fallback: gated queries
                         # repeat every ~seconds, and the warmup pin pass
                         # streams GBs through the page cache — re-reading
-                        # ~200 MB of banks per query measured up to 6 s.
-                        # The in-process LRU (bank_cache_bytes-bounded)
-                        # makes every gated probe after the first ~100 ms;
-                        # warmup releases it once device probing resumes.
+                        # banks per query is seconds of contended disk.
+                        # The in-process LRU (bank_cache_bytes-bounded,
+                        # pre-primed by warmup) makes gated probes memory
+                        # hits; warmup releases it when the gate lifts.
                         host_cached.append((pointer, gi, group))
                     continue
                 resident = backend.is_resident(
