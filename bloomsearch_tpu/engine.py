@@ -2752,6 +2752,15 @@ class BloomSearchEngine:
 
         def warm():
             try:
+                # Defer to in-flight queries BEFORE the load too: the full
+                # group read (hundreds of MB at scale) contends for the
+                # disk and the (few-core) CPU with the very query whose
+                # sparse probes scheduled this warm — measured as a 2.1 s
+                # first-query probe stage at xlscale. Bounded so sustained
+                # query streams can't starve residency promotion forever.
+                deadline = time.monotonic() + 30.0
+                while self._pins_should_yield() and time.monotonic() < deadline:
+                    time.sleep(0.01)
                 if self._stop_event.is_set():
                     return  # engine stopping: files may already be tombstoned
                 if self._device_backend is not None:
