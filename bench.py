@@ -581,6 +581,16 @@ def xxlscale_bench() -> dict:
         if engine._row_cache is not None:
             engine._row_cache.needle_cache_enabled = False
         out = _timed_needle_queries(engine, store, reps=3)
+        # First-query phase breakdown (xlscale captures the same; at 8%
+        # residency the first query's gap over steady p50 needs a cause
+        # on record, not a guess).
+        first_breakdown = None
+        try:
+            timings = list(engine._query_timings)
+            if timings:
+                first_breakdown = timings[0]
+        except Exception:
+            pass
         rc = engine._row_cache.stats() if engine._row_cache is not None else {}
         dev = engine._device_backend.stats() if engine._device_backend else {}
         timeline = engine.stats().get("warmup", {})
@@ -597,6 +607,7 @@ def xxlscale_bench() -> dict:
         "e2e_xxlscale_rows_per_sec": rows_per_sec,
         "e2e_xxlscale_vs_ref": round(rows_per_sec / REF_ROWS_PER_SEC, 3),
         "e2e_xxlscale_first_query_ms": out["first_query_ms"],
+        "e2e_xxlscale_first_query_breakdown": first_breakdown,
         "e2e_xxlscale_warmup_s": out["warmup_s"],
         "e2e_xxlscale_bank_budget_hit": timeline.get("bank_budget_hit"),
         "e2e_xxlscale_residency_frac": round(
