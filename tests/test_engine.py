@@ -641,3 +641,49 @@ class TestStatsSnapshot:
             _json.dumps(s1)  # snapshot must be plainly serializable
         finally:
             engine.stop(timeout=TIMEOUT)
+
+
+class TestYieldBudget:
+    """The refilling token bucket that paces warmup's yields to queries.
+
+    Round-5 invariants (engine._YieldBudget docstring): bounded stretch
+    (paused fraction converges to ``rate`` < 1), no starvation (tokens
+    refill continuously, so a query arriving late in warmup still finds
+    pause allowance), and ``burst`` caps banked tokens.
+    """
+
+    def test_starts_full_and_spends_down(self):
+        from bloomsearch_tpu.engine import _YieldBudget
+
+        b = _YieldBudget(burst=1.0, rate=0.5)
+        assert b.consume(0.6)
+        # 0.4 left (plus negligible refill): a 0.9 s ask must be denied.
+        assert not b.consume(0.9)
+
+    def test_refills_at_rate_and_caps_at_burst(self):
+        import time as _time
+
+        from bloomsearch_tpu.engine import _YieldBudget
+
+        b = _YieldBudget(burst=0.2, rate=0.5)
+        assert b.consume(0.2)  # drain
+        assert not b.consume(0.2)  # dry immediately after
+        _time.sleep(0.5)  # banks ~0.25 s at rate 0.5 -> capped at 0.2
+        assert b.consume(0.2)  # refilled
+        # Burst cap: right after draining a full bucket there can be at
+        # most ~0 banked beyond the cap, so a second full ask is denied.
+        assert not b.consume(0.2)
+
+    def test_dry_bucket_never_blocks_warmup_work(self):
+        from bloomsearch_tpu.engine import _YieldBudget
+
+        b = _YieldBudget(burst=0.05, rate=0.5)
+        b.consume(0.05)
+        # consume() returns False instantly when dry (the caller then does
+        # one unit of warmup work) -- it must never sleep or raise.
+        import time as _time
+
+        t0 = _time.perf_counter()
+        for _ in range(100):
+            b.consume(1.0)
+        assert _time.perf_counter() - t0 < 0.1
