@@ -722,6 +722,20 @@ class BloomSearchEngine:
             and config.block_bloom_expected_items <= 0
         ):
             raise InvalidConfigError("block_bloom_expected_items must be > 0")
+        # Documented divergence (file_format.read_block_rows_compressed):
+        # decode buffers WHOLE blocks (compressed then decompressed), so
+        # per-query peak memory scales with concurrency x this cap. The
+        # reference streams LimitReader->decompressor and tolerates any
+        # size (bloom_tree_engine.go:1120-1153); here GB-scale row groups
+        # degrade abruptly — surface it at config time, not at OOM time.
+        if config.max_row_group_bytes > 256 * 1024 * 1024:
+            logger.warning(
+                "max_row_group_bytes=%d: block decode buffers whole blocks "
+                "in memory (peak ~ concurrency x cap; unlike the "
+                "reference's streaming decode). Consider <= 256 MB row "
+                "groups, or lower max_query_concurrency.",
+                config.max_row_group_bytes,
+            )
 
         self.config = config
         self.meta_store = meta_store
