@@ -471,6 +471,31 @@ BS_EXPORT int64_t bs_snappy_compress_block(const uint8_t* in, int64_t n,
   return op - out;
 }
 
+// Compress a whole buffer into the chunked stream framing
+// ([uint32 LE compressed_len | snappy block] per chunk_size bytes of
+// input, last chunk may be short) in one GIL-free call. The per-64KB
+// Python loop (copy chunk -> alloc out -> ctypes call -> copy result)
+// dominated merge's re-compression; this emits the SAME bytes as that
+// loop (identical block compressor, identical framing). out must hold
+// ceil(n/chunk_size) * (4 + bs_snappy_max_compressed(chunk_size)).
+// Returns bytes written, or -1 on bad args.
+BS_EXPORT int64_t bs_snappy_compress_stream(const uint8_t* in, int64_t n,
+                                            int64_t chunk_size,
+                                            uint8_t* out) {
+  if (chunk_size <= 0 || chunk_size > kSnappyMaxBlockInput || n < 0)
+    return -1;
+  uint8_t* op = out;
+  for (int64_t pos = 0; pos < n; pos += chunk_size) {
+    const int64_t len = (n - pos < chunk_size) ? (n - pos) : chunk_size;
+    const int64_t written = bs_snappy_compress_block(in + pos, len, op + 4);
+    if (written < 0) return -1;
+    const uint32_t w32 = (uint32_t)written;
+    std::memcpy(op, &w32, 4);  // little-endian hosts only (same as decode)
+    op += 4 + written;
+  }
+  return op - out;
+}
+
 // Parse the uvarint uncompressed length of a block; -1 if malformed.
 BS_EXPORT int64_t bs_snappy_uncompressed_length(const uint8_t* in, int64_t n) {
   uint64_t result = 0;

@@ -93,6 +93,11 @@ MAX_ROW_BYTES = 0xFFFFFFFF
 # Bank groups larger than this take the sparse cold-probe path (seek-read
 # only the probed rows) instead of a full read on first touch.
 SPARSE_BANK_BYTES = 4 * 1024 * 1024
+# Per-merge-operation decoded-bank memo cap (see _execute_merge_group's
+# bank_for): groups cap at max_files_to_merge_per_operation files, but per-
+# file bank bytes are data-dependent, so bound by bytes not entries. Banks
+# are zero-copy views over file bytes — the cap bounds retained reads.
+_MERGE_BANK_CACHE_BYTES = 1 << 30
 _LENGTH_PREFIX = struct.Struct("<I")
 
 
@@ -3347,10 +3352,37 @@ class _Merger:
                     open_files[pointer] = engine.data_store.open_file(pointer)
                 return open_files[pointer]
 
+            # Decoded-bank memo for THIS merge operation: the old path
+            # re-read (and re-CRC'd) a source file's ENTIRE bank group for
+            # every block it contributed — an N-block file cost N full
+            # group reads, ~40% of merge wall at reference scale. Bounded
+            # FIFO (groups cap at max_files_to_merge files, but bank sizes
+            # are data-dependent).
+            bank_cache: dict[tuple[bytes, int], np.ndarray] = {}
+            bank_cache_bytes = 0
+
+            def bank_for(src: _SourceBlock) -> np.ndarray:
+                nonlocal bank_cache_bytes
+                key = (src.pointer, src.block.bank_group)
+                bank = bank_cache.get(key)
+                if bank is None:
+                    group_meta = src.metadata.bank_groups[src.block.bank_group]
+                    bank = read_bank_group(fh_for(src.pointer), group_meta)
+                    while (
+                        bank_cache
+                        and bank_cache_bytes + bank.nbytes
+                        > _MERGE_BANK_CACHE_BYTES
+                    ):
+                        _, old = bank_cache.popitem()
+                        bank_cache_bytes -= old.nbytes
+                    bank_cache[key] = bank
+                    bank_cache_bytes += bank.nbytes
+                return bank
+
             try:
                 for partition_id, blocks in by_partition.items():
                     self._process_partition_blocks(
-                        writer, blocks, fh_for, stats, rebuild_filters
+                        writer, blocks, fh_for, bank_for, stats, rebuild_filters
                     )
             finally:
                 for fh in open_files.values():
@@ -3391,7 +3423,7 @@ class _Merger:
             return read_file_metadata(fh)
 
     def _process_partition_blocks(
-        self, writer, blocks, fh_for, stats: MergeStats, rebuild_filters=None
+        self, writer, blocks, fh_for, bank_for, stats: MergeStats, rebuild_filters=None
     ) -> None:
         """Greedy grouping under caps, then copy or stream-merge
 
@@ -3421,9 +3453,13 @@ class _Merger:
                 else:
                     i += 1
             if len(bucket) == 1:
-                self._copy_block(writer, seed, fh_for, stats, rebuild_filters)
+                self._copy_block(
+                    writer, seed, fh_for, bank_for, stats, rebuild_filters
+                )
             else:
-                self._merge_blocks(writer, bucket, fh_for, stats, rebuild_filters)
+                self._merge_blocks(
+                    writer, bucket, fh_for, bank_for, stats, rebuild_filters
+                )
 
     def _rebuild_add_rows(self, filters: BloomFilters, rows: list[bytes]) -> None:
         """Re-tokenize surviving rows into a fresh file-level filter triple.
@@ -3472,13 +3508,12 @@ class _Merger:
             if keys:
                 getattr(filters, selector).add_hashes(hash_keys(list(keys)))
 
-    def _read_block_filters(self, src: _SourceBlock, fh) -> BloomFilters:
+    def _read_block_filters(self, src: _SourceBlock, bank_for) -> BloomFilters:
         group = src.metadata.bank_groups[src.block.bank_group]
-        bank = read_bank_group(fh, group)
-        return extract_block_filters(bank, group, src.block.bank_col)
+        return extract_block_filters(bank_for(src), group, src.block.bank_col)
 
     def _copy_block(
-        self, writer: DataFileWriter, src: _SourceBlock, fh_for, stats, rebuild_filters=None
+        self, writer: DataFileWriter, src: _SourceBlock, fh_for, bank_for, stats, rebuild_filters=None
     ) -> None:
         """Raw byte copy; keeps original codec, params, minmax, timestamps
 
@@ -3486,7 +3521,7 @@ class _Merger:
         """
         fh = fh_for(src.pointer)
         payload = read_block_rows_compressed(fh, src.block)
-        filters = self._read_block_filters(src, fh)
+        filters = self._read_block_filters(src, bank_for)
         if rebuild_filters is not None:
             # Expiry dropped sibling blocks: the fresh file-level triple
             # needs this block's keys, which means decompressing what would
@@ -3514,7 +3549,7 @@ class _Merger:
         stats.bytes_processed += src.block.size
 
     def _merge_blocks(
-        self, writer: DataFileWriter, bucket: list[_SourceBlock], fh_for, stats, rebuild_filters=None
+        self, writer: DataFileWriter, bucket: list[_SourceBlock], fh_for, bank_for, stats, rebuild_filters=None
     ) -> None:
         """Stream-merge: OR filters, union minmax, round-robin interleave
 
@@ -3530,7 +3565,7 @@ class _Merger:
         created_at = 0
         for src in bucket:
             fh = fh_for(src.pointer)
-            filters = self._read_block_filters(src, fh)
+            filters = self._read_block_filters(src, bank_for)
             if merged_filters is None:
                 merged_filters = filters
             else:

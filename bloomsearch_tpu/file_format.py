@@ -607,32 +607,47 @@ def read_bank_rows(
 
 
 def read_bank_group(fh: BinaryIO, group: BankGroupMetadata) -> np.ndarray:
-    """Read one bank group -> uint32[3, num_words, num_blocks], CRC-verified."""
+    """Read one bank group -> uint32[3, num_words, num_blocks], CRC-verified.
+
+    The returned array is a READ-ONLY view over the file bytes on
+    little-endian hosts (bank groups run to hundreds of MB; an eager
+    native-order copy dominated merge profiles). Callers that need to
+    mutate must copy; every current consumer (device staging, host
+    probes, merge column extraction) only reads.
+    """
     fh.seek(group.offset)
     payload = fh.read(group.size)
     if len(payload) != group.size:
         raise InvalidFormatError("short read of bank group")
     if crc32c(payload) != group.crc:
         raise InvalidHashError("bank group CRC mismatch")
-    bank = np.frombuffer(payload, dtype="<u4").astype(np.uint32)
+    bank = np.frombuffer(payload, dtype="<u4")
+    if bank.dtype != np.uint32:  # big-endian host: normalize (copies)
+        bank = bank.astype(np.uint32)
     return bank.reshape(NUM_KEYSPACES, group.num_words, group.num_blocks)
 
 
 def extract_block_filters(bank: np.ndarray, group: BankGroupMetadata, bank_col: int) -> BloomFilters:
-    """Rebuild one block's filter triple from a bank column (merge path)."""
+    """Rebuild one block's filter triple from a bank column (merge path).
+
+    Always COPIES the columns: ``bank`` may be a read-only view over
+    shared (cached) file bytes, and merge OR-accumulates into the first
+    extracted triple in place — a single-block group's contiguous column
+    would otherwise alias (and corrupt) the shared bank.
+    """
     layout = group.params.layout
     return BloomFilters(
         BloomFilter(
             group.m_bits, group.k,
-            np.ascontiguousarray(bank[KEYSPACE_FIELD, :, bank_col]), layout=layout,
+            bank[KEYSPACE_FIELD, :, bank_col].copy(), layout=layout,
         ),
         BloomFilter(
             group.m_bits, group.k,
-            np.ascontiguousarray(bank[KEYSPACE_TOKEN, :, bank_col]), layout=layout,
+            bank[KEYSPACE_TOKEN, :, bank_col].copy(), layout=layout,
         ),
         BloomFilter(
             group.m_bits, group.k,
-            np.ascontiguousarray(bank[KEYSPACE_FIELD_TOKEN, :, bank_col]), layout=layout,
+            bank[KEYSPACE_FIELD_TOKEN, :, bank_col].copy(), layout=layout,
         ),
     )
 

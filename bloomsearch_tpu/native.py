@@ -160,6 +160,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p,
             ]
             lib.bs_pack_stream.restype = None
+        if hasattr(lib, "bs_snappy_compress_stream"):  # pre-round-5 .so lacks it
+            lib.bs_snappy_compress_stream.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.bs_snappy_compress_stream.restype = ctypes.c_int64
         if hasattr(lib, "bs_extract_minmax"):  # absent in pre-round-4 cached .so
             lib.bs_extract_minmax.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -664,6 +669,26 @@ def snappy_compress_block(data: bytes) -> bytes:
     written = lib.bs_snappy_compress_block(_ptr(buf), n, _ptr(out))
     if written < 0:
         raise ValueError("snappy compress failed")
+    return out[:written].tobytes()
+
+
+def snappy_compress_stream(data, chunk_size: int = SNAPPY_MAX_BLOCK_INPUT):
+    """Compress a whole buffer into the chunked stream framing in ONE
+    GIL-free native call ([<u4 len><snappy block>] per chunk; the last
+    chunk may be short). Bit-identical to looping snappy_compress_block
+    over chunks. Returns bytes, or None when the symbol is unavailable
+    (stale cached .so) — callers fall back to the per-chunk loop."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bs_snappy_compress_stream"):
+        return None
+    n = len(data)
+    buf = np.frombuffer(data, dtype=np.uint8) if n else np.empty(0, dtype=np.uint8)
+    n_chunks = -(-n // chunk_size) if n else 0
+    cap = n_chunks * (4 + int(lib.bs_snappy_max_compressed(chunk_size)))
+    out = np.empty(max(cap, 1), dtype=np.uint8)
+    written = lib.bs_snappy_compress_stream(_ptr(buf), n, chunk_size, _ptr(out))
+    if written < 0:
+        raise ValueError("snappy stream compress failed")
     return out[:written].tobytes()
 
 

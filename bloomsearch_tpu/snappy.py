@@ -39,20 +39,26 @@ class SnappyStreamCompressor:
         pending = self._pending
         if len(pending) < CHUNK_SIZE:
             return b""
-        out = bytearray()
+        n_full = (len(pending) // CHUNK_SIZE) * CHUNK_SIZE
         view = memoryview(pending)
-        pos = 0
-        while len(pending) - pos >= CHUNK_SIZE:
-            compressed = native.snappy_compress_block(
-                bytes(view[pos : pos + CHUNK_SIZE])
-            )
-            out += struct.pack("<I", len(compressed))
-            out += compressed
-            pos += CHUNK_SIZE
-        tail = bytes(view[pos:])
+        # One GIL-free native call for all full chunks (bit-identical
+        # framing); per-chunk loop only under a stale pre-round-5 .so.
+        out = native.snappy_compress_stream(view[:n_full], CHUNK_SIZE)
+        if out is None:
+            buf = bytearray()
+            pos = 0
+            while pos < n_full:
+                compressed = native.snappy_compress_block(
+                    bytes(view[pos : pos + CHUNK_SIZE])
+                )
+                buf += struct.pack("<I", len(compressed))
+                buf += compressed
+                pos += CHUNK_SIZE
+            out = bytes(buf)
+        tail = bytes(view[n_full:])
         view.release()
         self._pending = bytearray(tail)
-        return bytes(out)
+        return out
 
     def compress(self, data: bytes) -> bytes:
         self._pending += data

@@ -174,3 +174,47 @@ class TestChunkIndex:
         stream = comp.compress(b"hello world " * 100) + comp.flush()
         with pytest.raises(ValueError):
             sn.chunk_index(stream[:-3])
+
+
+class TestNativeCompressStream:
+    def test_stream_call_bit_identical_to_block_loop(self):
+        import struct
+
+        import numpy as np
+
+        from bloomsearch_tpu import native
+        from bloomsearch_tpu.snappy import CHUNK_SIZE
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(5)
+        # Compressible + incompressible mix, non-multiple of CHUNK_SIZE.
+        data = (
+            b"hello world " * 20_000
+            + rng.integers(0, 256, size=150_000, dtype=np.uint8).tobytes()
+        )
+        got = native.snappy_compress_stream(data, CHUNK_SIZE)
+        assert got is not None
+        want = bytearray()
+        for pos in range(0, len(data), CHUNK_SIZE):
+            c = native.snappy_compress_block(data[pos : pos + CHUNK_SIZE])
+            want += struct.pack("<I", len(c))
+            want += c
+        assert got == bytes(want)
+
+    def test_empty_and_single_chunk(self):
+        from bloomsearch_tpu import native
+        from bloomsearch_tpu.snappy import CHUNK_SIZE
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        assert native.snappy_compress_stream(b"", CHUNK_SIZE) == b""
+        out = native.snappy_compress_stream(b"abc", CHUNK_SIZE)
+        c = native.snappy_compress_block(b"abc")
+        import struct
+
+        assert out == struct.pack("<I", len(c)) + c
