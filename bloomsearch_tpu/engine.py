@@ -887,6 +887,12 @@ class BloomSearchEngine:
         self._warm_pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="bloomsearch-warm"
         )
+        # Sparse cold-probe fan-out: pure seek-read I/O (KBs per file), so
+        # a small pool keeps the disk queue full without meaningful CPU
+        # cost. Shared across queries; sized for I/O overlap, not cores.
+        self._sparse_probe_pool = ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="bloomsearch-sparseprobe"
+        )
         # Per-query stage timing ring (last 128 queries): plan / probe /
         # prescan / block-task seconds + job counts. Cheap wall clocks on
         # the query thread only; the serving-operations benchmarks read it
@@ -1739,6 +1745,7 @@ class BloomSearchEngine:
         self._block_pool.shutdown(wait=False)
         self._pin_pool.shutdown(wait=False)
         self._warm_pool.shutdown(wait=False)
+        self._sparse_probe_pool.shutdown(wait=False)
         self._started = False
         # Return HBM to the process NOW: jax Arrays free device memory only
         # when the last Python reference dies, and engine/thread/closure
@@ -2718,7 +2725,10 @@ class BloomSearchEngine:
             by_pointer_sparse: dict[bytes, list[tuple[int, Any]]] = {}
             for pointer, gi, group in sparse:
                 by_pointer_sparse.setdefault(pointer, []).append((gi, group))
-            for pointer, groups in by_pointer_sparse.items():
+
+            def _probe_file_sparse(item):
+                pointer, groups = item
+                out = []
                 with self.data_store.open_file(pointer) as fh:
                     for gi, group in groups:
                         match = probe_rows_sparse(
@@ -2727,16 +2737,39 @@ class BloomSearchEngine:
                             ),
                             terms, group.m_bits, group.k, group.params.layout,
                         )
-                        result[(pointer, gi)] = np.asarray(
-                            evaluate_match_expression(
-                                prune_query.expression, terms, match, group.num_blocks
-                            )
-                        )
-                        # Mid-warmup the warm thread is already loading
-                        # groups in file order — scheduling another warm
-                        # would double-read and double-upload the segment.
-                        if not self._warmup_active.is_set():
-                            self._schedule_bank_warm(pointer, gi, group)
+                        out.append((
+                            gi,
+                            group,
+                            np.asarray(
+                                evaluate_match_expression(
+                                    prune_query.expression, terms, match,
+                                    group.num_blocks,
+                                )
+                            ),
+                        ))
+                return pointer, out
+
+            items = list(by_pointer_sparse.items())
+            if len(items) == 1:
+                probed = [_probe_file_sparse(items[0])]
+            else:
+                # Fan the per-file seek passes over a small I/O pool: the
+                # beyond-bank-cache first query sparse-probes hundreds of
+                # files, and serial seek chains leave the disk queue empty
+                # (measured on the 33 GB / 454-file dataset, cold page
+                # cache: 7.9 s serial -> 0.44 s at 8-way). Exceptions
+                # propagate from .map() exactly like the serial loop's.
+                probed = list(
+                    self._sparse_probe_pool.map(_probe_file_sparse, items)
+                )
+            for pointer, out in probed:
+                for gi, group, arr in out:
+                    result[(pointer, gi)] = arr
+                    # Mid-warmup the warm thread is already loading groups
+                    # in file order — scheduling another warm would
+                    # double-read and double-upload the segment.
+                    if not self._warmup_active.is_set():
+                        self._schedule_bank_warm(pointer, gi, group)
         return result
 
     def _schedule_bank_warm(self, pointer: bytes, gi: int, group) -> None:
