@@ -291,6 +291,7 @@ class FileSystemDataStore:
         maybe_files: list[MaybeFile] = []
         with self._cache_lock:
             stale = set(self._metadata_cache)
+        entries: list[tuple[str, os.stat_result]] = []
         for name in sorted(os.listdir(self.root_dir)):
             if not name.endswith(".dat"):
                 continue
@@ -302,6 +303,35 @@ class FileSystemDataStore:
             if not os.path.isfile(path):
                 continue
             stale.discard(path)
+            entries.append((path, stat))
+        # Prefetch footer-cache misses over a small transient I/O pool: a
+        # cold listing of a large dataset (hundreds of files) otherwise
+        # pays serial seek+read chains that leave the disk queue empty
+        # (454-file / 33 GB dataset, cold page cache: ~2.4 s serial).
+        # Errors are swallowed here — the serial loop below re-reads the
+        # (rare) failed file and applies the documented tolerant handling,
+        # so semantics and warning order are unchanged.
+        with self._cache_lock:
+            misses = [
+                e
+                for e in entries
+                if (c := self._metadata_cache.get(e[0])) is None
+                or c[:2] != (e[1].st_size, e[1].st_mtime_ns)
+            ]
+        if len(misses) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _prefetch(e):
+                try:
+                    self._read_file_metadata(*e)
+                except Exception:
+                    pass
+
+            with ThreadPoolExecutor(
+                max_workers=8, thread_name_prefix="bloomsearch-footer"
+            ) as ex:
+                list(ex.map(_prefetch, misses))
+        for path, stat in entries:
             try:
                 cached = self._read_file_metadata(path, stat)
             except FileNotFoundError:
