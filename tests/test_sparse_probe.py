@@ -291,3 +291,53 @@ class TestEngineSparsePath:
                     time.sleep(0.05)
         finally:
             engine.stop(timeout=TIMEOUT)
+
+
+class TestPooledSparseFanout:
+    """Round-5: sparse cold probes fan per-file seek passes over a small
+    I/O pool (engine._sparse_probe_pool). Multi-file datasets must return
+    exactly the serial path's results — including interleaved flush/merge
+    file sets — and background warms must still dedup."""
+
+    @pytest.mark.parametrize("backend", ["host", "device"])
+    def test_many_files_cold_exact(self, tmp_path, monkeypatch, backend):
+        engine, store = _engine(tmp_path, monkeypatch, probe_backend=backend)
+        try:
+            # 8 separate files -> the pooled (len(items) > 1) branch.
+            for f in range(8):
+                rows = [
+                    {"n": f * 100 + i, "w": f"word{f}_{i}", "tag": "all"}
+                    for i in range(50)
+                ]
+                engine.ingest_rows(rows, timeout=TIMEOUT)
+                engine.flush(timeout=TIMEOUT)
+            assert len(store.get_maybe_files_for_query(None)) == 8
+            if backend == "device":
+                be = engine._device_backend
+                for mf in store.get_maybe_files_for_query(None):
+                    be.invalidate(mf.pointer)
+            # Needle in one file.
+            got = engine.query_sync(
+                bs.new_query().token("word5_7").build(), timeout=TIMEOUT
+            )
+            assert got == [{"n": 507, "w": "word5_7", "tag": "all"}]
+            # Token present in EVERY file (each file's sparse result must
+            # land, whatever thread probed it).
+            got = engine.query_sync(
+                bs.new_query().token("all").build(), timeout=TIMEOUT
+            )
+            assert sorted(r["n"] for r in got) == sorted(
+                f * 100 + i for f in range(8) for i in range(50)
+            )
+        finally:
+            engine.stop(timeout=TIMEOUT)
+
+    def test_pool_shutdown_with_engine_stop(self, tmp_path, monkeypatch):
+        engine, store = _engine(tmp_path, monkeypatch, probe_backend="host")
+        pool = engine._sparse_probe_pool
+        engine.stop(timeout=TIMEOUT)
+        # Shut down: new submissions must be rejected.
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            pool.submit(lambda: None)
