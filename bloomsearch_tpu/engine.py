@@ -878,6 +878,7 @@ class BloomSearchEngine:
         # snapshots the queries active at that moment, so under continuous
         # query traffic entries still drain as those specific queries finish.
         self._saturation_warned = False
+        self._file_saturation_warned = False
         # In-flight background bank warms (sparse cold-probe follow-ups).
         # One dedicated thread: warms stream the FULL banks from disk and
         # must never crowd the shared block pool (or the disk) that the
@@ -1905,6 +1906,7 @@ class BloomSearchEngine:
                     params=buf.params,
                     rows_canonical=buf.rows_canonical,
                 )
+            self._warn_if_file_filters_saturated(flush_req.file_filters)
             metadata = writer.finish(flush_req.file_filters)
             writer_fh.close()
         except Exception as exc:
@@ -1964,6 +1966,42 @@ class BloomSearchEngine:
                     "block_bloom_expected_items to the expected distinct keys "
                     "per block to keep the FPR honest.",
                     name, 100 * fill, est_fpr, p, self.config.max_row_group_rows,
+                )
+                return
+
+    def _warn_if_file_filters_saturated(self, filters: BloomFilters) -> None:
+        """Surface saturating FILE-level filter sizing at flush time.
+
+        A saturated file filter silently defeats file pruning: every query
+        then probes every file's block banks (at 33 GB / 454 files this
+        was measured as ~2-7 s of sparse seek-reads on the first cold
+        query and most of warm p50 — the file filter passed 344/454 files
+        for a needle present in 3). One warning per engine, pointing at
+        file_bloom_expected_items. The reference sizes file filters the
+        same way and degrades identically; the warning is the divergence.
+        """
+        if self._file_saturation_warned:
+            return
+        p = self.config.bloom_false_positive_rate
+        for name in ("field", "token", "field_token"):
+            flt = getattr(filters, name)
+            try:
+                ones = int(np.bitwise_count(flt.words).sum(dtype=np.int64))
+            except AttributeError:  # numpy < 2: popcount via unpackbits
+                ones = int(np.unpackbits(flt.words.view(np.uint8)).sum())
+            fill = ones / max(flt.m_bits, 1)
+            est_fpr = fill ** flt.k
+            if est_fpr > max(10 * p, 1e-6):
+                self._file_saturation_warned = True
+                logger.warning(
+                    "file-level %s filter saturating: fill %.0f%% -> est. "
+                    "FPR %.2g (configured %.2g). File filters are sized by "
+                    "file_bloom_expected_items (%d) but this file "
+                    "accumulated far more distinct keys; raise it to keep "
+                    "file pruning effective (a saturated file filter makes "
+                    "every query probe every file's block banks).",
+                    name, 100 * fill, est_fpr, p,
+                    self.config.file_bloom_expected_items,
                 )
                 return
 

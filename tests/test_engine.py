@@ -721,3 +721,63 @@ class TestLargeRowGroupWarning:
         assert not any(
             "buffers whole blocks" in r.message for r in caplog.records
         )
+
+
+class TestFileFilterSaturationWarning:
+    """File-level mirror of the block saturation warning: a saturated file
+    filter defeats file pruning (every query probes every file's block
+    banks — measured as most of the 33 GB dataset's cold-query cost)."""
+
+    def test_file_filters_warn_when_saturated(self, tmp_path, caplog):
+        import logging
+
+        import bloomsearch_tpu as bs
+
+        store = bs.FileSystemDataStore(str(tmp_path))
+        cfg = bs.BloomSearchEngineConfig(
+            file_bloom_expected_items=50,  # each row adds several keys
+            block_bloom_expected_items="auto",  # keep BLOCK filters honest
+        )
+        eng = bs.BloomSearchEngine(cfg, store, store)
+        eng.start()
+        try:
+            rows = [
+                {"uid": f"u{i:05d}", "msg": f"tok{i} alpha{i} beta{i}"}
+                for i in range(2000)
+            ]
+            with caplog.at_level(
+                logging.WARNING, logger="bloomsearch_tpu.engine"
+            ):
+                eng.ingest_rows(rows)
+                eng.flush()
+            assert any(
+                "file-level" in r.message and "saturating" in r.message
+                for r in caplog.records
+            )
+        finally:
+            eng.stop()
+
+    def test_no_file_warning_with_honest_sizing(self, tmp_path, caplog):
+        import logging
+
+        import bloomsearch_tpu as bs
+
+        store = bs.FileSystemDataStore(str(tmp_path))
+        cfg = bs.BloomSearchEngineConfig(
+            file_bloom_expected_items=100_000,
+            block_bloom_expected_items="auto",
+        )
+        eng = bs.BloomSearchEngine(cfg, store, store)
+        eng.start()
+        try:
+            rows = [{"uid": f"u{i:05d}", "msg": f"tok{i}"} for i in range(500)]
+            with caplog.at_level(
+                logging.WARNING, logger="bloomsearch_tpu.engine"
+            ):
+                eng.ingest_rows(rows)
+                eng.flush()
+            assert not any(
+                "file-level" in r.message for r in caplog.records
+            )
+        finally:
+            eng.stop()
