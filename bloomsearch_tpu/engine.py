@@ -27,6 +27,7 @@ continue. Stats are posted lossily (dropped when full), mirroring
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import struct
@@ -894,6 +895,15 @@ class BloomSearchEngine:
         self._sparse_probe_pool = ThreadPoolExecutor(
             max_workers=8, thread_name_prefix="bloomsearch-sparseprobe"
         )
+        # Whole-file mmaps for the sparse probe path (filesystem stores
+        # only): a warm sparse pass over a 400-file dataset is ~4k
+        # seek+read syscalls per query via file handles and ~zero via
+        # page-cache slices. Files are immutable so a mapping never goes
+        # stale; tombstoned files' mappings age out of the LRU (dropping
+        # the dict reference lets refcounting close the map — an explicit
+        # close() could BufferError against an in-flight numpy view).
+        self._bank_mmaps: dict[bytes, Any] = {}
+        self._bank_mmap_lock = threading.Lock()
         # Per-query stage timing ring (last 128 queries): plan / probe /
         # prescan / block-task seconds + job counts. Cheap wall clocks on
         # the query thread only; the serving-operations benchmarks read it
@@ -1747,6 +1757,8 @@ class BloomSearchEngine:
         self._pin_pool.shutdown(wait=False)
         self._warm_pool.shutdown(wait=False)
         self._sparse_probe_pool.shutdown(wait=False)
+        with self._bank_mmap_lock:
+            self._bank_mmaps.clear()  # refcounting closes the maps
         self._started = False
         # Return HBM to the process NOW: jax Arrays free device memory only
         # when the last Python reference dies, and engine/thread/closure
@@ -2249,6 +2261,10 @@ class BloomSearchEngine:
         query will plan the file; deferral only protects queries that
         planned before the merge completed.
         """
+        # Drop the sparse-probe mapping eagerly (in-flight views keep it
+        # alive via refcounting; new queries never plan this pointer).
+        with self._bank_mmap_lock:
+            self._bank_mmaps.pop(pointer, None)
         with self._query_track_lock:
             if self._active_query_ids:
                 # Wait only on the queries active RIGHT NOW — later queries
@@ -2758,7 +2774,7 @@ class BloomSearchEngine:
 
         if sparse:
             from .bloom.probe import probe_rows_sparse
-            from .file_format import read_bank_rows
+            from .file_format import read_bank_rows, read_bank_rows_buf
 
             by_pointer_sparse: dict[bytes, list[tuple[int, Any]]] = {}
             for pointer, gi, group in sparse:
@@ -2767,12 +2783,25 @@ class BloomSearchEngine:
             def _probe_file_sparse(item):
                 pointer, groups = item
                 out = []
-                with self.data_store.open_file(pointer) as fh:
+                mm = self._bank_mmap(pointer)
+                with (
+                    contextlib.nullcontext()
+                    if mm is not None
+                    else self.data_store.open_file(pointer)
+                ) as fh:
                     for gi, group in groups:
+                        if mm is not None:
+                            read = (
+                                lambda rows, mm=mm, group=group:
+                                read_bank_rows_buf(mm, group, rows)
+                            )
+                        else:
+                            read = (
+                                lambda rows, fh=fh, group=group:
+                                read_bank_rows(fh, group, rows)
+                            )
                         match = probe_rows_sparse(
-                            lambda rows, fh=fh, group=group: read_bank_rows(
-                                fh, group, rows
-                            ),
+                            read,
                             terms, group.m_bits, group.k, group.params.layout,
                         )
                         out.append((
@@ -2809,6 +2838,43 @@ class BloomSearchEngine:
                     if not self._warmup_active.is_set():
                         self._schedule_bank_warm(pointer, gi, group)
         return result
+
+    # Bounded count of live file mappings; address space only (resident
+    # memory is whatever pages the probes touch, i.e. the page cache).
+    _BANK_MMAP_CAP = 1024
+
+    def _bank_mmap(self, pointer: bytes):
+        """Whole-file read-only mmap for sparse probes, or None when the
+        store's handles aren't real files (object stores) or mapping
+        fails — callers fall back to the seek-read path."""
+        with self._bank_mmap_lock:
+            mm = self._bank_mmaps.get(pointer)
+            if mm is not None:
+                return mm
+        import mmap as _mmap
+
+        try:
+            fh = self.data_store.open_file(pointer)
+        except Exception:
+            return None
+        try:
+            fileno = fh.fileno()
+            mm = _mmap.mmap(fileno, 0, access=_mmap.ACCESS_READ)
+        except Exception:
+            return None  # not a real file / empty / mmap unsupported
+        finally:
+            try:
+                fh.close()  # the mapping holds the pages, not the fd
+            except Exception:
+                pass
+        with self._bank_mmap_lock:
+            existing = self._bank_mmaps.get(pointer)
+            if existing is not None:
+                return existing  # racer won; drop ours via refcounting
+            while len(self._bank_mmaps) >= self._BANK_MMAP_CAP:
+                self._bank_mmaps.pop(next(iter(self._bank_mmaps)))
+            self._bank_mmaps[pointer] = mm
+        return mm
 
     def _schedule_bank_warm(self, pointer: bytes, gi: int, group) -> None:
         """Background full load of a sparse-probed bank group.

@@ -341,3 +341,71 @@ class TestPooledSparseFanout:
 
         with _pytest.raises(RuntimeError):
             pool.submit(lambda: None)
+
+
+class TestReadBankRowsBuf:
+    """read_bank_rows_buf must match read_bank_rows bit-exactly (same
+    per-row CRC verification) — it's the mmap fast path under warm sparse
+    probes."""
+
+    def test_buf_matches_fh_and_verifies(self, tmp_path):
+        import numpy as np
+
+        from bloomsearch_tpu.file_format import (
+            read_bank_rows,
+            read_bank_rows_buf,
+        )
+
+        store = bs.FileSystemDataStore(str(tmp_path / "data"))
+        cfg = bs.BloomSearchEngineConfig(row_data_compression="none")
+        engine = bs.BloomSearchEngine(cfg, store, store)
+        engine.start()
+        try:
+            engine.ingest_rows(
+                [{"n": i, "w": f"word{i}"} for i in range(300)], timeout=TIMEOUT
+            )
+            engine.flush(timeout=TIMEOUT)
+        finally:
+            engine.stop(timeout=TIMEOUT)
+        mf = store.get_maybe_files_for_query(None)[0]
+        group = mf.metadata.bank_groups[0]
+        rows = np.asarray([0, 5, 5, group.num_words * 3 - 1, 17])
+        path = mf.pointer.decode("utf-8")
+        with open(path, "rb") as fh:
+            want = read_bank_rows(fh, group, rows)
+        buf = open(path, "rb").read()
+        got = read_bank_rows_buf(buf, group, rows)
+        assert (want == got).all()
+
+        # Corrupt one probed payload row -> the buf path must raise too.
+        import bloomsearch_tpu.file_format as ff
+
+        bad = bytearray(buf)
+        off = group.offset + 5 * group.num_blocks * 4
+        bad[off] ^= 0xFF
+        with pytest.raises(ff.InvalidHashError):
+            read_bank_rows_buf(bytes(bad), group, rows)
+
+    def test_short_buffer_raises_format_error(self, tmp_path):
+        import numpy as np
+
+        from bloomsearch_tpu.file_format import read_bank_rows_buf
+
+        store = bs.FileSystemDataStore(str(tmp_path / "data"))
+        cfg = bs.BloomSearchEngineConfig(row_data_compression="none")
+        engine = bs.BloomSearchEngine(cfg, store, store)
+        engine.start()
+        try:
+            engine.ingest_rows([{"n": 1, "w": "x"}], timeout=TIMEOUT)
+            engine.flush(timeout=TIMEOUT)
+        finally:
+            engine.stop(timeout=TIMEOUT)
+        mf = store.get_maybe_files_for_query(None)[0]
+        group = mf.metadata.bank_groups[0]
+        buf = open(mf.pointer.decode("utf-8"), "rb").read()
+        import bloomsearch_tpu.file_format as ff
+
+        with pytest.raises(ff.InvalidFormatError):
+            read_bank_rows_buf(
+                buf[: group.offset + 10], group, np.asarray([2])
+            )
